@@ -1,0 +1,76 @@
+"""Equilibrium/moment/collision identities against closed forms."""
+import jax.numpy as jnp
+import numpy as np
+
+from tpulbm import physics
+from tpulbm.lattice import D2Q9, D3Q19
+
+
+def test_equilibrium_scalar_formula():
+    # Direct check of f_eq_i = w_i rho (1 + 3 c·u + 4.5 (c·u)^2 - 1.5 u²)
+    # against an independent loop (reference LBMUtils.h:9-12 algebra).
+    rho = jnp.full((4, 4), 1.1)
+    u = jnp.stack([jnp.full((4, 4), 0.03), jnp.full((4, 4), -0.01)])
+    feq = np.asarray(physics.equilibrium(D2Q9, rho, u))
+    for i in range(9):
+        cx, cy = D2Q9.velocities[i]
+        cu = cx * 0.03 + cy * -0.01
+        expect = D2Q9.w[i] * 1.1 * (1 + 3 * cu + 4.5 * cu * cu - 1.5 * (0.03**2 + 0.01**2))
+        np.testing.assert_allclose(feq[i], expect, rtol=1e-12)
+
+
+def test_equilibrium_moments_roundtrip():
+    for lat in (D2Q9, D3Q19):
+        rng = np.random.default_rng(0)
+        shape = (5, 6) if lat.D == 2 else (3, 4, 5)
+        rho = jnp.asarray(1.0 + 0.05 * rng.standard_normal(shape))
+        u = jnp.asarray(0.05 * rng.standard_normal((lat.D,) + shape))
+        feq = physics.equilibrium(lat, rho, u)
+        rho2, u2 = physics.moments(lat, feq)
+        np.testing.assert_allclose(np.asarray(rho2), np.asarray(rho), rtol=1e-12)
+        np.testing.assert_allclose(np.asarray(u2), np.asarray(u), atol=1e-13)
+
+
+def test_collision_conserves_mass_momentum():
+    rng = np.random.default_rng(1)
+    f = jnp.asarray(np.abs(rng.standard_normal((9, 8, 8))) * 0.1 + 0.05)
+    f_post = physics.collide(D2Q9, f, inv_tau=1.0 / 0.6)
+    rho0, u0 = physics.moments(D2Q9, f)
+    rho1, u1 = physics.moments(D2Q9, f_post)
+    np.testing.assert_allclose(np.asarray(rho1), np.asarray(rho0), rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(u1), np.asarray(u0), atol=1e-12)
+
+
+def test_rest_equilibrium_is_bgk_fixed_point():
+    W = physics.rest_equilibrium(D2Q9)
+    f = jnp.asarray(np.broadcast_to(W[:, None, None], (9, 4, 4)).copy())
+    f_post = physics.collide(D2Q9, f, inv_tau=1.0 / 0.6)
+    np.testing.assert_allclose(np.asarray(f_post), np.asarray(f), rtol=1e-14)
+
+
+def test_uniform_equilibrium_is_fixed_point():
+    eq = physics.uniform_equilibrium(D2Q9, 1.0, (0.01333, 0.0))
+    f = jnp.asarray(np.broadcast_to(eq[:, None, None], (9, 4, 4)).copy())
+    f_post = physics.collide(D2Q9, f, inv_tau=1.0 / 0.6)
+    np.testing.assert_allclose(np.asarray(f_post), np.asarray(f), atol=1e-15)
+
+
+def test_forced_equilibrium_term():
+    # +3 w_i (c_i · F), reference LBMUtils.h:15-19.
+    rho = jnp.ones((3, 3))
+    u = jnp.zeros((2, 3, 3))
+    F = (1e-5, 2e-5)
+    feq = np.asarray(physics.equilibrium(D2Q9, rho, u))
+    feqF = np.asarray(physics.equilibrium_with_force(D2Q9, rho, u, F))
+    for i in range(9):
+        cx, cy = D2Q9.velocities[i]
+        np.testing.assert_allclose(feqF[i] - feq[i],
+                                   3 * D2Q9.w[i] * (cx * F[0] + cy * F[1]),
+                                   atol=1e-18)
+
+
+def test_stability_predicate():
+    f = jnp.ones((9, 4, 4))
+    assert bool(physics.is_stable(f))
+    assert not bool(physics.is_stable(f.at[0, 0, 0].set(jnp.nan)))
+    assert not bool(physics.is_stable(f.at[0, 0, 0].set(2e5)))

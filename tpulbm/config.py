@@ -1,0 +1,208 @@
+"""Simulation configuration.
+
+TPU-native equivalent of the reference's `SimulationParams`
+(reference: include/LBMConfig.h:36-66), upgraded from compile-time header
+constants to a frozen dataclass with named presets, JSON round-trip, and CLI
+parsing — the reference has no config system at all (main.cpp ignores argv,
+see src/main.cpp:7-11).
+
+Behavioral parity notes:
+  * Derived quantities match the reference exactly:
+      nu() = (tau - 0.5)/3                  (LBMConfig.h:54)
+      reynolds() = U * (2*cyl_radius*ny)/nu (LBMConfig.h:55-58)
+    The reference's defaults therefore give Re ≈ 20.5 (not 200); the `re200`
+    preset sets tau ≈ 0.51024 to hit Re = 200 on the same grid/velocity.
+  * Force normalization uses D = 2*int(cylinder_radius*ny) cells
+    (LBMIO.h:174), which differs slightly from reynolds()'s 2*0.05*ny — the
+    reference's quirk #4; reproduced faithfully.
+"""
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+from typing import Any
+
+
+@dataclasses.dataclass(frozen=True)
+class SimulationParams:
+    """All run parameters. Frozen; hashable; safe to close over in jitted code."""
+
+    # Core physics/grid (defaults == reference LBMConfig.h:37-42)
+    tau: float = 0.6
+    inlet_velocity: float = 0.01333
+    nx: int = 2048
+    ny: int = 512
+    nz: int = 0                      # 0 → 2-D; >0 → 3-D (D3Q19)
+    num_timesteps: int = 120000
+    output_frequency: int = 140
+
+    # Cylinder geometry as fractions of the domain (LBMConfig.h:45-48)
+    cylinder_x: float = 0.2
+    cylinder_y: float = 0.5
+    cylinder_radius: float = 0.05
+
+    # VTK output (LBMConfig.h:51)
+    vtk_start_step: int = 0
+
+    # --- new capabilities (absent from the reference) ---
+    problem: str = "cylinder"        # "cylinder" | "poiseuille" | "cylinder3d"
+    obstacle_bc: str = "equilibrium"  # "equilibrium" (reference parity) | "bounce_back"
+    body_force: tuple[float, ...] = ()  # Guo-style forcing (ref dead code LBMUtils.h:15-19)
+    periodic_x: bool = False         # poiseuille channel uses periodic x
+    precision: str = "f32"           # "f32" (TPU-native) | "f64" (validation)
+    backend: str = "pallas"          # "pallas" | "jax" step implementation
+    mesh_shape: tuple[int, int] = (1, 1)  # (devices along y, devices along x)
+    checkpoint_every: int = 0        # chunks between checkpoints; 0 = off
+    checkpoint_dir: str = "checkpoints"
+    output_dir: str = "."
+    enable_vtk: bool = True
+
+    # ---- derived quantities (parity with LBMConfig.h:53-65) ----
+    def nu(self) -> float:
+        return (self.tau - 0.5) / 3.0
+
+    def reynolds(self) -> float:
+        D = 2.0 * self.cylinder_radius * self.ny
+        return (self.inlet_velocity * D) / self.nu()
+
+    def get_cylinder_x(self) -> int:
+        return int(self.cylinder_x * self.nx)
+
+    def get_cylinder_y(self) -> int:
+        return int(self.cylinder_y * self.ny)
+
+    def get_cylinder_radius_cells(self) -> int:
+        return int(self.cylinder_radius * self.ny)
+
+    @property
+    def is_3d(self) -> bool:
+        return self.nz > 0
+
+    @property
+    def num_cells(self) -> int:
+        return self.nx * self.ny * (self.nz if self.is_3d else 1)
+
+    # ---- serialization ----
+    def to_dict(self) -> dict[str, Any]:
+        return dataclasses.asdict(self)
+
+    def to_json(self) -> str:
+        return json.dumps(self.to_dict(), indent=2)
+
+    @classmethod
+    def from_dict(cls, d: dict[str, Any]) -> "SimulationParams":
+        d = dict(d)
+        for key in ("body_force", "mesh_shape"):
+            if key in d and isinstance(d[key], list):
+                d[key] = tuple(d[key])
+        return cls(**d)
+
+    @classmethod
+    def from_json(cls, s: str) -> "SimulationParams":
+        return cls.from_dict(json.loads(s))
+
+    def replace(self, **kw) -> "SimulationParams":
+        return dataclasses.replace(self, **kw)
+
+
+def tau_for_reynolds(re: float, inlet_velocity: float, ny: int,
+                     cylinder_radius: float = 0.05) -> float:
+    """tau that yields the requested Reynolds number on this grid (inverts
+    reference LBMConfig.h:54-58)."""
+    D = 2.0 * cylinder_radius * ny
+    nu = inlet_velocity * D / re
+    return 3.0 * nu + 0.5
+
+
+# ---- named presets (BASELINE.json configs) ----
+
+def _presets() -> dict[str, SimulationParams]:
+    base = SimulationParams()
+    return {
+        # Reference compile-time defaults: 2048x512, tau=0.6 → Re ≈ 20.5.
+        "reference-default": base,
+        # Quick steady-wake run at modest Re on a small grid (BASELINE config 1).
+        "cylinder-small": base.replace(nx=512, ny=128, num_timesteps=8000,
+                                       output_frequency=140),
+        # Re=200 von Kármán vortex street (BASELINE config 3).
+        "re200": base.replace(tau=tau_for_reynolds(200.0, base.inlet_velocity, base.ny)),
+        # Re=100 / Re=50 variants (reference README.md:57-59 result set).
+        "re100": base.replace(tau=tau_for_reynolds(100.0, base.inlet_velocity, base.ny)),
+        "re50": base.replace(tau=tau_for_reynolds(50.0, base.inlet_velocity, base.ny)),
+        # Poiseuille channel validation (BASELINE config 2): body-force driven,
+        # periodic in x, walls in y; analytic parabola check in tests.
+        "poiseuille": base.replace(
+            problem="poiseuille", nx=64, ny=64, tau=0.8,
+            inlet_velocity=0.0, periodic_x=True,
+            body_force=(1e-5, 0.0), num_timesteps=20000,
+            output_frequency=1000, cylinder_radius=0.0, enable_vtk=False),
+        # Multi-million-cell sharded scaling config (BASELINE config 4).
+        "scale-8m": base.replace(nx=4096, ny=2048, num_timesteps=2000,
+                                 output_frequency=500),
+        # 3-D D3Q19 cylinder/sphere flow (BASELINE config 5, stretch).
+        "cylinder3d-small": base.replace(problem="cylinder3d", nx=128, ny=64, nz=64,
+                                         num_timesteps=2000, output_frequency=200),
+    }
+
+
+PRESETS = _presets()
+
+
+def add_cli_args(parser: argparse.ArgumentParser) -> None:
+    parser.add_argument("--preset", choices=sorted(PRESETS), default=None,
+                        help="named parameter preset")
+    parser.add_argument("--config-json", type=str, default=None,
+                        help="path to a JSON file with SimulationParams fields")
+    # individual overrides
+    for field in ("tau", "inlet_velocity", "cylinder_x", "cylinder_y",
+                  "cylinder_radius"):
+        parser.add_argument(f"--{field.replace('_', '-')}", type=float, default=None)
+    for field in ("nx", "ny", "nz", "num_timesteps", "output_frequency",
+                  "vtk_start_step", "checkpoint_every"):
+        parser.add_argument(f"--{field.replace('_', '-')}", type=int, default=None)
+    parser.add_argument("--reynolds", type=float, default=None,
+                        help="set tau to achieve this Reynolds number")
+    parser.add_argument("--problem", choices=["cylinder", "poiseuille", "cylinder3d"],
+                        default=None)
+    parser.add_argument("--obstacle-bc", choices=["equilibrium", "bounce_back"],
+                        default=None)
+    parser.add_argument("--precision", choices=["f32", "f64"], default=None)
+    parser.add_argument("--backend", choices=["pallas", "jax"], default=None)
+    parser.add_argument("--mesh", type=str, default=None,
+                        help="device mesh as 'NYxNX', e.g. 2x4; 'auto' to choose")
+    parser.add_argument("--output-dir", type=str, default=None)
+    parser.add_argument("--checkpoint-dir", type=str, default=None)
+    parser.add_argument("--no-vtk", action="store_true")
+
+
+def params_from_args(args: argparse.Namespace) -> SimulationParams:
+    if args.config_json:
+        with open(args.config_json) as fh:
+            params = SimulationParams.from_json(fh.read())
+    elif args.preset:
+        params = PRESETS[args.preset]
+    else:
+        params = SimulationParams()
+
+    overrides: dict[str, Any] = {}
+    for field in ("tau", "inlet_velocity", "cylinder_x", "cylinder_y",
+                  "cylinder_radius", "nx", "ny", "nz", "num_timesteps",
+                  "output_frequency", "vtk_start_step", "checkpoint_every",
+                  "problem", "precision", "backend", "output_dir",
+                  "checkpoint_dir"):
+        val = getattr(args, field, None)
+        if val is not None:
+            overrides[field] = val
+    if getattr(args, "obstacle_bc", None) is not None:
+        overrides["obstacle_bc"] = args.obstacle_bc
+    if args.no_vtk:
+        overrides["enable_vtk"] = False
+    params = params.replace(**overrides)
+    if args.reynolds is not None:
+        params = params.replace(tau=tau_for_reynolds(
+            args.reynolds, params.inlet_velocity, params.ny, params.cylinder_radius))
+    if args.mesh and args.mesh != "auto":
+        my, mx = args.mesh.lower().split("x")
+        params = params.replace(mesh_shape=(int(my), int(mx)))
+    return params

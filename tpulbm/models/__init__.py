@@ -1,0 +1,17 @@
+"""Model families: problem builders keyed by name."""
+from .base import Problem
+from . import cylinder, poiseuille
+
+__all__ = ["Problem", "make_problem"]
+
+
+def make_problem(params):
+    """Build the Problem for params.problem ("cylinder"|"poiseuille"|"cylinder3d")."""
+    if params.problem == "cylinder":
+        return cylinder.make_problem(params)
+    if params.problem == "poiseuille":
+        return poiseuille.make_problem(params)
+    if params.problem == "cylinder3d":
+        from . import cylinder3d
+        return cylinder3d.make_problem(params)
+    raise ValueError(f"unknown problem: {params.problem!r}")

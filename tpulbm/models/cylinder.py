@@ -1,0 +1,29 @@
+"""Flagship model: 2-D flow around a cylinder (von Kármán vortex street).
+
+TPU-native rebuild of the reference's one hard-coded setup:
+channel with bounce-back walls (top/bottom), Zou-He velocity inlet (left),
+Zou-He pressure outlet (right), solid cylinder (LBMSolver.h:147-265,
+LBMGrid.h:152-183).
+"""
+from __future__ import annotations
+
+from ..config import SimulationParams
+from ..geometry import cylinder_mask
+from ..lattice import D2Q9
+from .base import Problem
+
+
+def make_problem(params: SimulationParams) -> Problem:
+    return Problem(
+        params=params,
+        lattice=D2Q9,
+        solid=cylinder_mask(params),
+        init_rho=1.0,
+        init_u=(params.inlet_velocity, 0.0),
+        inlet_zou_he=True,
+        outlet_zou_he=True,
+        walls_y=True,
+        periodic_x=False,
+        body_force=tuple(params.body_force),
+        obstacle_bc=params.obstacle_bc,
+    )

@@ -1,0 +1,33 @@
+"""3-D flow past a sphere in a duct (D3Q19) — new capability.
+
+The reference is strictly 2-D; this is the BASELINE.json stretch config
+("D3Q19 3D cylinder/sphere flow"). BCs: equilibrium inlet, zero-gradient
+outlet, bounce-back walls in y and z. No Zou-He here (its 2-D algebra does
+not generalize directly); documented deviation — there is no reference
+behavior to match.
+"""
+from __future__ import annotations
+
+from ..config import SimulationParams
+from ..geometry import sphere_mask
+from ..lattice import D3Q19
+from .base import Problem
+
+
+def make_problem(params: SimulationParams) -> Problem:
+    if not params.is_3d:
+        raise ValueError("cylinder3d requires nz > 0")
+    return Problem(
+        params=params,
+        lattice=D3Q19,
+        solid=sphere_mask(params),
+        init_rho=1.0,
+        init_u=(params.inlet_velocity, 0.0, 0.0),
+        inlet_equilibrium=True,
+        outlet_zero_grad=True,
+        walls_y=True,
+        walls_z=True,
+        periodic_x=False,
+        body_force=tuple(params.body_force),
+        obstacle_bc=params.obstacle_bc,
+    )

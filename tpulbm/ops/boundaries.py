@@ -1,0 +1,167 @@
+"""Boundary conditions as masked per-population ("plane") updates.
+
+TPU-native equivalent of the reference's edge loops (LBMSolver.h:147-265):
+instead of rank-guarded OpenMP loops over boundary rows/columns, every BC is
+a `jnp.where` over coordinate masks, applied identically on every shard (the
+masks are empty away from the global edges), which keeps the program SPMD —
+no divergent control flow across the device mesh.
+
+All functions operate on a mutable *list* of Q population planes so that the
+sequential read-after-write semantics of the reference (bottom wall, then top
+wall, then inlet, then outlet, then obstacle — LBMSolver.h:150-263) carry
+over verbatim, including the corner-cell interactions (e.g. the inlet's
+Zou-He reads f6 *after* the bottom wall rewrote it).
+
+D2Q9 index convention (= reference LBMConfig.h:13-25):
+    0:(0,0) 1:(1,0) 2:(0,1) 3:(-1,0) 4:(0,-1) 5:(1,1) 6:(-1,1) 7:(-1,-1) 8:(1,-1)
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..lattice import Lattice
+from ..models.base import Problem
+
+
+def _not_solid(mask, solid):
+    return mask if solid is None else mask & ~solid
+
+
+def apply_walls(lat: Lattice, planes: list, wall_mask, axis_component: int,
+                sign: int, solid) -> None:
+    """Bounce-back at a flat wall: for every direction i whose velocity
+    component along `axis_component` has the given sign, f_i <- f_opposite(i).
+
+    For D2Q9 bottom (sign=+1 on y): f2<-f4, f5<-f7, f6<-f8 — exactly
+    LBMSolver.h:158-162; top (sign=-1): f4<-f2, f7<-f5, f8<-f6
+    (LBMSolver.h:170-174). Generic over lattice so D3Q19 walls come free.
+    """
+    m = _not_solid(wall_mask, solid)
+    opp = lat.opposite
+    for i in range(lat.Q):
+        if int(np.sign(lat.c[i, axis_component])) == sign:
+            planes[i] = jnp.where(m, planes[int(opp[i])], planes[i])
+
+
+def apply_zou_he_inlet(planes: list, inlet_mask, u_in: float, solid) -> None:
+    """Zou-He velocity inlet on the x=0 column. Parity: LBMSolver.h:179-207.
+
+    rho_bc = (f0+f2+f4 + 2(f3+f6+f7)) / (1 - u_in)
+    f1 = f3 + 2/3 rho u;  f5 = f7 - (f2-f4)/2 + rho u/6;  f8 = f6 + (f2-f4)/2 + rho u/6
+    """
+    m = _not_solid(inlet_mask, solid)
+    p = planes
+    rho_bc = (p[0] + p[2] + p[4] + 2.0 * (p[3] + p[6] + p[7])) / (1.0 - u_in)
+    ru = rho_bc * u_in
+    half_trans = 0.5 * (p[2] - p[4])
+    planes[1] = jnp.where(m, p[3] + (2.0 / 3.0) * ru, p[1])
+    new5 = p[7] - half_trans + (1.0 / 6.0) * ru
+    new8 = p[6] + half_trans + (1.0 / 6.0) * ru
+    planes[5] = jnp.where(m, new5, p[5])
+    planes[8] = jnp.where(m, new8, p[8])
+
+
+def apply_zou_he_outlet(planes: list, outlet_mask, solid) -> None:
+    """Zou-He pressure outlet (rho=1) on the x=nx-1 column.
+    Parity: LBMSolver.h:210-236.
+
+    u_out = -1 + (f0+f2+f4 + 2(f1+f5+f8)) / rho_out
+    f3 = f1 - 2/3 u; f6 = f8 - (f2-f4)/2 - u/6; f7 = f5 + (f2-f4)/2 - u/6
+    """
+    m = _not_solid(outlet_mask, solid)
+    p = planes
+    u_out = -1.0 + (p[0] + p[2] + p[4] + 2.0 * (p[1] + p[5] + p[8]))  # rho_out = 1
+    half_trans = 0.5 * (p[2] - p[4])
+    new3 = p[1] - (2.0 / 3.0) * u_out
+    new6 = p[8] - half_trans - (1.0 / 6.0) * u_out
+    new7 = p[5] + half_trans - (1.0 / 6.0) * u_out
+    planes[3] = jnp.where(m, new3, p[3])
+    planes[6] = jnp.where(m, new6, p[6])
+    planes[7] = jnp.where(m, new7, p[7])
+
+
+def apply_equilibrium_inlet(lat: Lattice, planes: list, inlet_mask,
+                            eq_in: np.ndarray, solid) -> None:
+    """Simple equilibrium inlet (used by the 3-D model; no reference analog —
+    the reference is 2-D only)."""
+    m = _not_solid(inlet_mask, solid)
+    for i in range(lat.Q):
+        planes[i] = jnp.where(m, jnp.asarray(eq_in[i], planes[i].dtype), planes[i])
+
+
+def apply_zero_gradient_outlet(lat: Lattice, planes: list, outlet_mask, solid) -> None:
+    """Zero-gradient outlet: copy the neighbor column (3-D model)."""
+    m = _not_solid(outlet_mask, solid)
+    for i in range(lat.Q):
+        shifted = jnp.roll(planes[i], 1, axis=-1)  # value from x-1
+        planes[i] = jnp.where(m, shifted, planes[i])
+
+
+def apply_obstacle(lat: Lattice, planes: list, solid, mode: str,
+                   rest: np.ndarray) -> None:
+    """Obstacle treatment at solid cells, applied after all edge BCs.
+
+    mode="equilibrium" (default — reference parity): pin solid cells to rest
+    equilibrium w_i. This reproduces the reference's *effective* dynamics: its
+    collision skips solids and streaming reads f_next, so f_next at solid
+    cells keeps the rest equilibrium written at init forever and fluid
+    neighbors always pull w_i from the cylinder (LBMSolver.h:91, 128-145,
+    LBMGrid.h:223-243). The reference's in-place bounce-back loop
+    (LBMSolver.h:240-263) writes f_current at solids, which nothing
+    dynamically reads — dead for the physics (SURVEY §2 C20 note).
+
+    mode="bounce_back": correct full-way bounce-back — solid cells store the
+    populations streamed in this step, reversed; collision skips solids (see
+    step builders), so next step's streaming releases them back. A deliberate,
+    documented improvement over the reference.
+    """
+    if solid is None:
+        return
+    if mode == "equilibrium":
+        for i in range(lat.Q):
+            planes[i] = jnp.where(solid, jnp.asarray(rest[i], planes[i].dtype),
+                                  planes[i])
+    elif mode == "bounce_back":
+        snapshot = list(planes)
+        opp = lat.opposite
+        for i in range(lat.Q):
+            planes[i] = jnp.where(solid, snapshot[int(opp[i])], planes[i])
+    else:
+        raise ValueError(f"unknown obstacle_bc mode: {mode}")
+
+
+def apply_all(problem: Problem, planes: list, coords: dict) -> list:
+    """Apply the problem's full BC stack in reference order.
+
+    `coords` maps axis name -> broadcastable global-coordinate arrays and
+    global extents: {'yy','xx',('zz'),'ny','nx',('nz'),'solid'} where solid is
+    the (local) solid mask or None. Order parity: LBMSolver.h:150-263.
+    """
+    lat = problem.lattice
+    solid = coords.get("solid")
+    yy, xx = coords["yy"], coords["xx"]
+    ny, nx = coords["ny"], coords["nx"]
+
+    # Velocity components are stored (x, y[, z]) per the reference; the array
+    # layout of f is (Q, [z,] y, x). Component indices below: x=0, y=1, z=2.
+    if problem.walls_y:
+        apply_walls(lat, planes, yy == 0, 1, +1, solid)
+        apply_walls(lat, planes, yy == ny - 1, 1, -1, solid)
+    if problem.walls_z and lat.D == 3:
+        zz, nz = coords["zz"], coords["nz"]
+        apply_walls(lat, planes, zz == 0, 2, +1, solid)
+        apply_walls(lat, planes, zz == nz - 1, 2, -1, solid)
+    if problem.inlet_zou_he:
+        apply_zou_he_inlet(planes, xx == 0, problem.init_u[0], solid)
+    if problem.inlet_equilibrium:
+        apply_equilibrium_inlet(lat, planes, xx == 0, problem.ghost_ring_values(),
+                                solid)
+    if problem.outlet_zou_he:
+        apply_zou_he_outlet(planes, xx == nx - 1, solid)
+    if problem.outlet_zero_grad:
+        apply_zero_gradient_outlet(lat, planes, xx == nx - 1, solid)
+    from .. import physics
+    apply_obstacle(lat, planes, solid, problem.obstacle_bc,
+                   physics.rest_equilibrium(lat))
+    return planes

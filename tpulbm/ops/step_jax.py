@@ -1,0 +1,166 @@
+"""Pure-JAX timestep implementations.
+
+Two tiers (SURVEY §7 build plan):
+
+  * `make_step_rolled`  — the readable oracle. Unpadded state (Q, *spatial);
+    streaming = per-population `jnp.roll` (pull scheme) followed by explicit
+    "ghost sanitize" at non-periodic edges. This is the ground truth every
+    other tier (padded JAX, Pallas, sharded) is tested against.
+
+  * `make_local_step_padded` — the production building block. Operates on a
+    halo-padded local block (Q, ny+2, nx+2): pointwise BGK collision on the
+    whole block (halo included — collision is pointwise, so neighbors' post-
+    collision edge values never need to travel), then pull-streaming as nine
+    static shifted slices (no roll, no gather — pure XLA slices), then masked
+    BCs on the center. Used directly under `shard_map` (parallel/) and mirrored
+    by the fused Pallas kernel (ops/step_pallas.py).
+
+Step order parity with the reference loop (LBMSolver.h:48-76):
+collision → [halo exchange] → streaming → boundary conditions.
+
+Ghost semantics parity: out-of-domain pulls yield the frozen
+equilibrium(rho=1, u=init_u) that the reference's never-updated physical-edge
+ghost cells hold (LBMGrid.h:185-213) — see Problem.ghost_ring_values().
+"""
+from __future__ import annotations
+
+from typing import Callable
+
+import jax.numpy as jnp
+import numpy as np
+
+from .. import physics
+from ..models.base import Problem
+from . import boundaries
+
+
+def _collide_block(problem: Problem, f: jnp.ndarray,
+                   solid: jnp.ndarray | None) -> jnp.ndarray:
+    """Post-collision populations, with obstacle handling.
+
+    obstacle_bc="equilibrium": no special-casing needed — solid cells hold
+    rest equilibrium (an exact BGK fixed point), so collide() maps them to
+    themselves; the invariant is re-asserted by apply_obstacle each step.
+    obstacle_bc="bounce_back": collision skips solids (parity with
+    LBMSolver.h:91); their stored reversed populations stream out unchanged.
+    """
+    inv_tau = 1.0 / problem.params.tau
+    f_post = physics.collide(problem.lattice, f, inv_tau, problem.body_force)
+    if solid is not None and problem.obstacle_bc == "bounce_back":
+        f_post = jnp.where(solid[None], f, f_post)
+    return f_post
+
+
+def _coords(problem: Problem, offsets=None):
+    """Global-coordinate arrays (broadcastable against a spatial block) and
+    extents, for BC masks. `offsets` are (traced or static) global offsets of
+    the local block per spatial axis; None means offset 0 (unsharded)."""
+    p = problem.params
+    shape = problem.spatial_shape
+    ndim = len(shape)
+    if offsets is None:
+        offsets = (0,) * ndim
+    axes = {}
+    names = ("zz", "yy", "xx")[-ndim:]
+    for d, (name, n_loc) in enumerate(zip(names, shape)):
+        idx = jnp.arange(n_loc) + offsets[d]
+        bshape = [1] * ndim
+        bshape[d] = n_loc
+        axes[name] = idx.reshape(bshape)
+    axes["ny"], axes["nx"] = p.ny, p.nx
+    if p.is_3d:
+        axes["nz"] = p.nz
+    return axes
+
+
+def make_step_rolled(problem: Problem) -> Callable[[jnp.ndarray], jnp.ndarray]:
+    """Oracle step on unpadded global state (Q, *spatial)."""
+    lat = problem.lattice
+    c = lat.c  # (Q, D), components ordered (x, y[, z])
+    ndim = len(problem.spatial_shape)
+    eq_ring = problem.ghost_ring_values()
+    solid_np = problem.solid
+    p = problem.params
+
+    def step(f: jnp.ndarray) -> jnp.ndarray:
+        solid = None if solid_np is None else jnp.asarray(solid_np)
+        f_post = _collide_block(problem, f, solid)
+        coords = _coords(problem)
+        coords["solid"] = solid
+        planes = []
+        for i in range(lat.Q):
+            cix, ciy = int(c[i, 0]), int(c[i, 1])
+            ciz = int(c[i, 2]) if lat.D == 3 else 0
+            # Pull: f_new(x) = f_post(x - c_i) → roll by +c_i per axis.
+            shifts = (ciz, ciy, cix)[-ndim:]
+            axes = tuple(range(ndim))
+            plane = jnp.roll(f_post[i], shifts, axes)
+            # Ghost sanitize: pulls that crossed a non-periodic global edge
+            # read the frozen ghost equilibrium instead of the wrapped value.
+            conds = []
+            if not problem.periodic_x:
+                if cix > 0:
+                    conds.append(coords["xx"] == 0)
+                elif cix < 0:
+                    conds.append(coords["xx"] == p.nx - 1)
+            if ciy > 0:
+                conds.append(coords["yy"] == 0)
+            elif ciy < 0:
+                conds.append(coords["yy"] == p.ny - 1)
+            if lat.D == 3:
+                if ciz > 0:
+                    conds.append(coords["zz"] == 0)
+                elif ciz < 0:
+                    conds.append(coords["zz"] == p.nz - 1)
+            if conds:
+                m = conds[0]
+                for cnd in conds[1:]:
+                    m = m | cnd
+                plane = jnp.where(m, jnp.asarray(eq_ring[i], plane.dtype), plane)
+            planes.append(plane)
+        planes = boundaries.apply_all(problem, planes, coords)
+        return jnp.stack(planes)
+
+    return step
+
+
+def make_local_step_padded(problem: Problem,
+                           local_shape: tuple[int, ...] | None = None):
+    """Step on a halo-padded local block.
+
+    Returns step(fpad, solid_local, offsets) -> fpad_new where
+      fpad:        (Q, *[n+2 per spatial axis]) — ring must hold valid halo
+                   values (neighbor edges / frozen ghost eq / periodic wrap);
+      solid_local: local unpadded bool mask or None;
+      offsets:     global offsets of the local block per spatial axis
+                   (traced values under shard_map; 0s when unsharded).
+
+    The returned fpad_new has a correct center; its ring is a copy of the
+    input ring (the caller refreshes it before the next step).
+    """
+    lat = problem.lattice
+    c = lat.c
+    shape = local_shape or problem.spatial_shape
+    ndim = len(shape)
+
+    def step(fpad, solid_local, offsets, solid_pad=None):
+        # Collide the whole padded block (pointwise; halo cells produce the
+        # same post-collision values their owner computes).
+        if problem.obstacle_bc == "bounce_back" and solid_local is not None:
+            f_post = _collide_block(problem, fpad, solid_pad)
+        else:
+            f_post = _collide_block(problem, fpad, None)
+        planes = []
+        for i in range(lat.Q):
+            comps = tuple(int(c[i, d]) for d in range(lat.D))  # (cx, cy[, cz])
+            per_axis = comps[::-1]  # shift per array axis in ([z,] y, x) order
+            slicer = tuple(slice(1 - s, 1 - s + n) for s, n in zip(per_axis, shape))
+            planes.append(f_post[(i,) + slicer])
+        coords = _coords(problem, offsets)
+        coords["solid"] = solid_local
+        planes = boundaries.apply_all(problem, planes, coords)
+        center = jnp.stack(planes)
+        pad_slicer = (slice(None),) + (slice(1, -1),) * ndim
+        return fpad.at[pad_slicer].set(center)
+
+    return step
