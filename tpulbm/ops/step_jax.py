@@ -51,12 +51,13 @@ def _collide_block(problem: Problem, f: jnp.ndarray,
     return f_post
 
 
-def _coords(problem: Problem, offsets=None):
+def _coords(problem: Problem, offsets=None, shape=None):
     """Global-coordinate arrays (broadcastable against a spatial block) and
-    extents, for BC masks. `offsets` are (traced or static) global offsets of
+    extents, for BC masks. `shape` is the local block shape (defaults to the
+    global spatial shape); `offsets` are (traced or static) global offsets of
     the local block per spatial axis; None means offset 0 (unsharded)."""
     p = problem.params
-    shape = problem.spatial_shape
+    shape = shape or problem.spatial_shape
     ndim = len(shape)
     if offsets is None:
         offsets = (0,) * ndim
@@ -156,7 +157,7 @@ def make_local_step_padded(problem: Problem,
             per_axis = comps[::-1]  # shift per array axis in ([z,] y, x) order
             slicer = tuple(slice(1 - s, 1 - s + n) for s, n in zip(per_axis, shape))
             planes.append(f_post[(i,) + slicer])
-        coords = _coords(problem, offsets)
+        coords = _coords(problem, offsets, shape)
         coords["solid"] = solid_local
         planes = boundaries.apply_all(problem, planes, coords)
         center = jnp.stack(planes)
