@@ -1,0 +1,127 @@
+"""End-to-end runner + artifact-format tests: run a tiny cylinder case and
+verify every artifact has the reference's exact byte layout (LBMIO.h), that
+the native C++ writers match the Python fallback byte-for-byte, and that
+checkpoint/resume reproduces an uninterrupted run."""
+import os
+
+import numpy as np
+import pytest
+
+from tpulbm.config import SimulationParams
+from tpulbm.runner import Runner
+from tpulbm.utils import checkpoint as ckpt
+from tpulbm.utils import io as io_mod
+
+
+def tiny_params(tmp, **kw):
+    defaults = dict(nx=64, ny=32, tau=0.6, inlet_velocity=0.05,
+                    num_timesteps=60, output_frequency=20,
+                    output_dir=str(tmp), backend="jax", precision="f32")
+    defaults.update(kw)
+    return SimulationParams(**defaults)
+
+
+def test_end_to_end_artifacts(tmp_path):
+    params = tiny_params(tmp_path)
+    result = Runner(params, verbose=False).run()
+    assert result.success and result.final_step == 60
+
+    # forces.csv: header + rows at t=0,20,40 (cadence parity LBMSolver.h:52)
+    forces = open(tmp_path / "forces.csv").read().splitlines()
+    assert forces[0] == "timestep,drag_force,lift_force,drag_coeff,lift_coeff"
+    assert [r.split(",")[0] for r in forces[1:]] == ["0", "20", "40"]
+    # fixed(8) float formatting
+    assert all(len(f.split(".")[-1]) == 8 for f in forces[1].split(",")[1:])
+
+    # velocity_field.csv layout (LBMIO.h:312-320)
+    vf = open(tmp_path / "velocity_field.csv").read().splitlines()
+    assert vf[0] == "x,y,ux,uy,rho,velocity_magnitude"
+    assert len(vf) == 1 + 64 * 32
+    assert vf[1].startswith("0,0,")
+    assert vf[2].startswith("1,0,")  # x fastest, like the reference row loop
+
+    # simulation_params.csv keys + order (LBMIO.h:349-361)
+    sp = [l.split(",")[0] for l in open(tmp_path / "simulation_params.csv")]
+    assert sp == ["parameter", "nx", "ny", "tau", "nu", "inlet_velocity",
+                  "num_timesteps", "reynolds_number", "cylinder_x",
+                  "cylinder_y", "cylinder_radius", "max_velocity",
+                  "avg_velocity"]
+
+    # VTK frames at t=20, 40 (t>0 cadence, LBMSolver.h:66) with legacy header
+    frames = sorted(os.listdir(tmp_path / "vtk_output"))
+    assert frames == ["lbm_000020.vtk", "lbm_000040.vtk"]
+    vtk = open(tmp_path / "vtk_output" / "lbm_000020.vtk").read().splitlines()
+    assert vtk[0] == "# vtk DataFile Version 3.0"
+    assert vtk[1] == "LBM Flow Timestep 20"
+    assert vtk[2] == "ASCII"
+    assert vtk[3] == "DATASET STRUCTURED_POINTS"
+    assert vtk[4] == "DIMENSIONS 64 32 1"
+    assert vtk[7] == f"POINT_DATA {64*32}"
+    assert vtk[8] == "VECTORS velocity double"
+    assert vtk[9].endswith(" 0.0")
+    idx = vtk.index("SCALARS velocity_magnitude double")
+    assert vtk[idx + 1] == "LOOKUP_TABLE default"
+    assert "SCALARS density double" in vtk
+
+
+def test_native_writer_matches_python(tmp_path):
+    from tpulbm.utils.native import get_native_io
+    native = get_native_io()
+    if native is None:
+        pytest.skip("native IO unavailable")
+    rng = np.random.default_rng(0)
+    ny, nx = 13, 17
+    ux = rng.standard_normal((ny, nx)) * 0.1
+    uy = rng.standard_normal((ny, nx)) * 0.1
+    rho = 1.0 + rng.standard_normal((ny, nx)) * 0.01
+    params = SimulationParams(nx=nx, ny=ny)
+
+    os.environ["TPULBM_NO_NATIVE"] = "1"
+    try:
+        io_mod.write_vtk_timestep(ux, uy, rho, params, 7, str(tmp_path / "py"))
+        io_mod.write_velocity_field(ux, uy, rho, params, str(tmp_path))
+        py_vtk = open(tmp_path / "py" / "vtk_output" / "lbm_000007.vtk", "rb").read()
+        py_csv = open(tmp_path / "velocity_field.csv", "rb").read()
+    finally:
+        del os.environ["TPULBM_NO_NATIVE"]
+
+    io_mod.write_vtk_timestep(ux, uy, rho, params, 7, str(tmp_path / "nat"))
+    os.makedirs(tmp_path / "nat2", exist_ok=True)
+    io_mod.write_velocity_field(ux, uy, rho, params, str(tmp_path / "nat2"))
+    nat_vtk = open(tmp_path / "nat" / "vtk_output" / "lbm_000007.vtk", "rb").read()
+    nat_csv = open(tmp_path / "nat2" / "velocity_field.csv", "rb").read()
+    assert nat_vtk == py_vtk
+    assert nat_csv == py_csv
+
+
+def test_checkpoint_resume_reproduces_run(tmp_path):
+    # uninterrupted run
+    p_full = tiny_params(tmp_path / "full", num_timesteps=80,
+                         enable_vtk=False, precision="f64")
+    Runner(p_full, verbose=False).run()
+    full_vf = open(tmp_path / "full" / "velocity_field.csv").read()
+
+    # interrupted at 40, then resumed
+    p_half = tiny_params(tmp_path / "resumed", num_timesteps=40,
+                         enable_vtk=False, precision="f64",
+                         checkpoint_every=1)
+    Runner(p_half, verbose=False).run()
+    assert ckpt.latest(str(tmp_path / "resumed" / "checkpoints")) is not None
+    p_resume = p_half.replace(num_timesteps=80)
+    result = Runner(p_resume, verbose=False).run(resume=True)
+    assert result.final_step == 80
+    resumed_vf = open(tmp_path / "resumed" / "velocity_field.csv").read()
+    assert resumed_vf == full_vf
+
+    # forces.csv continues without duplicating rows
+    steps = [r.split(",")[0] for r in
+             open(tmp_path / "resumed" / "forces.csv").read().splitlines()[1:]]
+    assert steps == ["0", "20", "40", "60"]
+
+
+def test_checkpoint_rejects_mismatched_params(tmp_path):
+    p = tiny_params(tmp_path, checkpoint_every=1, enable_vtk=False)
+    Runner(p, verbose=False).run()
+    latest = ckpt.latest(str(tmp_path / "checkpoints"))
+    with pytest.raises(ValueError):
+        ckpt.load(latest, p.replace(tau=0.7))

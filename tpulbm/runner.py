@@ -1,0 +1,204 @@
+"""Run orchestration: the TPU-native equivalent of the reference app layer.
+
+Mirrors main.cpp + Solver::run (src/main.cpp:7-43, LBMSolver.h:43-78):
+banners, chunked time stepping, force recording, periodic diagnostics + VTK
+frames, the stability abort, and final artifact writing — plus capabilities
+the reference lacks: checkpoint/resume, MLUPS accounting, profiler hooks.
+
+Cadence parity (LBMSolver.h:48-76): forces are recorded at every timestep
+t ≡ 0 (mod output_frequency) *including t=0* from the post-collision state;
+max-velocity prints and VTK frames happen at those t > 0. The per-step
+MPI_Allreduce stability sync becomes a per-chunk device-side check (NaN/Inf
+persist under LBM arithmetic, so the abort guarantee is unchanged —
+SURVEY §7 "hard parts").
+"""
+from __future__ import annotations
+
+import dataclasses
+import os
+import time
+
+import jax
+import numpy as np
+
+from .config import SimulationParams
+from .geometry import solid_cell_count
+from .models import make_problem
+from .models.base import Problem
+from .ops import diagnostics, forces as forces_mod
+from .parallel.mesh import make_mesh
+from .parallel.sharded_step import make_chunk_fn, shard_state
+from .utils import checkpoint as ckpt
+from .utils import io as io_mod
+from .utils.profiling import ThroughputMeter
+
+
+@dataclasses.dataclass
+class RunResult:
+    success: bool
+    final_step: int
+    mlups: float
+    wall_seconds: float
+    forces_path: str | None
+    stats: dict | None = None
+
+
+class Runner:
+    def __init__(self, params: SimulationParams, devices=None,
+                 verbose: bool = True):
+        if params.precision == "f64":
+            jax.config.update("jax_enable_x64", True)
+        self.params = params
+        self.verbose = verbose
+        self.problem: Problem = make_problem(params)
+        n_dev = params.mesh_shape[0] * params.mesh_shape[1]
+        devices = list(devices if devices is not None else jax.devices())[:n_dev]
+        self.mesh = make_mesh(params.mesh_shape, devices=devices)
+        self._chunk_cache: dict[int, object] = {}
+        self._forces = jax.jit(forces_mod.forces_fn(self.problem)) \
+            if self.problem.solid is not None else None
+        self._fields = jax.jit(diagnostics.fields_fn(self.problem))
+        self._stable = jax.jit(diagnostics.stability_fn(self.problem))
+        self._max_vel = jax.jit(diagnostics.max_velocity_fn(self.problem))
+        os.makedirs(params.output_dir, exist_ok=True)
+
+    # ---- banners (parity: LBMSolver.h:32-37, LBMGrid.h:92-102, 178-182) ----
+    def _print_banner(self):
+        p = self.params
+        if not self.verbose:
+            return
+        print("Cylinder Flow LBM Parameters:" if p.problem.startswith("cylinder")
+              else f"{p.problem} LBM Parameters:")
+        print(f"  Domain: {p.nx}×{p.ny}" + (f"×{p.nz}" if p.is_3d else ""))
+        print(f"  tau = {p.tau}, nu = {p.nu()}")
+        print(f"  Inlet velocity = {p.inlet_velocity}")
+        print(f"  Reynolds number = {p.reynolds()}")
+        my, mx = self.mesh.devices.shape
+        plat = self.mesh.devices.flat[0].platform
+        print(f"  Device mesh: {my}×{mx} ({plat}), local block "
+              f"{p.ny // my}×{p.nx // mx}, precision {p.precision}, "
+              f"backend {p.backend}")
+        if self.problem.solid is not None:
+            print(f"  Cylinder: center=({p.get_cylinder_x()},{p.get_cylinder_y()}), "
+                  f"radius={p.get_cylinder_radius_cells()} cells")
+            print(f"  Solid cells: {solid_cell_count(self.problem.solid)}")
+
+    def _chunk_fn(self, length: int):
+        if length not in self._chunk_cache:
+            self._chunk_cache[length] = make_chunk_fn(
+                self.problem, self.mesh, length, backend=self.params.backend)
+        return self._chunk_cache[length]
+
+    def _write_frame(self, f, t: int):
+        rho, u = self._fields(f)
+        rho = np.asarray(jax.device_get(rho))
+        u = np.asarray(jax.device_get(u))
+        io_mod.write_vtk_timestep(u[0], u[1], rho, self.params, t,
+                                  self.params.output_dir)
+
+    def run(self, resume: bool = True) -> RunResult:
+        p = self.params
+        problem = self.problem
+        self._print_banner()
+
+        t0_wall = time.perf_counter()
+        start_step = 0
+        f0 = None
+        if resume and p.checkpoint_every:
+            latest = ckpt.latest(os.path.join(p.output_dir, p.checkpoint_dir))
+            if latest is not None:
+                start_step, f0 = ckpt.load(latest, p)
+                if self.verbose:
+                    print(f"  Resuming from {latest} at step {start_step}")
+        if f0 is None:
+            f0 = problem.initial_state()
+
+        solid = problem.solid if problem.solid is not None else \
+            np.zeros(problem.spatial_shape, bool)
+        f, solid_dev = shard_state(self.mesh, f0, solid)
+
+        force_writer = None
+        forces_path = None
+        if self._forces is not None:
+            forces_path = os.path.join(p.output_dir, "forces.csv")
+            force_writer = io_mod.ForceWriter(forces_path,
+                                              append=start_step > 0)
+
+        meter = ThroughputMeter(p.num_cells)
+        if self.verbose:
+            print("Starting LBM simulation...")
+
+        t = start_step
+        success = True
+        freq = p.output_frequency
+        ckpt_dir = os.path.join(p.output_dir, p.checkpoint_dir)
+        chunks_done = 0
+        try:
+            while t < p.num_timesteps:
+                if t % freq == 0:
+                    if force_writer is not None:
+                        fvec = np.asarray(jax.device_get(self._forces(f)))
+                        cd, cl = forces_mod.force_coefficients(problem, fvec)
+                        force_writer.record(t, float(fvec[0]), float(fvec[1]),
+                                            cd, cl)
+                    if t > 0:
+                        mv = float(jax.device_get(self._max_vel(f)))
+                        if self.verbose:
+                            print(f"Timestep {t}: max_vel={mv:.6f}")
+                        if p.enable_vtk and t >= p.vtk_start_step:
+                            self._write_frame(f, t)
+
+                n = min(freq - (t % freq), p.num_timesteps - t)
+                chunk = self._chunk_fn(n)
+                with meter.measure(n):
+                    f = chunk(f, solid_dev)
+                    jax.block_until_ready(f)
+                t += n
+                chunks_done += 1
+
+                if not bool(jax.device_get(self._stable(f))):
+                    print(f"Simulation unstable at timestep {t}")
+                    success = False
+                    break
+
+                if p.checkpoint_every and chunks_done % p.checkpoint_every == 0:
+                    ckpt.save(ckpt_dir, t, jax.device_get(f), p)
+        finally:
+            if force_writer is not None:
+                force_writer.close()
+
+        stats = None
+        if success:
+            stats = self.write_final_results(f)
+        wall = time.perf_counter() - t0_wall
+        if self.verbose:
+            print(f"\nThroughput: {meter.mlups:.1f} MLUPS over "
+                  f"{meter.steps} steps ({wall:.1f}s wall total)")
+        return RunResult(success, t, meter.mlups, wall, forces_path, stats)
+
+    def write_final_results(self, f) -> dict | None:
+        """Final artifacts (parity: IOManager::write_final_results,
+        LBMIO.h:194-219)."""
+        p = self.params
+        if self.verbose:
+            print("\nGathering final results...")
+        rho, u = self._fields(f)
+        rho = np.asarray(jax.device_get(rho))
+        u = np.asarray(jax.device_get(u))
+        stats = None
+        if not p.is_3d:
+            io_mod.write_velocity_field(u[0], u[1], rho, p, p.output_dir)
+            io_mod.write_simulation_params(u[0], u[1], p, p.output_dir)
+            if self.problem.solid is not None:
+                stats = io_mod.calculate_time_averaged_drag(
+                    os.path.join(p.output_dir, "forces.csv"),
+                    verbose=self.verbose)
+            if self.verbose:
+                print("Files written: velocity_field.csv, simulation_params.csv, "
+                      "forces.csv")
+        else:
+            np.savez(os.path.join(p.output_dir, "fields3d.npz"),
+                     rho=rho, ux=u[0], uy=u[1], uz=u[2])
+            if self.verbose:
+                print("Files written: fields3d.npz")
+        return stats

@@ -1,0 +1,174 @@
+"""Artifact writers: forces.csv, velocity_field.csv, simulation_params.csv,
+legacy VTK frames.
+
+Byte-compatible with the reference's formats so its analysis scripts run
+unchanged on our outputs (SURVEY §7 "keeping the reference scripts working"):
+  * forces.csv header + fixed(8) rows      ← LBMIO.h:38-45, 171-191
+  * legacy ASCII VTK STRUCTURED_POINTS     ← LBMIO.h:55-111
+  * velocity_field.csv                     ← LBMIO.h:302-325
+  * simulation_params.csv                  ← LBMIO.h:327-365
+  * time-averaged C_D/C_L summary          ← LBMIO.h:367-413
+
+The hot formatting paths (VTK frames, the 1M-row velocity CSV) dispatch to a
+small C++ helper (native/fastio.cpp, loaded via ctypes) when available —
+the TPU-native analog of the reference's native IO layer — with a NumPy
+fallback that produces identical bytes.
+"""
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+from ..config import SimulationParams
+from .native import get_native_io
+
+
+class ForceWriter:
+    """Streaming forces.csv writer (reference IOManager ctor + record_forces,
+    LBMIO.h:35-46, 171-191). Flushes every 10000 timesteps like the
+    reference (LBMIO.h:188-190)."""
+
+    HEADER = "timestep,drag_force,lift_force,drag_coeff,lift_coeff\n"
+
+    def __init__(self, path: str, append: bool = False):
+        self.path = path
+        if append and os.path.exists(path):
+            self._fh = open(path, "a")
+        else:
+            self._fh = open(path, "w")
+            self._fh.write(self.HEADER)
+
+    def record(self, timestep: int, fx: float, fy: float,
+               cd: float, cl: float) -> None:
+        self._fh.write(f"{timestep},{fx:.8f},{fy:.8f},{cd:.8f},{cl:.8f}\n")
+        if timestep % 10000 == 0:
+            self._fh.flush()
+
+    def close(self) -> None:
+        self._fh.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
+def write_vtk_timestep(ux: np.ndarray, uy: np.ndarray, rho: np.ndarray,
+                       params: SimulationParams, timestep: int,
+                       out_dir: str = ".") -> str:
+    """Legacy ASCII VTK frame, file vtk_output/lbm_%06d.vtk
+    (format parity: LBMIO.h:55-111). Arrays are (ny, nx)."""
+    vtk_dir = os.path.join(out_dir, "vtk_output")
+    os.makedirs(vtk_dir, exist_ok=True)
+    path = os.path.join(vtk_dir, f"lbm_{timestep:06d}.vtk")
+    nx, ny = params.nx, params.ny
+    header = (
+        "# vtk DataFile Version 3.0\n"
+        f"LBM Flow Timestep {timestep}\n"
+        "ASCII\n"
+        "DATASET STRUCTURED_POINTS\n"
+        f"DIMENSIONS {nx} {ny} 1\n"
+        "ORIGIN 0 0 0\n"
+        "SPACING 1 1 1\n"
+        f"POINT_DATA {nx * ny}\n"
+    )
+    ux = np.ascontiguousarray(ux, dtype=np.float64)
+    uy = np.ascontiguousarray(uy, dtype=np.float64)
+    rho = np.ascontiguousarray(rho, dtype=np.float64)
+    native = get_native_io()
+    if native is not None:
+        native.write_vtk(path, header, ux, uy, rho)
+        return path
+    mag = np.sqrt(ux * ux + uy * uy)
+    with open(path, "w") as fh:
+        fh.write(header)
+        fh.write("VECTORS velocity double\n")
+        flat_ux, flat_uy = ux.ravel(), uy.ravel()
+        fh.writelines(f"{a:.8f} {b:.8f} 0.0\n" for a, b in zip(flat_ux, flat_uy))
+        fh.write("\nSCALARS velocity_magnitude double\nLOOKUP_TABLE default\n")
+        fh.writelines(f"{v:.8f}\n" for v in mag.ravel())
+        fh.write("\nSCALARS density double\nLOOKUP_TABLE default\n")
+        fh.writelines(f"{v:.8f}\n" for v in rho.ravel())
+    return path
+
+
+def write_velocity_field(ux: np.ndarray, uy: np.ndarray, rho: np.ndarray,
+                         params: SimulationParams, out_dir: str = ".") -> str:
+    """Final per-cell CSV (format parity: LBMIO.h:302-325)."""
+    path = os.path.join(out_dir, "velocity_field.csv")
+    ux = np.ascontiguousarray(ux, dtype=np.float64)
+    uy = np.ascontiguousarray(uy, dtype=np.float64)
+    rho = np.ascontiguousarray(rho, dtype=np.float64)
+    native = get_native_io()
+    if native is not None:
+        native.write_velocity_field(path, ux, uy, rho)
+        return path
+    ny, nx = ux.shape
+    mag = np.sqrt(ux * ux + uy * uy)
+    with open(path, "w") as fh:
+        fh.write("x,y,ux,uy,rho,velocity_magnitude\n")
+        for y in range(ny):
+            row_ux, row_uy, row_rho, row_mag = ux[y], uy[y], rho[y], mag[y]
+            fh.writelines(
+                f"{x},{y},{row_ux[x]:.8f},{row_uy[x]:.8f},{row_rho[x]:.8f},{row_mag[x]:.8f}\n"
+                for x in range(nx))
+    return path
+
+
+def write_simulation_params(ux: np.ndarray, uy: np.ndarray,
+                            params: SimulationParams, out_dir: str = ".") -> str:
+    """Run-record CSV (format parity: LBMIO.h:327-365, including the mixed
+    int/fixed(8) formatting and row order)."""
+    path = os.path.join(out_dir, "simulation_params.csv")
+    mag = np.sqrt(np.asarray(ux, np.float64) ** 2 + np.asarray(uy, np.float64) ** 2)
+    max_vel = float(mag.max())
+    avg_vel = float(mag.mean())
+    p = params
+    with open(path, "w") as fh:
+        fh.write("parameter,value\n")
+        fh.write(f"nx,{p.nx}\n")
+        fh.write(f"ny,{p.ny}\n")
+        fh.write(f"tau,{p.tau:.8f}\n")
+        fh.write(f"nu,{p.nu():.8f}\n")
+        fh.write(f"inlet_velocity,{p.inlet_velocity:.8f}\n")
+        fh.write(f"num_timesteps,{p.num_timesteps}\n")
+        fh.write(f"reynolds_number,{p.reynolds():.8f}\n")
+        fh.write(f"cylinder_x,{p.get_cylinder_x()}\n")
+        fh.write(f"cylinder_y,{p.get_cylinder_y()}\n")
+        fh.write(f"cylinder_radius,{p.get_cylinder_radius_cells()}\n")
+        fh.write(f"max_velocity,{max_vel:.8f}\n")
+        fh.write(f"avg_velocity,{avg_vel:.8f}\n")
+    return path
+
+
+def calculate_time_averaged_drag(forces_path: str, skip_initial: int = 1000,
+                                 verbose: bool = True) -> dict | None:
+    """Time-averaged C_D/C_L summary re-read from forces.csv
+    (parity: LBMIO.h:367-413, including skipping timestep <= 1000)."""
+    try:
+        data = np.genfromtxt(forces_path, delimiter=",", names=True)
+    except OSError:
+        return None
+    if data.size == 0:
+        return None
+    data = np.atleast_1d(data)
+    sel = data["timestep"] > skip_initial
+    if not sel.any():
+        return None
+    cd, cl = data["drag_coeff"][sel], data["lift_coeff"][sel]
+    stats = {
+        "mean_cd": float(cd.mean()), "min_cd": float(cd.min()),
+        "max_cd": float(cd.max()),
+        "mean_cl": float(cl.mean()), "min_cl": float(cl.min()),
+        "max_cl": float(cl.max()), "count": int(sel.sum()),
+    }
+    if verbose:
+        print("\n=== Time-Averaged Force Coefficients ===")
+        print(f"  Mean C_D = {stats['mean_cd']:.6f}")
+        print(f"  C_D range: [{stats['min_cd']:.6f}, {stats['max_cd']:.6f}]")
+        print(f"  Mean C_L = {stats['mean_cl']:.6f}")
+        print(f"  C_L range: [{stats['min_cl']:.6f}, {stats['max_cl']:.6f}]")
+        print(f"  (Averaged over {stats['count']} samples)")
+    return stats
