@@ -35,14 +35,14 @@ def make_problem(params: SimulationParams) -> Problem:
 def analytic_profile(params: SimulationParams) -> np.ndarray:
     """Steady-state analytic ux(y) for the body-force driven channel.
 
-    With full-way bounce-back applied *on* the boundary nodes (the reference's
-    wall scheme, LBMSolver.h:153-176), the effective no-slip walls sit half a
-    link outside the boundary nodes: y_wall = -0.5 and ny-0.5, channel width
-    H = ny. u(y) = F/(2 nu) * (y - y_lo)(y_hi - y) for node centers y.
+    The reference-style wall BC rewrites *all* inward populations at the
+    boundary nodes (LBMSolver.h:153-176), pinning u ≈ 0 at the nodes
+    themselves (measured wall position: node ± 0.01 of a cell), so the
+    no-slip walls sit at y=0 and y=ny-1 and the channel width is ny-1:
+    u(y) = F/(2 nu) * y * (ny-1 - y).
     """
     ny = params.ny
     nu = params.nu()
     F = params.body_force[0] if params.body_force else 1e-5
     y = np.arange(ny, dtype=np.float64)
-    y_lo, y_hi = -0.5, ny - 0.5
-    return F / (2.0 * nu) * (y - y_lo) * (y_hi - y)
+    return F / (2.0 * nu) * y * (ny - 1 - y)

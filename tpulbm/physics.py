@@ -72,13 +72,24 @@ def collide(lat: Lattice, f: jnp.ndarray, inv_tau: float,
     Returns the post-collision populations; pointwise, so it is safe to apply
     on halo cells too (used by the sharded step, which collides the padded
     block so neighbors' post-collision edge values never travel over ICI).
+
+    Body force: the source S_i = 3 w_i (c_i · F) is added *post-relaxation*,
+    which injects exactly momentum F per step (Σ_i c_i S_i = F by lattice
+    isotropy). The reference's dead-code variant folds the same term into the
+    equilibrium (LBMUtils.h:15-19), which relaxation scales to an effective
+    force F/tau — a tau-dependent bug we deliberately do not reproduce (that
+    code never runs in the reference anyway); `equilibrium_with_force`
+    preserves the literal formula for parity reference.
     """
     rho, u = moments(lat, f)
+    feq = equilibrium(lat, rho, u)
+    f_post = f - inv_tau * (f - feq)
     if force:
-        feq = equilibrium_with_force(lat, rho, u, force)
-    else:
-        feq = equilibrium(lat, rho, u)
-    return f - inv_tau * (f - feq)
+        c = lat.c.astype(np.float64)
+        F = np.asarray(force, dtype=np.float64)
+        src = np.asarray(3.0 * lat.w * (c @ F))  # (Q,) host constant
+        f_post = f_post + jnp.asarray(src, f.dtype).reshape(_wshape(lat, rho.ndim))
+    return f_post
 
 
 def rest_equilibrium(lat: Lattice, dtype=np.float64) -> np.ndarray:
