@@ -1,0 +1,99 @@
+"""Pallas kernel equivalence: the fused collide-stream kernel (interpret mode
+on CPU) must match the pure-JAX padded step — and hence, transitively, the
+NumPy oracle — in f32. Also exercised sharded (flags/strips per shard)."""
+import jax
+import numpy as np
+import pytest
+
+from tpulbm.config import SimulationParams
+from tpulbm.models import make_problem
+from tpulbm.ops.step_jax import make_step_rolled
+from tpulbm.parallel.mesh import make_mesh
+from tpulbm.parallel.sharded_step import make_chunk_fn, shard_state
+
+
+def _run(problem, mesh_shape, backend, n_chunks=3, chunk_len=5):
+    n_dev = mesh_shape[0] * mesh_shape[1]
+    mesh = make_mesh(mesh_shape, devices=jax.devices()[:n_dev])
+    chunk = make_chunk_fn(problem, mesh, chunk_len, backend=backend)
+    solid = problem.solid if problem.solid is not None else \
+        np.zeros(problem.spatial_shape, bool)
+    f, solid = shard_state(mesh, problem.initial_state(), solid)
+    out = []
+    for _ in range(n_chunks):
+        f = chunk(f, solid)
+        out.append(np.asarray(jax.device_get(f)))
+    return out
+
+
+def _compare(params, mesh_shape=(1, 1), **kw):
+    problem = make_problem(params)
+    ref = _run(problem, (1, 1), "jax", **kw)
+    got = _run(problem, mesh_shape, "pallas", **kw)
+    for k, (r, g) in enumerate(zip(ref, got)):
+        np.testing.assert_allclose(g, r, rtol=5e-6, atol=1e-7,
+                                   err_msg=f"chunk {k}")
+
+
+def test_pallas_cylinder_single_device():
+    _compare(SimulationParams(nx=256, ny=64, tau=0.6, inlet_velocity=0.05,
+                              precision="f32"))
+
+
+def test_pallas_cylinder_multi_tile():
+    # ny chosen so the kernel runs several y-tiles with an odd tile height
+    _compare(SimulationParams(nx=128, ny=96, tau=0.55, inlet_velocity=0.04,
+                              precision="f32"))
+
+
+def test_pallas_cylinder_sharded():
+    # pallas shards over y only (x halos are in-kernel lane rolls)
+    _compare(SimulationParams(nx=256, ny=64, tau=0.6, inlet_velocity=0.05,
+                              precision="f32"), mesh_shape=(4, 1))
+
+
+def test_pallas_poiseuille_periodic():
+    _compare(SimulationParams(nx=128, ny=32, tau=0.8, problem="poiseuille",
+                              periodic_x=True, body_force=(1e-5, 0.0),
+                              inlet_velocity=0.0, precision="f32"),
+             mesh_shape=(2, 1))
+
+
+def test_pallas_bounce_back_mode():
+    _compare(SimulationParams(nx=256, ny=64, tau=0.6, inlet_velocity=0.05,
+                              precision="f32", obstacle_bc="bounce_back"),
+             mesh_shape=(2, 1))
+
+
+def test_pallas_rejects_x_sharding():
+    import jax as _jax
+    from tpulbm.parallel.sharded_step import make_chunk_fn as mk
+    params = SimulationParams(nx=256, ny=64, precision="f32")
+    problem = make_problem(params)
+    mesh = make_mesh((1, 2), devices=_jax.devices()[:2])
+    with pytest.raises(ValueError):
+        mk(problem, mesh, 5, backend="pallas")
+
+
+def test_pallas_matches_oracle_physics():
+    # close the loop: pallas (f32) vs the rolled oracle step (f64)
+    params = SimulationParams(nx=128, ny=32, tau=0.6, inlet_velocity=0.05,
+                              precision="f32")
+    problem = make_problem(params)
+    got = _run(problem, (1, 1), "pallas", n_chunks=2, chunk_len=5)[-1]
+
+    params64 = params.replace(precision="f64")
+    problem64 = make_problem(params64)
+    step = jax.jit(make_step_rolled(problem64))
+    f = problem64.initial_state()
+    for _ in range(10):
+        f = step(f)
+    np.testing.assert_allclose(got, np.asarray(f), rtol=2e-4, atol=1e-6)
+
+
+def test_pallas_rejects_f64():
+    params = SimulationParams(nx=64, ny=32, precision="f64")
+    problem = make_problem(params)
+    from tpulbm.ops.step_pallas import make_local_step_pallas
+    with pytest.raises(ValueError):
+        make_local_step_pallas(problem, (32, 64))

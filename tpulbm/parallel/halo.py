@@ -145,6 +145,34 @@ def refresh_ring(fpad, **kw):
     return (refresh_ring_3d if fpad.ndim == 4 else refresh_ring_2d)(fpad, **kw)
 
 
+def ring_rows(f: jnp.ndarray, *, eq_ring: np.ndarray,
+              mesh_shape: tuple[int, int],
+              axis_names: tuple[str, str] = ("y", "x")
+              ) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """y-halo rows for the unpadded-state (pallas) path: (rb, rt) each
+    (Q, 1, nxl) — the row below the local block (neighbor-below's last row)
+    and the row above (neighbor-above's first row); frozen ghost equilibrium
+    at physical y edges. mesh_x must be 1 (the pallas backend shards y only;
+    x-direction halos are lane rolls inside the kernel)."""
+    my, mx = mesh_shape
+    if mx != 1:
+        raise ValueError("ring_rows requires mesh_x == 1")
+    ay = axis_names[0]
+    Q, nyl, nxl = f.shape
+    eq_row = jnp.broadcast_to(
+        jnp.asarray(eq_ring, f.dtype)[:, None, None], (Q, 1, nxl))
+    if my == 1:
+        return eq_row, eq_row
+    top_edge = f[:, nyl - 1:nyl, :]
+    bottom_edge = f[:, 0:1, :]
+    from_below = lax.ppermute(top_edge, ay, _perm_fwd(my, False))
+    from_above = lax.ppermute(bottom_edge, ay, _perm_bwd(my, False))
+    iy = lax.axis_index(ay)
+    rb = jnp.where(iy > 0, from_below, eq_row)
+    rt = jnp.where(iy < my - 1, from_above, eq_row)
+    return rb, rt
+
+
 def make_padded(f_local: jnp.ndarray, eq_ring: np.ndarray) -> jnp.ndarray:
     """Allocate a padded local block with ring pre-filled with the frozen
     ghost equilibrium and center = f_local."""

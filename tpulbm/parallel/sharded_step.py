@@ -18,6 +18,7 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from jax import shard_map
@@ -44,7 +45,11 @@ def make_chunk_fn(problem: Problem, mesh: Mesh, chunk_len: int,
 
     if backend == "pallas":
         from ..ops.step_pallas import make_local_step_pallas
-        local_step = make_local_step_pallas(problem, local_shape)
+        if mesh_shape[1] != 1:
+            raise ValueError(
+                "the pallas backend shards over y only; use mesh (N, 1) or "
+                "backend='jax' for x-sharded meshes")
+        pallas_step = make_local_step_pallas(problem, local_shape)
     elif backend == "jax":
         local_step = make_local_step_padded(problem, local_shape)
     else:
@@ -53,13 +58,14 @@ def make_chunk_fn(problem: Problem, mesh: Mesh, chunk_len: int,
     ring_kw = dict(eq_ring=eq_ring, mesh_shape=mesh_shape,
                    periodic_x=problem.periodic_x)
 
-    def body(f_local, solid_local):
+    def body_jax(f_local, solid_local):
         iy = lax.axis_index("y")
         ix = lax.axis_index("x")
         offsets = (0,) * (ndim - 2) + (iy * local_shape[-2], ix * local_shape[-1])
         solid_arg = solid_local if has_solid else None
         solid_pad = None
         if has_solid and problem.obstacle_bc == "bounce_back":
+            # built once per chunk (outside the scan), not once per step
             solid_pad = halo.pad_mask(solid_local, mesh_shape=mesh_shape,
                                       periodic_x=problem.periodic_x)
         fpad = halo.make_padded(f_local, eq_ring)
@@ -73,10 +79,36 @@ def make_chunk_fn(problem: Problem, mesh: Mesh, chunk_len: int,
         center = (slice(None),) + (slice(1, -1),) * ndim
         return fpad[center]
 
+    def body_pallas(f_local, solid_local):
+        iy = lax.axis_index("y")
+        nyl, nxl = local_shape[-2], local_shape[-1]
+        y0 = iy * nyl
+        flags = jnp.stack([
+            (y0 == 0), (y0 + nyl == problem.params.ny),
+            jnp.array(True), jnp.array(True)]).astype(jnp.int32)
+        if has_solid:
+            mask = solid_local.astype(jnp.float32)
+            # neighbors' solid edge rows, once per chunk (the mask is static)
+            mrb, mrt = halo.ring_rows(mask[None], eq_ring=np.zeros(1, np.float32),
+                                      mesh_shape=mesh_shape)
+            mrb, mrt = mrb[0:1, 0], mrt[0:1, 0]  # (1, nxl)
+        else:
+            mask = mrb = mrt = None
+
+        def one_step(f, _):
+            rb, rt = halo.ring_rows(f, eq_ring=eq_ring, mesh_shape=mesh_shape)
+            return pallas_step(f, rb, rt, flags, mask, mrb, mrt), None
+
+        f_local, _ = lax.scan(one_step, f_local, None, length=chunk_len)
+        return f_local
+
+    body = body_pallas if backend == "pallas" else body_jax
+
     spec_f = P(*((None,) + (None,) * (ndim - 2) + ("y", "x")))
     spec_m = P(*((None,) * (ndim - 2) + ("y", "x")))
+    # check_vma=False: pallas_call out_shapes don't carry vma annotations
     sharded = shard_map(body, mesh=mesh, in_specs=(spec_f, spec_m),
-                        out_specs=spec_f)
+                        out_specs=spec_f, check_vma=False)
     return jax.jit(sharded, donate_argnums=(0,))
 
 

@@ -152,7 +152,10 @@ class Runner:
                 chunk = self._chunk_fn(n)
                 with meter.measure(n):
                     f = chunk(f, solid_dev)
+                    # block_until_ready is unreliable on remote-TPU platforms;
+                    # a tiny device_get is a real fence.
                     jax.block_until_ready(f)
+                    jax.device_get(f[(0,) * f.ndim])
                 t += n
                 chunks_done += 1
 
