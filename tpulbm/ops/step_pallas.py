@@ -102,7 +102,14 @@ def make_local_step_pallas(problem: Problem,
         interpret = jax.default_backend() == "cpu"
     if not interpret and nxl % 128 != 0:
         raise ValueError(f"pallas backend needs local nx % 128 == 0, got {nxl}")
-    Ty = _pick_ty(nyl, nxl, Q, has_solid, aligned=not interpret)
+    import os
+    ty_env = os.environ.get("TPULBM_PALLAS_TY")
+    if ty_env:
+        Ty = int(ty_env)
+        if nyl % Ty:
+            raise ValueError(f"TPULBM_PALLAS_TY={Ty} does not divide ny={nyl}")
+    else:
+        Ty = _pick_ty(nyl, nxl, Q, has_solid, aligned=not interpret)
     n_ty = nyl // Ty
 
     def collide_rows(fw, solid_rows):
