@@ -1,0 +1,77 @@
+"""Analysis layer: Strouhal extraction + the offline scripts run end-to-end
+on real solver artifacts (the reference's verification workflow, SURVEY §4)."""
+import os
+import subprocess
+import sys
+
+import numpy as np
+
+from tpulbm.config import SimulationParams
+from tpulbm.runner import Runner
+from tpulbm.utils.analysis import find_peaks_1d, strouhal_number
+
+SCRIPTS = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                       "scripts")
+
+
+def test_strouhal_on_synthetic_signal():
+    # C_L = A sin(2π f t): St must come back as f*D/U
+    f_true, U, D = 1 / 700.0, 0.01333, 51.2
+    t = np.arange(0, 120000, 140)
+    cl = 1.2 * np.sin(2 * np.pi * f_true * t)
+    res = strouhal_number(t, cl, U, D, start=30000, prominence=0.5)
+    assert res is not None
+    np.testing.assert_allclose(res["strouhal"], f_true * D / U, rtol=0.01)
+
+
+def test_strouhal_requires_peaks():
+    t = np.arange(0, 120000, 140)
+    assert strouhal_number(t, np.ones_like(t, float), 0.01, 50.0) is None
+
+
+def test_find_peaks_fallback_matches_scipy():
+    from scipy.signal import find_peaks
+    rng = np.random.default_rng(3)
+    x = np.cumsum(rng.standard_normal(500))
+    ours_mod = sys.modules["tpulbm.utils.analysis"]
+    # force the fallback path by calling the pure-python branch
+    import importlib
+    src = ours_mod.find_peaks_1d
+    # scipy path
+    sp, _ = find_peaks(x, prominence=1.0)
+    # fallback path: temporarily hide scipy
+    real_scipy = sys.modules.pop("scipy.signal", None)
+    real_scipy2 = sys.modules.pop("scipy", None)
+    sys.modules["scipy"] = None  # force ImportError
+    try:
+        fb = src(x, prominence=1.0)
+    finally:
+        del sys.modules["scipy"]
+        if real_scipy2 is not None:
+            sys.modules["scipy"] = real_scipy2
+        if real_scipy is not None:
+            sys.modules["scipy.signal"] = real_scipy
+    np.testing.assert_array_equal(fb, sp)
+    _ = importlib
+
+
+def test_scripts_run_on_solver_artifacts(tmp_path):
+    params = SimulationParams(nx=64, ny=32, tau=0.6, inlet_velocity=0.05,
+                              num_timesteps=60, output_frequency=20,
+                              output_dir=str(tmp_path), enable_vtk=False)
+    Runner(params, verbose=False).run()
+
+    env = dict(os.environ, MPLBACKEND="Agg")
+    r = subprocess.run([sys.executable, os.path.join(SCRIPTS, "visualise_results.py"),
+                        "--dir", str(tmp_path)], capture_output=True, text=True,
+                       env=env, timeout=300)
+    assert r.returncode == 0, r.stderr
+    assert (tmp_path / "cylinder_flow_analysis.png").exists()
+
+    # lift.py: too short for vortex shedding → graceful exit 1 with message,
+    # but the plot is still produced
+    r = subprocess.run([sys.executable, os.path.join(SCRIPTS, "lift.py"),
+                        "--dir", str(tmp_path), "--start", "0",
+                        "--prominence", "0.0001"],
+                       capture_output=True, text=True, env=env, timeout=300)
+    assert (tmp_path / "lift_coefficient_plot.png").exists(), r.stderr
