@@ -32,11 +32,25 @@ def moments(lat: Lattice, f: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Macroscopic density and velocity: rho = Σ_i f_i, u = Σ_i c_i f_i / rho.
 
     Parity: LBMSolver.h:101-109. Returns (rho: (*spatial,), u: (D, *spatial)).
+
+    Written as explicit ±plane sums, NOT einsum: on TPU an einsum lowers to
+    an MXU matmul at default (bfloat16) precision, silently costing ~3
+    decimal digits per step; the velocity components are 0/±1 so exact adds
+    are both correct and faster on the VPU.
     """
     rho = jnp.sum(f, axis=0)
-    c = lat.c.astype(f.dtype)  # (Q, D)
-    mom = jnp.einsum("qd,q...->d...", c, f)
-    return rho, mom / rho
+    c = lat.c  # (Q, D) host ints
+    comps = []
+    for d in range(lat.D):
+        acc = None
+        for i in range(lat.Q):
+            cid = int(c[i, d])
+            if cid == 0:
+                continue
+            term = f[i] if cid > 0 else -f[i]
+            acc = term if acc is None else acc + term
+        comps.append(acc)
+    return rho, jnp.stack(comps) / rho
 
 
 def equilibrium(lat: Lattice, rho: jnp.ndarray, u: jnp.ndarray) -> jnp.ndarray:
@@ -46,11 +60,24 @@ def equilibrium(lat: Lattice, rho: jnp.ndarray, u: jnp.ndarray) -> jnp.ndarray:
     Parity: LBMSolver.h:117-121 and LBMUtils.h:9-12.
     """
     dtype = rho.dtype
-    c = lat.c.astype(dtype)                      # (Q, D)
-    w = jnp.asarray(lat.w, dtype).reshape(_wshape(lat, rho.ndim))
-    cu = jnp.einsum("qd,d...->q...", c, u)       # (Q, *spatial)
+    c = lat.c                                    # (Q, D) host ints
     usq = jnp.sum(u * u, axis=0)                 # (*spatial,)
-    return w * rho * (1.0 + 3.0 * cu + 4.5 * cu * cu - 1.5 * usq)
+    base = 1.0 - 1.5 * usq
+    planes = []
+    for i in range(lat.Q):
+        # c·u as exact ±adds (see moments() for why not einsum on TPU)
+        cu = None
+        for d in range(lat.D):
+            cid = int(c[i, d])
+            if cid == 0:
+                continue
+            term = u[d] if cid > 0 else -u[d]
+            cu = term if cu is None else cu + term
+        if cu is None:
+            planes.append(lat.w[i] * rho * base)
+        else:
+            planes.append(lat.w[i] * rho * (base + 3.0 * cu + 4.5 * cu * cu))
+    return jnp.stack(planes).astype(dtype)
 
 
 def equilibrium_with_force(lat: Lattice, rho: jnp.ndarray, u: jnp.ndarray,
