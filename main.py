@@ -28,6 +28,10 @@ def build_parser() -> argparse.ArgumentParser:
                         help="write a jax.profiler trace here")
     parser.add_argument("--no-resume", action="store_true",
                         help="ignore existing checkpoints")
+    parser.add_argument("--distributed", action="store_true",
+                        help="call jax.distributed.initialize() for "
+                             "multi-host TPU slices (the MPI_Init analog, "
+                             "reference src/main.cpp:8)")
     return parser
 
 
@@ -41,6 +45,8 @@ def main(argv=None) -> int:
     import jax
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
+    if args.distributed:
+        jax.distributed.initialize()
 
     from tpulbm.config import params_from_args
     from tpulbm.parallel.mesh import choose_decomposition
