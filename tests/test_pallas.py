@@ -65,6 +65,61 @@ def test_pallas_bounce_back_mode():
              mesh_shape=(2, 1))
 
 
+def _compare2(params, mesh_shape=(1, 1), ty=8, monkeypatch=None, **kw):
+    """Force several slabs so the fused two-step kernel actually engages
+    (it falls back to the 1-step kernel when n_ty < 3)."""
+    monkeypatch.setenv("TPULBM_PALLAS_TY", str(ty))
+    from tpulbm.ops.step_pallas import make_local_step_pallas2
+    problem = make_problem(params)
+    nyl = params.ny // mesh_shape[0]
+    assert make_local_step_pallas2(problem, (nyl, params.nx // mesh_shape[1]),
+                                   interpret=True) is not None
+    monkeypatch.delenv("TPULBM_PALLAS_TY")
+    ref = _run(problem, (1, 1), "jax", **kw)
+    monkeypatch.setenv("TPULBM_PALLAS_TY", str(ty))
+    got = _run(problem, mesh_shape, "pallas", **kw)
+    monkeypatch.delenv("TPULBM_PALLAS_TY")
+    for k, (r, g) in enumerate(zip(ref, got)):
+        np.testing.assert_allclose(g, r, rtol=5e-6, atol=1e-7,
+                                   err_msg=f"chunk {k}")
+
+
+def test_pallas2_cylinder(monkeypatch):
+    _compare2(SimulationParams(nx=128, ny=64, tau=0.6, inlet_velocity=0.05,
+                               precision="f32"), ty=8,
+              monkeypatch=monkeypatch, chunk_len=6, n_chunks=3)
+
+
+def test_pallas2_cylinder_sharded(monkeypatch):
+    _compare2(SimulationParams(nx=128, ny=64, tau=0.6, inlet_velocity=0.05,
+                               precision="f32"), mesh_shape=(2, 1), ty=8,
+              monkeypatch=monkeypatch, chunk_len=4, n_chunks=3)
+
+
+def test_pallas2_poiseuille_periodic(monkeypatch):
+    _compare2(SimulationParams(nx=128, ny=48, tau=0.8, problem="poiseuille",
+                               periodic_x=True, body_force=(1e-5, 0.0),
+                               inlet_velocity=0.0, precision="f32"),
+              mesh_shape=(2, 1), ty=8, monkeypatch=monkeypatch,
+              chunk_len=4, n_chunks=2)
+
+
+def test_pallas2_bounce_back(monkeypatch):
+    _compare2(SimulationParams(nx=128, ny=64, tau=0.6, inlet_velocity=0.05,
+                               precision="f32", obstacle_bc="bounce_back"),
+              mesh_shape=(2, 1), ty=8, monkeypatch=monkeypatch,
+              chunk_len=4, n_chunks=2)
+
+
+def test_pallas2_cylinder_straddling_shard_boundary(monkeypatch):
+    # cylinder centered on the shard boundary: obstacle cells appear in
+    # halo/ring rows of both shards
+    _compare2(SimulationParams(nx=128, ny=64, tau=0.6, inlet_velocity=0.05,
+                               cylinder_y=0.5, cylinder_radius=0.1,
+                               precision="f32"), mesh_shape=(2, 1), ty=8,
+              monkeypatch=monkeypatch, chunk_len=4, n_chunks=3)
+
+
 def test_pallas_rejects_x_sharding():
     import jax as _jax
     from tpulbm.parallel.sharded_step import make_chunk_fn as mk

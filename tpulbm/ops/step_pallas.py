@@ -1,28 +1,31 @@
-"""Fused collide-stream Pallas TPU kernel — the production hot path.
+"""Fused collide-stream Pallas TPU kernels — the production hot path.
 
-One kernel performs, per y-slab of the local block:
-  HBM→VMEM DMA of a Ty-row slab (4-slot ring, prefetched 2 ahead) →
-  moments + BGK relaxation (+ body force) once per slab, in place →
-  pull-streaming of the output tile: y via cross-slab row concat, x via lane
-  rolls, with ghost-equilibrium sanitize at the physical x edges →
-  in-place boundary conditions on edge strips (walls / Zou-He inlet /
-  Zou-He outlet / obstacle) →
-  VMEM→HBM DMA of the output slab (async, double-buffered).
+Two kernels share one slab-pipeline skeleton:
+
+  * 1-step kernel: per Ty-row slab — HBM→VMEM DMA (4-slot ring, prefetched) →
+    BGK collide once per slab, in place → pull-streaming (y via cross-slab
+    row selects, x via lane rolls, frozen-ghost sanitize at physical x
+    edges) → BC strips → async out DMA. Exactly one HBM read and one HBM
+    write of f per step — the budget from BASELINE.md (~72 B/cell/step f32).
+
+  * 2-step kernel (temporal blocking): advances TWO timesteps per HBM round
+    trip. Stage A collides+streams raw slabs into an intermediate ring of
+    B-collided slabs; stage B streams those into the output. Needs depth-2
+    halo rows. Halves HBM traffic — the lever when the slab DMA pattern is
+    bandwidth-bound (measured ~266 GB/s on multi-million-cell grids).
 
 This is the TPU answer to the reference's separate OpenMP passes (collision
 LBMSolver.h:84-126, streaming LBMSolver.h:128-145, BC sweep
-LBMSolver.h:147-265): exactly one HBM read and one HBM write of f per step,
-the budget required by BASELINE.md (~72 B/cell/step in f32). The AVX2
-equilibrium kernels (LBMUtils.h:22-65) become plain vector expressions on
-the 8×128 VPU.
+LBMSolver.h:147-265). The AVX2 equilibrium kernels (LBMUtils.h:22-65)
+become plain vector expressions on the 8×128 VPU.
 
 Layout and constraints (Mosaic DMA tiling rules measured on v5e):
   * f is SoA (Q, nyl, nxl) f32, x = 128-lane minor dim. On real TPUs nxl
     must be a multiple of 128 and the slab height a multiple of 8 (interpret
     mode for CPU tests has no such limits).
-  * y-halo ("ring") rows arrive as separate (Q, 1, nxl) inputs, produced by
-    parallel/halo.ring_rows (ppermute over the 'y' mesh axis; frozen ghost
-    equilibrium at physical edges). The kernel collides them locally.
+  * y-halo ("ring") rows arrive as separate (Q, depth, nxl) inputs, produced
+    by parallel/halo.ring_rows (ppermute over the 'y' mesh axis; frozen
+    ghost equilibrium at physical edges). The kernels collide them locally.
   * The pallas backend shards over y only (mesh_x == 1). x-direction pulls
     wrap via lane roll; at non-periodic global x edges the wrapped lanes are
     overwritten with the frozen ghost equilibrium, reproducing the
@@ -33,6 +36,9 @@ D2Q9 / f32 / 2-D. The jax backend covers f64, 3-D, and x-sharded meshes.
 """
 from __future__ import annotations
 
+import dataclasses
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -42,102 +48,332 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..models.base import Problem
 
-# VMEM budget for slab/output/mask buffers (bytes); v5e has ~16 MiB more.
+# VMEM budget for slab/output/mask buffers (bytes); v5e has ~16 MiB total.
 _VMEM_BUDGET = 13 * 1024 * 1024
 
 
-def _pick_ty(nyl: int, nxl: int, q: int, has_solid: bool,
-             aligned: bool) -> int:
-    """Largest slab height dividing nyl that fits the VMEM budget
-    (4-slot f ring + 2-slot out ring + optional 4-slot mask ring)."""
-    def usage(ty):
-        per_row = nxl * 4
-        return (4 * q * ty + 2 * q * ty + (4 * ty if has_solid else 0)) * per_row
+@dataclasses.dataclass(frozen=True)
+class _Cfg:
+    """Static kernel configuration shared by both kernels."""
+    Q: int
+    c: tuple            # ((cx, cy), ...) python ints
+    w: tuple            # weights, python floats
+    opp: tuple
+    inv_tau: float
+    u_in: float
+    eq_in: tuple        # frozen ghost equilibrium per direction
+    src: tuple | None   # body-force source term per direction
+    has_solid: bool
+    bounce_back: bool
+    walls_y: bool
+    inlet_zou_he: bool
+    outlet_zou_he: bool
+    periodic_x: bool
+    Ty: int
+    nxl: int
+    n_ty: int
 
-    valid = [ty for ty in range(1, nyl + 1)
-             if nyl % ty == 0 and usage(ty) <= _VMEM_BUDGET
-             and (not aligned or ty % 8 == 0)]
-    if not valid:
-        raise ValueError(
-            f"no y-slab of {nyl} rows fits VMEM (nx={nxl}); on TPU the local "
-            f"ny must have a multiple-of-8 divisor small enough to tile")
-    return max(valid)
+
+def _collide_rows(cfg: _Cfg, fw, solid_rows):
+    """BGK relax a list of Q same-shape row blocks (LBMSolver.h:101-123).
+    D2Q9 moment sums unrolled; pointwise, so safe on halo rows."""
+    rho = fw[0]
+    for i in range(1, cfg.Q):
+        rho = rho + fw[i]
+    mx = fw[1] - fw[3] + fw[5] - fw[6] - fw[7] + fw[8]
+    my = fw[2] - fw[4] + fw[5] + fw[6] - fw[7] - fw[8]
+    inv_rho = 1.0 / rho
+    ux = mx * inv_rho
+    uy = my * inv_rho
+    base = 1.0 - 1.5 * (ux * ux + uy * uy)
+    out = []
+    for i in range(cfg.Q):
+        cx, cy = cfg.c[i]
+        cu = (cx * ux if cx else 0.0) + (cy * uy if cy else 0.0)
+        if cx or cy:
+            feq = cfg.w[i] * rho * (base + 3.0 * cu + 4.5 * cu * cu)
+        else:
+            feq = cfg.w[i] * rho * base
+        fp = fw[i] - cfg.inv_tau * (fw[i] - feq)
+        if cfg.src is not None and cfg.src[i]:
+            fp = fp + cfg.src[i]
+        if cfg.bounce_back:
+            fp = jnp.where(solid_rows, fw[i], fp)  # collision skips solids
+        out.append(fp)
+    return out
 
 
-def make_local_step_pallas(problem: Problem,
-                           local_shape: tuple[int, ...],
-                           interpret: bool | None = None):
-    """Build step(f, rb, rt, flags, mask, mrb, mrt) -> f_new.
+def _stream_rows(cfg: _Cfg, i: int, cur, below_row, above_row):
+    """Pull-stream one population of one slab: y via row selects, x via lane
+    roll. cur: (Ty, nxl); below/above_row: (1, nxl) post-collision neighbor
+    rows (slab or ring). Returns the streamed (Ty, nxl) block."""
+    cx, cy = cfg.c[i]
+    Ty = cfg.Ty
+    if cy == 0:
+        rows = cur
+    elif cy > 0:  # pull from the row below
+        rows = jnp.concatenate([below_row, cur[0:Ty - 1, :]], axis=0)
+    else:         # pull from the row above
+        rows = jnp.concatenate([cur[1:Ty, :], above_row], axis=0)
+    if cx:
+        rows = pltpu.roll(rows, cx % cfg.nxl, axis=1)
+    return rows
 
-    f: (Q, nyl, nxl) local block; rb/rt: (Q, 1, nxl) ring rows below/above
-    (see parallel/halo.ring_rows); flags: (4,) int32
-    [is_bottom, is_top, is_left, is_right] for this shard; mask*: f32 solid
-    masks (center block and ring rows) or None when the problem has no
-    obstacle. Verified equivalent to the jax tier by tests/test_pallas.py.
+
+def _apply_bcs(cfg: _Cfg, ref, slot, msl, mslot, is_bottom, is_top, fl, fr,
+               mask_rows=None):
+    """Apply ghost sanitize + walls + Zou-He inlet/outlet + obstacle strips
+    in reference order (LBMSolver.h:150-263) on slab `ref[slot]`.
+
+    is_bottom/is_top: traced bools — does this slab contain the global
+    bottom/top row. Solid mask comes from msl[mslot] (or `mask_rows`, a
+    direct (Ty, nxl)-shaped value, when msl is None).
     """
+    Q, Ty, nxl = cfg.Q, cfg.Ty, cfg.nxl
+    opp, w, eq_in, u_in = cfg.opp, cfg.w, cfg.eq_in, cfg.u_in
+
+    def mrow(rs, re, cs=None, ce=None):
+        m = msl[mslot, rs:re, :] if mask_rows is None else mask_rows[rs:re, :]
+        if cs is not None:
+            m = m[:, cs:ce]
+        return m
+
+    # ghost sanitize at physical x edges (LBMGrid.h:185-213)
+    if not cfg.periodic_x:
+        for i in range(Q):
+            cx, _ = cfg.c[i]
+            if cx > 0:
+                @pl.when(fl == 1)
+                def _(i=i):
+                    ref[slot, i, :, 0:1] = jnp.full((Ty, 1), eq_in[i],
+                                                    jnp.float32)
+            elif cx < 0:
+                @pl.when(fr == 1)
+                def _(i=i):
+                    ref[slot, i, :, nxl - 1:nxl] = jnp.full((Ty, 1), eq_in[i],
+                                                            jnp.float32)
+
+    # walls (LBMSolver.h:153-176)
+    if cfg.walls_y:
+        @pl.when(is_bottom)
+        def _bottom():
+            for i in (2, 5, 6):  # f2<-f4, f5<-f7, f6<-f8
+                val = ref[slot, opp[i], 0:1, :]
+                if cfg.has_solid:
+                    val = jnp.where(mrow(0, 1) < 0.5, val, ref[slot, i, 0:1, :])
+                ref[slot, i, 0:1, :] = val
+
+        @pl.when(is_top)
+        def _top():
+            for i in (4, 7, 8):  # f4<-f2, f7<-f5, f8<-f6
+                val = ref[slot, opp[i], Ty - 1:Ty, :]
+                if cfg.has_solid:
+                    val = jnp.where(mrow(Ty - 1, Ty) < 0.5, val,
+                                    ref[slot, i, Ty - 1:Ty, :])
+                ref[slot, i, Ty - 1:Ty, :] = val
+
+    # Zou-He inlet, column 0 (LBMSolver.h:179-207)
+    if cfg.inlet_zou_he:
+        @pl.when(fl == 1)
+        def _inlet():
+            pr = [ref[slot, i, :, 0:1] for i in range(Q)]
+            rho_bc = (pr[0] + pr[2] + pr[4]
+                      + 2.0 * (pr[3] + pr[6] + pr[7])) / (1.0 - u_in)
+            ru = rho_bc * u_in
+            ht = 0.5 * (pr[2] - pr[4])
+            new = {1: pr[3] + (2.0 / 3.0) * ru,
+                   5: pr[7] - ht + (1.0 / 6.0) * ru,
+                   8: pr[6] + ht + (1.0 / 6.0) * ru}
+            for i, val in new.items():
+                if cfg.has_solid:
+                    val = jnp.where(mrow(0, Ty, 0, 1) < 0.5, val, pr[i])
+                ref[slot, i, :, 0:1] = val
+
+    # Zou-He pressure outlet, column nxl-1 (LBMSolver.h:210-236)
+    if cfg.outlet_zou_he:
+        @pl.when(fr == 1)
+        def _outlet():
+            xc = nxl - 1
+            pr = [ref[slot, i, :, xc:xc + 1] for i in range(Q)]
+            u_out = -1.0 + (pr[0] + pr[2] + pr[4]
+                            + 2.0 * (pr[1] + pr[5] + pr[8]))  # rho_out = 1
+            ht = 0.5 * (pr[2] - pr[4])
+            new = {3: pr[1] - (2.0 / 3.0) * u_out,
+                   6: pr[8] - ht - (1.0 / 6.0) * u_out,
+                   7: pr[5] + ht - (1.0 / 6.0) * u_out}
+            for i, val in new.items():
+                if cfg.has_solid:
+                    val = jnp.where(mrow(0, Ty, xc, xc + 1) < 0.5, val, pr[i])
+                ref[slot, i, :, xc:xc + 1] = val
+
+    # obstacle (semantics: ops/boundaries.apply_obstacle)
+    if cfg.has_solid:
+        solid_c = mrow(0, Ty) > 0.5
+        if cfg.bounce_back:
+            snap = [ref[slot, i] for i in range(Q)]
+            for i in range(Q):
+                ref[slot, i] = jnp.where(solid_c, snap[opp[i]], ref[slot, i])
+        else:  # reference-parity equilibrium wall: pin to w_i
+            for i in range(Q):
+                ref[slot, i] = jnp.where(solid_c, w[i], ref[slot, i])
+
+
+def _bc_row_values(cfg: _Cfg, planes, mask_row, fl, fr):
+    """Value-level BC application for a single intermediate ring row
+    (2-step kernel): ghost sanitize + Zou-He columns + obstacle pinning.
+    Walls never apply (ring rows are never global wall rows — the shard that
+    owns the wall applies them). planes: list of Q (1, nxl) values."""
+    Q, nxl = cfg.Q, cfg.nxl
+    eq_in, u_in = cfg.eq_in, cfg.u_in
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, nxl), 1)
+    planes = list(planes)
+    if not cfg.periodic_x:
+        for i in range(Q):
+            cx, _ = cfg.c[i]
+            if cx > 0:
+                planes[i] = jnp.where((col == 0) & (fl == 1),
+                                      jnp.float32(eq_in[i]), planes[i])
+            elif cx < 0:
+                planes[i] = jnp.where((col == nxl - 1) & (fr == 1),
+                                      jnp.float32(eq_in[i]), planes[i])
+    fluid = (mask_row < 0.5) if cfg.has_solid else None
+
+    def guard(m):
+        return m if fluid is None else (m & fluid)
+
+    if cfg.inlet_zou_he:
+        m = guard((col == 0) & (fl == 1))
+        p = planes
+        rho_bc = (p[0] + p[2] + p[4] + 2.0 * (p[3] + p[6] + p[7])) / (1.0 - u_in)
+        ru = rho_bc * u_in
+        ht = 0.5 * (p[2] - p[4])
+        planes[1] = jnp.where(m, p[3] + (2.0 / 3.0) * ru, p[1])
+        planes[5] = jnp.where(m, p[7] - ht + (1.0 / 6.0) * ru, p[5])
+        planes[8] = jnp.where(m, p[6] + ht + (1.0 / 6.0) * ru, p[8])
+    if cfg.outlet_zou_he:
+        m = guard((col == nxl - 1) & (fr == 1))
+        p = planes
+        u_out = -1.0 + (p[0] + p[2] + p[4] + 2.0 * (p[1] + p[5] + p[8]))
+        ht = 0.5 * (p[2] - p[4])
+        planes[3] = jnp.where(m, p[1] - (2.0 / 3.0) * u_out, p[3])
+        planes[6] = jnp.where(m, p[8] - ht - (1.0 / 6.0) * u_out, p[6])
+        planes[7] = jnp.where(m, p[5] + ht - (1.0 / 6.0) * u_out, p[7])
+    if cfg.has_solid:
+        solid = mask_row > 0.5
+        if cfg.bounce_back:
+            snap = list(planes)
+            for i in range(Q):
+                planes[i] = jnp.where(solid, snap[cfg.opp[i]], planes[i])
+        else:
+            for i in range(Q):
+                planes[i] = jnp.where(solid, jnp.float32(cfg.w[i]), planes[i])
+    return planes
+
+
+def _build_cfg(problem: Problem, local_shape, interpret, substeps=1) -> _Cfg:
     lat = problem.lattice
     if lat.D != 2:
         raise ValueError("pallas backend is 2-D (D2Q9); use backend='jax' for 3-D")
     if problem.dtype != np.float32:
         raise ValueError("pallas backend is f32; use backend='jax' for f64")
     nyl, nxl = local_shape
-    Q = lat.Q
-    c = [(int(cx), int(cy)) for cx, cy in lat.c]
-    w = [float(v) for v in lat.w]
-    opp = [int(v) for v in lat.opposite]
-    inv_tau = 1.0 / problem.params.tau
-    u_in = float(problem.init_u[0])
-    eq_in = [float(v) for v in problem.ghost_ring_values()]
-    has_solid = problem.solid is not None
-    bounce_back = has_solid and problem.obstacle_bc == "bounce_back"
-    p = problem.params
-    if problem.body_force:
-        F = np.asarray(problem.body_force, np.float64)
-        src = [float(3.0 * w[i] * (c[i][0] * F[0] + c[i][1] * F[1]))
-               for i in range(Q)]
-    else:
-        src = None
-
-    if interpret is None:
-        interpret = jax.default_backend() == "cpu"
     if not interpret and nxl % 128 != 0:
         raise ValueError(f"pallas backend needs local nx % 128 == 0, got {nxl}")
-    import os
+    Q = lat.Q
+    c = tuple((int(cx), int(cy)) for cx, cy in lat.c)
+    w = tuple(float(v) for v in lat.w)
+    if problem.body_force:
+        F = np.asarray(problem.body_force, np.float64)
+        src = tuple(float(3.0 * w[i] * (c[i][0] * F[0] + c[i][1] * F[1]))
+                    for i in range(Q))
+    else:
+        src = None
+    has_solid = problem.solid is not None
+
     ty_env = os.environ.get("TPULBM_PALLAS_TY")
+    slabs = 6 if substeps == 1 else 9  # f-sized slab buffers in VMEM
     if ty_env:
         Ty = int(ty_env)
         if nyl % Ty:
             raise ValueError(f"TPULBM_PALLAS_TY={Ty} does not divide ny={nyl}")
     else:
-        Ty = _pick_ty(nyl, nxl, Q, has_solid, aligned=not interpret)
-    n_ty = nyl // Ty
+        def usage(ty):
+            return (slabs * Q * ty + (4 * ty if has_solid else 0)) * nxl * 4
+        valid = [ty for ty in range(1, nyl + 1)
+                 if nyl % ty == 0 and usage(ty) <= _VMEM_BUDGET
+                 and (interpret or ty % 8 == 0)]
+        if not valid:
+            raise ValueError(
+                f"no y-slab of {nyl} rows fits VMEM (nx={nxl}); on TPU the "
+                f"local ny must have a multiple-of-8 divisor small enough")
+        Ty = max(valid)
 
-    def collide_rows(fw, solid_rows):
-        """BGK relax a list of Q same-shape row blocks (LBMSolver.h:101-123)."""
-        rho = fw[0]
-        for i in range(1, Q):
-            rho = rho + fw[i]
-        mx = fw[1] - fw[3] + fw[5] - fw[6] - fw[7] + fw[8]
-        my = fw[2] - fw[4] + fw[5] + fw[6] - fw[7] - fw[8]
-        inv_rho = 1.0 / rho
-        ux = mx * inv_rho
-        uy = my * inv_rho
-        base = 1.0 - 1.5 * (ux * ux + uy * uy)
-        out = []
-        for i in range(Q):
-            cx, cy = c[i]
-            cu = (cx * ux if cx else 0.0) + (cy * uy if cy else 0.0)
-            if cx or cy:
-                feq = w[i] * rho * (base + 3.0 * cu + 4.5 * cu * cu)
-            else:
-                feq = w[i] * rho * base
-            fp = fw[i] - inv_tau * (fw[i] - feq)
-            if src is not None and src[i]:
-                fp = fp + src[i]
-            if bounce_back:
-                fp = jnp.where(solid_rows, fw[i], fp)  # collision skips solids
-            out.append(fp)
-        return out
+    return _Cfg(
+        Q=Q, c=c, w=w, opp=tuple(int(v) for v in lat.opposite),
+        inv_tau=1.0 / problem.params.tau,
+        u_in=float(problem.init_u[0]),
+        eq_in=tuple(float(v) for v in problem.ghost_ring_values()),
+        src=src, has_solid=has_solid,
+        bounce_back=has_solid and problem.obstacle_bc == "bounce_back",
+        walls_y=problem.walls_y,
+        inlet_zou_he=problem.inlet_zou_he,
+        outlet_zou_he=problem.outlet_zou_he,
+        periodic_x=problem.periodic_x,
+        Ty=Ty, nxl=nxl, n_ty=nyl // Ty,
+    )
+
+
+def _wrap_call(cfg: _Cfg, kernel, nyl, depth, interpret, has_solid):
+    Q, nxl = cfg.Q, cfg.nxl
+    call = pl.pallas_call(
+        kernel,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # flags (4,) int32
+            pl.BlockSpec(memory_space=pl.ANY),      # f (HBM)
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # rb (Q,depth,nxl)
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # rt
+            pl.BlockSpec(memory_space=pl.ANY),      # mask f32 (HBM)
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # mask ring below (depth,nxl)
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # mask ring above
+        ],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        out_shape=jax.ShapeDtypeStruct((Q, nyl, nxl), jnp.float32),
+        scratch_shapes=kernel.scratch_shapes,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_BUDGET + 3 * 1024 * 1024),
+        interpret=interpret,
+    )
+    zero_mask = np.zeros((nyl, nxl), np.float32)
+    zero_ring = np.zeros((depth, nxl), np.float32)
+
+    def step(f, rb, rt, flags, mask=None, mrb=None, mrt=None):
+        if has_solid and mask is None:
+            raise ValueError("pallas backend needs the solid mask")
+        mask = jnp.asarray(zero_mask) if mask is None else mask
+        mrb = jnp.asarray(zero_ring) if mrb is None else mrb
+        mrt = jnp.asarray(zero_ring) if mrt is None else mrt
+        return call(flags, f, rb, rt, mask, mrb, mrt)
+
+    step.tile_height = cfg.Ty
+    return step
+
+
+def make_local_step_pallas(problem: Problem,
+                           local_shape: tuple[int, ...],
+                           interpret: bool | None = None):
+    """Single-step kernel: step(f, rb, rt, flags, mask, mrb, mrt) -> f_new.
+
+    f: (Q, nyl, nxl); rb/rt: (Q, 1, nxl) ring rows (parallel/halo.ring_rows);
+    flags: (4,) int32 [is_bottom, is_top, is_left, is_right]; mask*: f32
+    solid masks or None. Verified equivalent to the jax tier by
+    tests/test_pallas.py.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    cfg = _build_cfg(problem, local_shape, interpret, substeps=1)
+    nyl = local_shape[0]
+    Q, Ty, nxl, n_ty = cfg.Q, cfg.Ty, cfg.nxl, cfg.n_ty
+    has_solid = cfg.has_solid
 
     def kernel(flags_ref, f_ref, rb_ref, rt_ref, mask_ref, mrb_ref, mrt_ref,
                out_ref, fsl, ob, msl, sem_f, sem_ob, sem_m):
@@ -145,18 +381,15 @@ def make_local_step_pallas(problem: Problem,
 
         def f_dma(t):
             return pltpu.make_async_copy(
-                f_ref.at[:, pl.ds(t * Ty, Ty), :], fsl.at[t % 4],
-                sem_f.at[t % 4])
+                f_ref.at[:, pl.ds(t * Ty, Ty), :], fsl.at[t % 4], sem_f.at[t % 4])
 
         def m_dma(t):
             return pltpu.make_async_copy(
-                mask_ref.at[pl.ds(t * Ty, Ty), :], msl.at[t % 4],
-                sem_m.at[t % 4])
+                mask_ref.at[pl.ds(t * Ty, Ty), :], msl.at[t % 4], sem_m.at[t % 4])
 
         def out_dma(t):
             return pltpu.make_async_copy(
-                ob.at[t % 2], out_ref.at[:, pl.ds(t * Ty, Ty), :],
-                sem_ob.at[t % 2])
+                ob.at[t % 2], out_ref.at[:, pl.ds(t * Ty, Ty), :], sem_ob.at[t % 2])
 
         def start_in(t):
             f_dma(t).start()
@@ -170,20 +403,19 @@ def make_local_step_pallas(problem: Problem,
 
         def collide_slab(slot):
             fw = [fsl[slot, i] for i in range(Q)]
-            solid_rows = (msl[slot] > 0.5) if bounce_back else None
-            fp = collide_rows(fw, solid_rows)
+            solid_rows = (msl[slot] > 0.5) if cfg.bounce_back else None
+            fp = _collide_rows(cfg, fw, solid_rows)
             for i in range(Q):
                 fsl[slot, i] = fp[i]
 
         # Collide the ring rows once (loop-invariant; pointwise — each shard
         # recomputes its neighbors' post-collision edge rows locally instead
         # of shipping them, see parallel/halo.py).
-        rb_fp = collide_rows([rb_ref[i] for i in range(Q)],
-                             (mrb_ref[...] > 0.5) if bounce_back else None)
-        rt_fp = collide_rows([rt_ref[i] for i in range(Q)],
-                             (mrt_ref[...] > 0.5) if bounce_back else None)
+        rb_fp = _collide_rows(cfg, [rb_ref[i] for i in range(Q)],
+                              (mrb_ref[...] > 0.5) if cfg.bounce_back else None)
+        rt_fp = _collide_rows(cfg, [rt_ref[i] for i in range(Q)],
+                              (mrt_ref[...] > 0.5) if cfg.bounce_back else None)
 
-        # Prologue: slabs 0 and 1 in flight; slab 0 collided.
         start_in(0)
         if n_ty > 1:
             start_in(1)
@@ -191,7 +423,6 @@ def make_local_step_pallas(problem: Problem,
         collide_slab(0)
 
         def loop(t, carry):
-            # finish + collide slab t+1; prefetch slab t+2
             @pl.when(t + 1 < n_ty)
             def _():
                 wait_in(t + 1)
@@ -207,110 +438,17 @@ def make_local_step_pallas(problem: Problem,
             def _():
                 out_dma(t - 2).wait()
 
-            # ---- pull streaming into the output slab ----
             cur_slot = t % 4
             for i in range(Q):
-                cx, cy = c[i]
-                cur = fsl[cur_slot, i]
-                if cy == 0:
-                    rows = cur
-                elif cy > 0:  # pull from the row below
-                    below = jnp.where(t == 0, rb_fp[i],
-                                      fsl[(t - 1) % 4, i, Ty - 1:Ty, :])
-                    rows = jnp.concatenate([below, cur[0:Ty - 1, :]], axis=0)
-                else:         # pull from the row above
-                    above = jnp.where(t == n_ty - 1, rt_fp[i],
-                                      fsl[(t + 1) % 4, i, 0:1, :])
-                    rows = jnp.concatenate([cur[1:Ty, :], above], axis=0)
-                if cx:
-                    rows = pltpu.roll(rows, cx % nxl, axis=1)
-                ob[oslot, i] = rows
+                below = jnp.where(t == 0, rb_fp[i],
+                                  fsl[(t - 1) % 4, i, Ty - 1:Ty, :])
+                above = jnp.where(t == n_ty - 1, rt_fp[i],
+                                  fsl[(t + 1) % 4, i, 0:1, :])
+                ob[oslot, i] = _stream_rows(cfg, i, fsl[cur_slot, i], below, above)
 
-            # ---- ghost sanitize at physical x edges (LBMGrid.h:185-213):
-            # lanes that wrapped across the domain edge read the frozen
-            # inlet-equilibrium ghosts instead ----
-            if not problem.periodic_x:
-                for i in range(Q):
-                    cx, _ = c[i]
-                    if cx > 0:
-                        @pl.when(fl == 1)
-                        def _(i=i):
-                            ob[oslot, i, :, 0:1] = jnp.full(
-                                (Ty, 1), eq_in[i], jnp.float32)
-                    elif cx < 0:
-                        @pl.when(fr == 1)
-                        def _(i=i):
-                            ob[oslot, i, :, nxl - 1:nxl] = jnp.full(
-                                (Ty, 1), eq_in[i], jnp.float32)
-
-            # ---- walls (LBMSolver.h:153-176) ----
-            if problem.walls_y:
-                @pl.when(jnp.logical_and(t == 0, fb == 1))
-                def _bottom():
-                    for i in (2, 5, 6):  # f2<-f4, f5<-f7, f6<-f8
-                        val = ob[oslot, opp[i], 0:1, :]
-                        if has_solid:
-                            fluid = msl[cur_slot, 0:1, :] < 0.5
-                            val = jnp.where(fluid, val, ob[oslot, i, 0:1, :])
-                        ob[oslot, i, 0:1, :] = val
-
-                @pl.when(jnp.logical_and(t == n_ty - 1, ft == 1))
-                def _top():
-                    for i in (4, 7, 8):  # f4<-f2, f7<-f5, f8<-f6
-                        val = ob[oslot, opp[i], Ty - 1:Ty, :]
-                        if has_solid:
-                            fluid = msl[cur_slot, Ty - 1:Ty, :] < 0.5
-                            val = jnp.where(fluid, val,
-                                            ob[oslot, i, Ty - 1:Ty, :])
-                        ob[oslot, i, Ty - 1:Ty, :] = val
-
-            # ---- Zou-He inlet, column 0 (LBMSolver.h:179-207) ----
-            if problem.inlet_zou_he:
-                @pl.when(fl == 1)
-                def _inlet():
-                    pr = [ob[oslot, i, :, 0:1] for i in range(Q)]
-                    rho_bc = (pr[0] + pr[2] + pr[4]
-                              + 2.0 * (pr[3] + pr[6] + pr[7])) / (1.0 - u_in)
-                    ru = rho_bc * u_in
-                    ht = 0.5 * (pr[2] - pr[4])
-                    new = {1: pr[3] + (2.0 / 3.0) * ru,
-                           5: pr[7] - ht + (1.0 / 6.0) * ru,
-                           8: pr[6] + ht + (1.0 / 6.0) * ru}
-                    for i, val in new.items():
-                        if has_solid:
-                            fluid = msl[cur_slot, :, 0:1] < 0.5
-                            val = jnp.where(fluid, val, pr[i])
-                        ob[oslot, i, :, 0:1] = val
-
-            # ---- Zou-He pressure outlet, column nxl-1 (LBMSolver.h:210-236) ----
-            if problem.outlet_zou_he:
-                @pl.when(fr == 1)
-                def _outlet():
-                    xc = nxl - 1
-                    pr = [ob[oslot, i, :, xc:xc + 1] for i in range(Q)]
-                    u_out = -1.0 + (pr[0] + pr[2] + pr[4]
-                                    + 2.0 * (pr[1] + pr[5] + pr[8]))  # rho=1
-                    ht = 0.5 * (pr[2] - pr[4])
-                    new = {3: pr[1] - (2.0 / 3.0) * u_out,
-                           6: pr[8] - ht - (1.0 / 6.0) * u_out,
-                           7: pr[5] + ht - (1.0 / 6.0) * u_out}
-                    for i, val in new.items():
-                        if has_solid:
-                            fluid = msl[cur_slot, :, xc:xc + 1] < 0.5
-                            val = jnp.where(fluid, val, pr[i])
-                        ob[oslot, i, :, xc:xc + 1] = val
-
-            # ---- obstacle (semantics: ops/boundaries.apply_obstacle) ----
-            if has_solid:
-                solid_c = msl[cur_slot] > 0.5
-                if bounce_back:
-                    snap = [ob[oslot, i] for i in range(Q)]
-                    for i in range(Q):
-                        ob[oslot, i] = jnp.where(solid_c, snap[opp[i]],
-                                                 ob[oslot, i])
-                else:  # reference-parity equilibrium wall: pin to w_i
-                    for i in range(Q):
-                        ob[oslot, i] = jnp.where(solid_c, w[i], ob[oslot, i])
+            _apply_bcs(cfg, ob, oslot, msl if has_solid else None, cur_slot,
+                       jnp.logical_and(t == 0, fb == 1),
+                       jnp.logical_and(t == n_ty - 1, ft == 1), fl, fr)
 
             out_dma(t).start()
             return carry
@@ -320,44 +458,218 @@ def make_local_step_pallas(problem: Problem,
             out_dma(n_ty - 2).wait()
         out_dma(n_ty - 1).wait()
 
-    scratch_shapes = [
-        pltpu.VMEM((4, Q, Ty, nxl), jnp.float32),     # f slabs (collided in place)
-        pltpu.VMEM((2, Q, Ty, nxl), jnp.float32),     # output slabs
-        pltpu.VMEM((4, Ty, nxl), jnp.float32),        # mask slabs
+    kernel.scratch_shapes = [
+        pltpu.VMEM((4, Q, Ty, nxl), jnp.float32),   # f slabs (collided in place)
+        pltpu.VMEM((2, Q, Ty, nxl), jnp.float32),   # output slabs
+        pltpu.VMEM((4, Ty, nxl), jnp.float32),      # mask slabs
         pltpu.SemaphoreType.DMA((4,)),
         pltpu.SemaphoreType.DMA((2,)),
         pltpu.SemaphoreType.DMA((4,)),
     ]
+    return _wrap_call(cfg, kernel, nyl, 1, interpret, has_solid)
 
-    call = pl.pallas_call(
-        kernel,
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # flags (4,) int32
-            pl.BlockSpec(memory_space=pl.ANY),      # f (HBM)
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # rb (Q,1,nxl)
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # rt
-            pl.BlockSpec(memory_space=pl.ANY),      # mask f32 (HBM)
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # mask ring below (1,nxl)
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # mask ring above
-        ],
-        out_specs=pl.BlockSpec(memory_space=pl.ANY),
-        out_shape=jax.ShapeDtypeStruct((Q, nyl, nxl), jnp.float32),
-        scratch_shapes=scratch_shapes,
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=_VMEM_BUDGET + 3 * 1024 * 1024),
-        interpret=interpret,
-    )
 
-    zero_mask = np.zeros((nyl, nxl), np.float32)
-    zero_row = np.zeros((1, nxl), np.float32)
+def make_local_step_pallas2(problem: Problem,
+                            local_shape: tuple[int, ...],
+                            interpret: bool | None = None):
+    """Two-step fused kernel: step2(f, rb2, rt2, flags, mask, mrb2, mrt2)
+    advances TWO timesteps per HBM round trip (temporal blocking).
 
-    def step(f, rb, rt, flags, mask=None, mrb=None, mrt=None):
-        if has_solid and mask is None:
-            raise ValueError("pallas backend needs the solid mask")
-        mask = jnp.asarray(zero_mask) if mask is None else mask
-        mrb = jnp.asarray(zero_row) if mrb is None else mrb
-        mrt = jnp.asarray(zero_row) if mrt is None else mrt
-        return call(flags, f, rb, rt, mask, mrb, mrt)
+    Ring inputs are depth-2: rb2/rt2 (Q, 2, nxl), mrb2/mrt2 (2, nxl) —
+    parallel/halo.ring_rows(depth=2). Intermediate (t+1) halo rows are
+    recomputed locally from the depth-2 raw halos (collision and the BC
+    algebra are row-local), so nothing extra travels over ICI.
 
-    step.tile_height = Ty
-    return step
+    Returns None when the local block has fewer than 3 slabs (the chunk
+    builder then falls back to the 1-step kernel).
+    """
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    cfg = _build_cfg(problem, local_shape, interpret, substeps=2)
+    nyl = local_shape[0]
+    Q, Ty, nxl, n_ty = cfg.Q, cfg.Ty, cfg.nxl, cfg.n_ty
+    has_solid = cfg.has_solid
+    if n_ty < 3:
+        return None
+
+    def kernel(flags_ref, f_ref, rb_ref, rt_ref, mask_ref, mrb_ref, mrt_ref,
+               out_ref, fa, gb, ob, msl, g_rt, sem_f, sem_ob, sem_m):
+        fb, ft, fl, fr = (flags_ref[k] for k in range(4))
+
+        def f_dma(t):
+            return pltpu.make_async_copy(
+                f_ref.at[:, pl.ds(t * Ty, Ty), :], fa.at[t % 4], sem_f.at[t % 4])
+
+        def m_dma(t):
+            return pltpu.make_async_copy(
+                mask_ref.at[pl.ds(t * Ty, Ty), :], msl.at[t % 4], sem_m.at[t % 4])
+
+        def out_dma(t):
+            return pltpu.make_async_copy(
+                ob.at[t % 2], out_ref.at[:, pl.ds(t * Ty, Ty), :], sem_ob.at[t % 2])
+
+        def start_in(t):
+            f_dma(t).start()
+            if has_solid:
+                m_dma(t).start()
+
+        def wait_in(t):
+            f_dma(t).wait()
+            if has_solid:
+                m_dma(t).wait()
+
+        def collide_a(slot):
+            fw = [fa[slot, i] for i in range(Q)]
+            solid_rows = (msl[slot] > 0.5) if cfg.bounce_back else None
+            fp = _collide_rows(cfg, fw, solid_rows)
+            for i in range(Q):
+                fa[slot, i] = fp[i]
+
+        # A-collided depth-2 ring rows (loop-invariant values)
+        mrb = (mrb_ref[...] > 0.5) if cfg.bounce_back else None
+        mrt = (mrt_ref[...] > 0.5) if cfg.bounce_back else None
+        rbA = _collide_rows(cfg, [rb_ref[i] for i in range(Q)], mrb)  # (2,nxl)
+        rtA = _collide_rows(cfg, [rt_ref[i] for i in range(Q)], mrt)
+
+        # Prologue: raw slabs 0..2 in flight; 0 and 1 A-collided.
+        start_in(0)
+        start_in(1)
+        if n_ty > 3:
+            start_in(2)
+        wait_in(0)
+        collide_a(0)
+        wait_in(1)
+        collide_a(1)
+        if n_ty == 3:
+            start_in(2)
+
+        # Intermediate ring row below (t+1 state at local row -1): streamed
+        # from rbA + slab 0, BC'd, then B-collided. Frozen ghost at the
+        # physical bottom edge.
+        planes = []
+        for i in range(Q):
+            cx, cy = cfg.c[i]
+            if cy == 0:
+                row = rbA[i][1:2, :]
+            elif cy > 0:
+                row = rbA[i][0:1, :]
+            else:
+                row = fa[0, i, 0:1, :]
+            if cx:
+                row = pltpu.roll(row, cx % nxl, axis=1)
+            planes.append(row)
+        planes = _bc_row_values(cfg, planes, mrb_ref[1:2, :] if has_solid else None,
+                                fl, fr)
+        planes = _collide_rows(cfg, planes,
+                               (mrb_ref[1:2, :] > 0.5) if cfg.bounce_back else None)
+        eq_row = [jnp.full((1, nxl), cfg.eq_in[i], jnp.float32) for i in range(Q)]
+        g_rb = [jnp.where(fb == 1, eq_row[i], planes[i]) for i in range(Q)]
+
+        def collide_gb(gslot, cur_slot):
+            fw = [gb[gslot, i] for i in range(Q)]
+            solid_rows = (msl[cur_slot] > 0.5) if cfg.bounce_back else None
+            fp = _collide_rows(cfg, fw, solid_rows)
+            for i in range(Q):
+                gb[gslot, i] = fp[i]
+
+        # gB[0] in the prologue: below = ring, above = slab 1 (n_ty >= 3).
+        for i in range(Q):
+            gb[0, i] = _stream_rows(cfg, i, fa[0, i], rbA[i][1:2, :],
+                                    fa[1, i, 0:1, :])
+        _apply_bcs(cfg, gb, 0, msl if has_solid else None, 0,
+                   fb == 1, jnp.asarray(False, jnp.bool_), fl, fr)
+        collide_gb(0, 0)
+
+        def make_gb(s_idx):
+            """gB[s_idx % 3] = collideB(BC_A(streamA(slab s_idx))); s_idx >= 1
+            traced (gB[0] is handled in the prologue)."""
+            gslot = s_idx % 3
+            cur_slot = s_idx % 4
+            is_last = s_idx == n_ty - 1
+            for i in range(Q):
+                below = fa[(s_idx - 1) % 4, i, Ty - 1:Ty, :]
+                above = jnp.where(is_last, rtA[i][0:1, :],
+                                  fa[(s_idx + 1) % 4, i, 0:1, :])
+                gb[gslot, i] = _stream_rows(cfg, i, fa[cur_slot, i], below, above)
+            _apply_bcs(cfg, gb, gslot, msl if has_solid else None, cur_slot,
+                       jnp.asarray(False, jnp.bool_),
+                       jnp.logical_and(is_last, ft == 1), fl, fr)
+            collide_gb(gslot, cur_slot)
+
+        def loop(s, carry):
+            # stage 1: A-collide slab s+2; prefetch raw slab s+3
+            @pl.when(s + 2 < n_ty)
+            def _():
+                wait_in(s + 2)
+                collide_a((s + 2) % 4)
+
+            @pl.when(s + 3 < n_ty)
+            def _():
+                start_in(s + 3)
+
+            # intermediate ring row above: available once fa[n_ty-1] exists
+            @pl.when(s + 2 == n_ty - 1)
+            def _():
+                last = (n_ty - 1) % 4
+                for i in range(Q):
+                    cx, cy = cfg.c[i]
+                    if cy == 0:
+                        row = rtA[i][0:1, :]
+                    elif cy > 0:
+                        row = fa[last, i, Ty - 1:Ty, :]
+                    else:
+                        row = rtA[i][1:2, :]
+                    if cx:
+                        row = pltpu.roll(row, cx % nxl, axis=1)
+                    g_rt[0, i] = row
+                planes2 = _bc_row_values(
+                    cfg, [g_rt[0, i] for i in range(Q)],
+                    mrt_ref[0:1, :] if has_solid else None, fl, fr)
+                planes2 = _collide_rows(
+                    cfg, planes2,
+                    (mrt_ref[0:1, :] > 0.5) if cfg.bounce_back else None)
+                for i in range(Q):
+                    g_rt[0, i] = jnp.where(ft == 1, eq_row[i], planes2[i])
+
+            # stage 2: gB[s+1]
+            @pl.when(s + 1 < n_ty)
+            def _():
+                make_gb(s + 1)
+
+            # stage 3: out[s]
+            oslot = s % 2
+
+            @pl.when(s >= 2)
+            def _():
+                out_dma(s - 2).wait()
+
+            for i in range(Q):
+                below = jnp.where(s == 0, g_rb[i],
+                                  gb[(s - 1) % 3, i, Ty - 1:Ty, :])
+                above = jnp.where(s == n_ty - 1, g_rt[0, i],
+                                  gb[(s + 1) % 3, i, 0:1, :])
+                ob[oslot, i] = _stream_rows(cfg, i, gb[s % 3, i], below, above)
+
+            _apply_bcs(cfg, ob, oslot, msl if has_solid else None, s % 4,
+                       jnp.logical_and(s == 0, fb == 1),
+                       jnp.logical_and(s == n_ty - 1, ft == 1), fl, fr)
+
+            out_dma(s).start()
+            return carry
+
+        lax.fori_loop(0, n_ty, loop, 0, unroll=False)
+        if n_ty >= 2:
+            out_dma(n_ty - 2).wait()
+        out_dma(n_ty - 1).wait()
+
+    kernel.scratch_shapes = [
+        pltpu.VMEM((4, Q, Ty, nxl), jnp.float32),   # raw/A-collided slabs
+        pltpu.VMEM((3, Q, Ty, nxl), jnp.float32),   # B-collided intermediates
+        pltpu.VMEM((2, Q, Ty, nxl), jnp.float32),   # output slabs
+        pltpu.VMEM((4, Ty, nxl), jnp.float32),      # mask slabs
+        pltpu.VMEM((1, Q, 1, nxl), jnp.float32),    # intermediate top ring row
+        pltpu.SemaphoreType.DMA((4,)),
+        pltpu.SemaphoreType.DMA((2,)),
+        pltpu.SemaphoreType.DMA((4,)),
+    ]
+    return _wrap_call(cfg, kernel, nyl, 2, interpret, has_solid)

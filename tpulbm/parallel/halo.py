@@ -146,30 +146,31 @@ def refresh_ring(fpad, **kw):
 
 
 def ring_rows(f: jnp.ndarray, *, eq_ring: np.ndarray,
-              mesh_shape: tuple[int, int],
+              mesh_shape: tuple[int, int], depth: int = 1,
               axis_names: tuple[str, str] = ("y", "x")
               ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """y-halo rows for the unpadded-state (pallas) path: (rb, rt) each
-    (Q, 1, nxl) — the row below the local block (neighbor-below's last row)
-    and the row above (neighbor-above's first row); frozen ghost equilibrium
-    at physical y edges. mesh_x must be 1 (the pallas backend shards y only;
-    x-direction halos are lane rolls inside the kernel)."""
+    (Q, depth, nxl) — the rows below the local block (neighbor-below's last
+    `depth` rows) and above (neighbor-above's first `depth` rows); frozen
+    ghost equilibrium at physical y edges. depth=2 feeds the fused two-step
+    kernel. mesh_x must be 1 (the pallas backend shards y only; x-direction
+    halos are lane rolls inside the kernel)."""
     my, mx = mesh_shape
     if mx != 1:
         raise ValueError("ring_rows requires mesh_x == 1")
     ay = axis_names[0]
     Q, nyl, nxl = f.shape
-    eq_row = jnp.broadcast_to(
-        jnp.asarray(eq_ring, f.dtype)[:, None, None], (Q, 1, nxl))
+    eq_rows = jnp.broadcast_to(
+        jnp.asarray(eq_ring, f.dtype)[:, None, None], (Q, depth, nxl))
     if my == 1:
-        return eq_row, eq_row
-    top_edge = f[:, nyl - 1:nyl, :]
-    bottom_edge = f[:, 0:1, :]
+        return eq_rows, eq_rows
+    top_edge = f[:, nyl - depth:nyl, :]
+    bottom_edge = f[:, 0:depth, :]
     from_below = lax.ppermute(top_edge, ay, _perm_fwd(my, False))
     from_above = lax.ppermute(bottom_edge, ay, _perm_bwd(my, False))
     iy = lax.axis_index(ay)
-    rb = jnp.where(iy > 0, from_below, eq_row)
-    rt = jnp.where(iy < my - 1, from_above, eq_row)
+    rb = jnp.where(iy > 0, from_below, eq_rows)
+    rt = jnp.where(iy < my - 1, from_above, eq_rows)
     return rb, rt
 
 

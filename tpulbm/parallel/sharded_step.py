@@ -14,6 +14,7 @@ ring refreshed by two-phase ppermute (parallel/halo.py).
 """
 from __future__ import annotations
 
+import os
 from functools import partial
 
 import jax
@@ -44,12 +45,18 @@ def make_chunk_fn(problem: Problem, mesh: Mesh, chunk_len: int,
     has_solid = problem.solid is not None
 
     if backend == "pallas":
-        from ..ops.step_pallas import make_local_step_pallas
+        from ..ops.step_pallas import (make_local_step_pallas,
+                                       make_local_step_pallas2)
         if mesh_shape[1] != 1:
             raise ValueError(
                 "the pallas backend shards over y only; use mesh (N, 1) or "
                 "backend='jax' for x-sharded meshes")
         pallas_step = make_local_step_pallas(problem, local_shape)
+        # temporal blocking: two timesteps per HBM round trip when the chunk
+        # length is even and the local block has enough slabs
+        pallas_step2 = None
+        if chunk_len % 2 == 0 and not os.environ.get("TPULBM_NO_FUSED2"):
+            pallas_step2 = make_local_step_pallas2(problem, local_shape)
     elif backend == "jax":
         local_step = make_local_step_padded(problem, local_shape)
     else:
@@ -86,14 +93,30 @@ def make_chunk_fn(problem: Problem, mesh: Mesh, chunk_len: int,
         flags = jnp.stack([
             (y0 == 0), (y0 + nyl == problem.params.ny),
             jnp.array(True), jnp.array(True)]).astype(jnp.int32)
-        if has_solid:
+
+        def mask_rings(depth):
+            if not has_solid:
+                return None, None, None
             mask = solid_local.astype(jnp.float32)
             # neighbors' solid edge rows, once per chunk (the mask is static)
-            mrb, mrt = halo.ring_rows(mask[None], eq_ring=np.zeros(1, np.float32),
-                                      mesh_shape=mesh_shape)
-            mrb, mrt = mrb[0:1, 0], mrt[0:1, 0]  # (1, nxl)
-        else:
-            mask = mrb = mrt = None
+            mrb, mrt = halo.ring_rows(mask[None],
+                                      eq_ring=np.zeros(1, np.float32),
+                                      mesh_shape=mesh_shape, depth=depth)
+            return mask, mrb[0], mrt[0]  # (depth, nxl)
+
+        if pallas_step2 is not None:
+            mask, mrb, mrt = mask_rings(2)
+
+            def two_steps(f, _):
+                rb, rt = halo.ring_rows(f, eq_ring=eq_ring,
+                                        mesh_shape=mesh_shape, depth=2)
+                return pallas_step2(f, rb, rt, flags, mask, mrb, mrt), None
+
+            f_local, _ = lax.scan(two_steps, f_local, None,
+                                  length=chunk_len // 2)
+            return f_local
+
+        mask, mrb, mrt = mask_rings(1)
 
         def one_step(f, _):
             rb, rt = halo.ring_rows(f, eq_ring=eq_ring, mesh_shape=mesh_shape)
