@@ -60,6 +60,18 @@ class Oracle:
                 uy = (C[:, 1] * fc).sum() / rho
                 self.f_next[y + 1, x + 1] = fc - inv_tau * (fc - eq(rho, ux, uy))
 
+    def exchange_ghost_cells(self):
+        """Single-rank ghost exchange, mirroring the reference exactly:
+        unpack_ghost_cells copies the east/west recv buffers UNCONDITIONALLY
+        (LBMGrid.h:448-466) even though nothing was received from
+        MPI_PROC_NULL, so the zero-initialized buffers wipe the E/W ghost
+        columns (interior rows) of f_next every step. N/S ghost rows and
+        corner ghosts are neighbor-guarded / never touched and keep their
+        initial equilibrium."""
+        p = self.p
+        self.f_next[1:p.ny + 1, 0, :] = 0.0        # west ghost column
+        self.f_next[1:p.ny + 1, p.nx + 1, :] = 0.0  # east ghost column
+
     def streaming(self):
         p = self.p
         for y in range(p.ny):
@@ -105,6 +117,7 @@ class Oracle:
 
     def step(self):
         self.collision()
+        self.exchange_ghost_cells()
         self.streaming()
         self.boundary_conditions()
 
@@ -166,6 +179,7 @@ def test_forces_match_oracle():
         force = np.asarray(ffn(f))
         np.testing.assert_allclose(force, [fx_ref, fy_ref], rtol=1e-10,
                                    atol=1e-14, err_msg=f"step {t}")
+        oracle.exchange_ghost_cells()
         oracle.streaming()
         oracle.boundary_conditions()
         f = np.asarray(step(f))

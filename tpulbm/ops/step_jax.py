@@ -96,28 +96,42 @@ def make_step_rolled(problem: Problem) -> Callable[[jnp.ndarray], jnp.ndarray]:
             shifts = (ciz, ciy, cix)[-ndim:]
             axes = tuple(range(ndim))
             plane = jnp.roll(f_post[i], shifts, axes)
-            # Ghost sanitize: pulls that crossed a non-periodic global edge
-            # read the frozen ghost equilibrium instead of the wrapped value.
-            conds = []
+            # Ghost sanitize — pulls that crossed a non-periodic global edge
+            # read the reference's ghost values, which are NOT uniform
+            # (verified against the compiled reference, validation/):
+            #   * x-edge ghost columns are ZERO: unpack_ghost_cells copies
+            #     the east/west recv buffers unconditionally even with no
+            #     neighbor (LBMGrid.h:448-466), and an Irecv from
+            #     MPI_PROC_NULL never writes, so the zero-initialized
+            #     vectors wipe those ghosts every step;
+            #   * y-edge ghost rows keep the frozen initial equilibrium
+            #     (their unpack is neighbor-guarded, LBMGrid.h:469-490);
+            #   * corner ghosts keep the frozen initial equilibrium
+            #     (no unpack loop ever touches them).
+            x_out = None
             if not problem.periodic_x:
                 if cix > 0:
-                    conds.append(coords["xx"] == 0)
+                    x_out = coords["xx"] == 0
                 elif cix < 0:
-                    conds.append(coords["xx"] == p.nx - 1)
+                    x_out = coords["xx"] == p.nx - 1
+            y_out = None
             if ciy > 0:
-                conds.append(coords["yy"] == 0)
+                y_out = coords["yy"] == 0
             elif ciy < 0:
-                conds.append(coords["yy"] == p.ny - 1)
+                y_out = coords["yy"] == p.ny - 1
             if lat.D == 3:
                 if ciz > 0:
-                    conds.append(coords["zz"] == 0)
+                    y_out = (coords["zz"] == 0) if y_out is None \
+                        else y_out | (coords["zz"] == 0)
                 elif ciz < 0:
-                    conds.append(coords["zz"] == p.nz - 1)
-            if conds:
-                m = conds[0]
-                for cnd in conds[1:]:
-                    m = m | cnd
-                plane = jnp.where(m, jnp.asarray(eq_ring[i], plane.dtype), plane)
+                    y_out = (coords["zz"] == p.nz - 1) if y_out is None \
+                        else y_out | (coords["zz"] == p.nz - 1)
+            eq_i = jnp.asarray(eq_ring[i], plane.dtype)
+            if x_out is not None:
+                only_x = x_out if y_out is None else (x_out & ~y_out)
+                plane = jnp.where(only_x, jnp.asarray(0.0, plane.dtype), plane)
+            if y_out is not None:
+                plane = jnp.where(y_out, eq_i, plane)
             planes.append(plane)
         planes = boundaries.apply_all(problem, planes, coords)
         return jnp.stack(planes)
@@ -144,6 +158,41 @@ def make_local_step_padded(problem: Problem,
     shape = local_shape or problem.spatial_shape
     ndim = len(shape)
 
+    eq_ring = problem.ghost_ring_values()
+    p = problem.params
+
+    def _overwrite_physical_ghosts(f_post, offsets):
+        """Reference ghost semantics at physical domain edges (see the
+        sanitize note in make_step_rolled): x-edge ghost columns are ZERO
+        (LBMGrid.h:448-466 unconditional unpack of never-received buffers),
+        y-edge ghost rows and corner ghosts hold the frozen initial
+        equilibrium. Interior (shard-boundary) ring cells keep the real
+        neighbor data already in fpad."""
+        if ndim != 2:
+            return f_post  # 3-D models overwrite all x-edge pops via BCs
+        nyl, nxl = shape
+        Q = lat.Q
+        dt = f_post.dtype
+        y0, x0 = offsets
+        is_bottom, is_top = y0 == 0, y0 + nyl == p.ny
+        is_left, is_right = x0 == 0, x0 + nxl == p.nx
+        eq = jnp.asarray(eq_ring, dt)                       # (Q,)
+        eq_rows = jnp.broadcast_to(eq[:, None], (Q, nxl + 2))
+        f_post = f_post.at[:, 0, :].set(
+            jnp.where(is_bottom, eq_rows, f_post[:, 0, :]))
+        f_post = f_post.at[:, -1, :].set(
+            jnp.where(is_top, eq_rows, f_post[:, -1, :]))
+        if not problem.periodic_x:
+            cb = jnp.where(is_bottom, eq, jnp.zeros((Q,), dt))
+            ct = jnp.where(is_top, eq, jnp.zeros((Q,), dt))
+            cols = jnp.zeros((Q, nyl + 2), dt)
+            cols = cols.at[:, 0].set(cb).at[:, -1].set(ct)
+            f_post = f_post.at[:, :, 0].set(
+                jnp.where(is_left, cols, f_post[:, :, 0]))
+            f_post = f_post.at[:, :, -1].set(
+                jnp.where(is_right, cols, f_post[:, :, -1]))
+        return f_post
+
     def step(fpad, solid_local, offsets, solid_pad=None):
         # Collide the whole padded block (pointwise; halo cells produce the
         # same post-collision values their owner computes).
@@ -151,6 +200,7 @@ def make_local_step_padded(problem: Problem,
             f_post = _collide_block(problem, fpad, solid_pad)
         else:
             f_post = _collide_block(problem, fpad, None)
+        f_post = _overwrite_physical_ghosts(f_post, offsets[-2:])
         planes = []
         for i in range(lat.Q):
             comps = tuple(int(c[i, d]) for d in range(lat.D))  # (cx, cy[, cz])

@@ -138,20 +138,35 @@ def _apply_bcs(cfg: _Cfg, ref, slot, msl, mslot, is_bottom, is_top, fl, fr,
             m = m[:, cs:ce]
         return m
 
-    # ghost sanitize at physical x edges (LBMGrid.h:185-213)
+    # Ghost sanitize at physical x edges. The reference's E/W ghost columns
+    # are ZERO every step (unpack_ghost_cells copies never-received,
+    # zero-initialized recv buffers unconditionally, LBMGrid.h:448-466,
+    # verified against the compiled reference); only the four corner ghosts
+    # keep the frozen initial equilibrium (no unpack touches them).
     if not cfg.periodic_x:
         for i in range(Q):
-            cx, _ = cfg.c[i]
-            if cx > 0:
-                @pl.when(fl == 1)
-                def _(i=i):
-                    ref[slot, i, :, 0:1] = jnp.full((Ty, 1), eq_in[i],
-                                                    jnp.float32)
-            elif cx < 0:
-                @pl.when(fr == 1)
-                def _(i=i):
-                    ref[slot, i, :, nxl - 1:nxl] = jnp.full((Ty, 1), eq_in[i],
-                                                            jnp.float32)
+            cx, cy = cfg.c[i]
+            if cx == 0:
+                continue
+            xc = 0 if cx > 0 else nxl - 1
+            fe = fl if cx > 0 else fr
+
+            @pl.when(fe == 1)
+            def _(i=i, xc=xc):
+                ref[slot, i, :, xc:xc + 1] = jnp.zeros((Ty, 1), jnp.float32)
+
+            # corner ghost pulls: the diagonal population whose source is a
+            # corner ghost reads the frozen equilibrium instead of zero
+            if cy > 0:
+                @pl.when(jnp.logical_and(fe == 1, is_bottom))
+                def _(i=i, xc=xc):
+                    ref[slot, i, 0:1, xc:xc + 1] = jnp.full(
+                        (1, 1), eq_in[i], jnp.float32)
+            elif cy < 0:
+                @pl.when(jnp.logical_and(fe == 1, is_top))
+                def _(i=i, xc=xc):
+                    ref[slot, i, Ty - 1:Ty, xc:xc + 1] = jnp.full(
+                        (1, 1), eq_in[i], jnp.float32)
 
     # walls (LBMSolver.h:153-176)
     if cfg.walls_y:
@@ -228,14 +243,16 @@ def _bc_row_values(cfg: _Cfg, planes, mask_row, fl, fr):
     col = jax.lax.broadcasted_iota(jnp.int32, (1, nxl), 1)
     planes = list(planes)
     if not cfg.periodic_x:
+        # x-edge ghost pulls are ZERO (see _apply_bcs); ring rows are always
+        # global-interior rows when these values are used, so no corner case.
         for i in range(Q):
             cx, _ = cfg.c[i]
             if cx > 0:
                 planes[i] = jnp.where((col == 0) & (fl == 1),
-                                      jnp.float32(eq_in[i]), planes[i])
+                                      jnp.float32(0.0), planes[i])
             elif cx < 0:
                 planes[i] = jnp.where((col == nxl - 1) & (fr == 1),
-                                      jnp.float32(eq_in[i]), planes[i])
+                                      jnp.float32(0.0), planes[i])
     fluid = (mask_row < 0.5) if cfg.has_solid else None
 
     def guard(m):

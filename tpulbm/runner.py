@@ -133,6 +133,14 @@ class Runner:
         freq = p.output_frequency
         ckpt_dir = os.path.join(p.output_dir, p.checkpoint_dir)
         chunks_done = 0
+        # The reference's final fields are the macroscopic values stored
+        # during the LAST collision (moments of the state before the final
+        # step) with the final step's BC overrides at the inlet/outlet
+        # columns (LBMSolver.h:111-114, 203-234; LBMIO.h:194-219). To
+        # reproduce its velocity_field.csv exactly we stop one step short,
+        # snapshot the fields, then advance the last step.
+        t_fields = max(p.num_timesteps - 1, start_step)
+        fields_prev = None
         try:
             while t < p.num_timesteps:
                 if t % freq == 0:
@@ -149,6 +157,12 @@ class Runner:
                             self._write_frame(f, t)
 
                 n = min(freq - (t % freq), p.num_timesteps - t)
+                if t < t_fields:
+                    n = min(n, t_fields - t)
+                elif t == t_fields:
+                    rho_p, u_p = self._fields(f)
+                    fields_prev = (np.array(jax.device_get(rho_p)),
+                                   np.array(jax.device_get(u_p)))
                 chunk = self._chunk_fn(n)
                 with meter.measure(n):
                     f = chunk(f, solid_dev)
@@ -172,22 +186,36 @@ class Runner:
 
         stats = None
         if success:
-            stats = self.write_final_results(f)
+            stats = self.write_final_results(f, fields_prev)
         wall = time.perf_counter() - t0_wall
         if self.verbose:
             print(f"\nThroughput: {meter.mlups:.1f} MLUPS over "
                   f"{meter.steps} steps ({wall:.1f}s wall total)")
         return RunResult(success, t, meter.mlups, wall, forces_path, stats)
 
-    def write_final_results(self, f) -> dict | None:
+    def write_final_results(self, f, fields_prev=None) -> dict | None:
         """Final artifacts (parity: IOManager::write_final_results,
-        LBMIO.h:194-219)."""
+        LBMIO.h:194-219). With `fields_prev` (the pre-final-step fields),
+        reproduces the reference's reporting exactly: interior values from
+        the last collision, inlet/outlet columns from the final BC
+        application (see run())."""
         p = self.params
         if self.verbose:
             print("\nGathering final results...")
         rho, u = self._fields(f)
         rho = np.asarray(jax.device_get(rho))
         u = np.asarray(jax.device_get(u))
+        if fields_prev is not None:
+            rho_prev, u_prev = fields_prev
+            edge_cols = []
+            if self.problem.inlet_zou_he or self.problem.inlet_equilibrium:
+                edge_cols.append(0)
+            if self.problem.outlet_zou_he or self.problem.outlet_zero_grad:
+                edge_cols.append(p.nx - 1)
+            for col in edge_cols:
+                rho_prev[..., col] = rho[..., col]
+                u_prev[..., col] = u[..., col]
+            rho, u = rho_prev, u_prev
         stats = None
         if not p.is_3d:
             io_mod.write_velocity_field(u[0], u[1], rho, p, p.output_dir)
