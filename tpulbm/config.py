@@ -48,6 +48,8 @@ class SimulationParams:
     # --- new capabilities (absent from the reference) ---
     problem: str = "cylinder"        # "cylinder" | "poiseuille" | "cylinder3d"
     obstacle_bc: str = "equilibrium"  # "equilibrium" (reference parity) | "bounce_back"
+    collision: str = "bgk"           # "bgk" (reference parity) | "trt" (new: stable at low tau)
+    trt_magic: float = 3.0 / 16.0    # TRT magic parameter Λ
     body_force: tuple[float, ...] = ()  # Guo-style forcing (ref dead code LBMUtils.h:15-19)
     periodic_x: bool = False         # poiseuille channel uses periodic x
     precision: str = "f32"           # "f32" (TPU-native) | "f64" (validation)
@@ -176,6 +178,7 @@ def add_cli_args(parser: argparse.ArgumentParser) -> None:
                         default=None)
     parser.add_argument("--obstacle-bc", choices=["equilibrium", "bounce_back"],
                         default=None)
+    parser.add_argument("--collision", choices=["bgk", "trt"], default=None)
     parser.add_argument("--precision", choices=["f32", "f64"], default=None)
     parser.add_argument("--backend", choices=["pallas", "jax"], default=None)
     parser.add_argument("--mesh", type=str, default=None,
@@ -205,6 +208,8 @@ def params_from_args(args: argparse.Namespace) -> SimulationParams:
             overrides[field] = val
     if getattr(args, "obstacle_bc", None) is not None:
         overrides["obstacle_bc"] = args.obstacle_bc
+    if getattr(args, "collision", None) is not None:
+        overrides["collision"] = args.collision
     if args.no_vtk:
         overrides["enable_vtk"] = False
     params = params.replace(**overrides)

@@ -38,6 +38,8 @@ class Problem:
     periodic_x: bool = False
     body_force: tuple[float, ...] = ()
     obstacle_bc: str = "equilibrium"  # see ops/step_jax.py for semantics
+    collision: str = "bgk"            # "bgk" | "trt" (physics.collide_trt)
+    trt_magic: float = 3.0 / 16.0
 
     @property
     def spatial_shape(self) -> tuple[int, ...]:

@@ -30,4 +30,6 @@ def make_problem(params: SimulationParams) -> Problem:
         periodic_x=False,
         body_force=tuple(params.body_force),
         obstacle_bc=params.obstacle_bc,
+        collision=params.collision,
+        trt_magic=params.trt_magic,
     )

@@ -29,6 +29,8 @@ def make_problem(params: SimulationParams) -> Problem:
         periodic_x=True,
         body_force=force,
         obstacle_bc=params.obstacle_bc,
+        collision=params.collision,
+        trt_magic=params.trt_magic,
     )
 
 

@@ -61,14 +61,13 @@ def force_coefficients(problem: Problem, force: np.ndarray) -> tuple[float, floa
 def forces_fn(problem: Problem):
     """Jittable f -> force vector: collide then momentum-exchange, matching
     the reference's call point (post-collision, pre-streaming)."""
+    from .step_jax import _collide_block
     solid_np = problem.solid
 
     def fn(f):
         solid = jnp.asarray(solid_np)
-        f_post = physics.collide(problem.lattice, f, 1.0 / problem.params.tau,
-                                 problem.body_force)
-        if problem.obstacle_bc == "bounce_back":
-            f_post = jnp.where(solid[None], f, f_post)
+        f_post = _collide_block(
+            problem, f, solid if problem.obstacle_bc == "bounce_back" else None)
         return momentum_exchange(problem, f_post, solid)
 
     return fn

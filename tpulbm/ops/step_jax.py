@@ -45,7 +45,11 @@ def _collide_block(problem: Problem, f: jnp.ndarray,
     LBMSolver.h:91); their stored reversed populations stream out unchanged.
     """
     inv_tau = 1.0 / problem.params.tau
-    f_post = physics.collide(problem.lattice, f, inv_tau, problem.body_force)
+    if problem.collision == "trt":
+        f_post = physics.collide_trt(problem.lattice, f, inv_tau,
+                                     problem.body_force, problem.trt_magic)
+    else:
+        f_post = physics.collide(problem.lattice, f, inv_tau, problem.body_force)
     if solid is not None and problem.obstacle_bc == "bounce_back":
         f_post = jnp.where(solid[None], f, f_post)
     return f_post

@@ -60,6 +60,7 @@ class _Cfg:
     w: tuple            # weights, python floats
     opp: tuple
     inv_tau: float
+    omega_minus: float | None  # TRT odd-moment rate; None → BGK
     u_in: float
     eq_in: tuple        # frozen ghost equilibrium per direction
     src: tuple | None   # body-force source term per direction
@@ -87,6 +88,28 @@ def _collide_rows(cfg: _Cfg, fw, solid_rows):
     uy = my * inv_rho
     base = 1.0 - 1.5 * (ux * ux + uy * uy)
     out = []
+    if cfg.omega_minus is not None:
+        # TRT (physics.collide_trt): even/odd deviations with closed-form
+        # equilibrium parts: feq_i ± feq_opp = 2 w rho (base + 4.5cu²) / 6 w rho cu
+        hp = 0.5 * cfg.inv_tau
+        hm = 0.5 * cfg.omega_minus
+        for i in range(cfg.Q):
+            cx, cy = cfg.c[i]
+            cu = (cx * ux if cx else 0.0) + (cy * uy if cy else 0.0)
+            wr = cfg.w[i] * rho
+            f_o = fw[cfg.opp[i]]
+            if cx or cy:
+                even_dev = (fw[i] + f_o) - 2.0 * wr * (base + 4.5 * cu * cu)
+                odd_dev = (fw[i] - f_o) - 6.0 * wr * cu
+                fp = fw[i] - hp * even_dev - hm * odd_dev
+            else:
+                fp = fw[i] - cfg.inv_tau * (fw[i] - wr * base)
+            if cfg.src is not None and cfg.src[i]:
+                fp = fp + cfg.src[i]
+            if cfg.bounce_back:
+                fp = jnp.where(solid_rows, fw[i], fp)
+            out.append(fp)
+        return out
     for i in range(cfg.Q):
         cx, cy = cfg.c[i]
         cu = (cx * ux if cx else 0.0) + (cy * uy if cy else 0.0)
@@ -325,9 +348,15 @@ def _build_cfg(problem: Problem, local_shape, interpret, substeps=1) -> _Cfg:
                 f"local ny must have a multiple-of-8 divisor small enough")
         Ty = max(valid)
 
+    from .. import physics as _physics
+    omega_minus = None
+    if problem.collision == "trt":
+        omega_minus = _physics.omega_minus_trt(1.0 / problem.params.tau,
+                                               problem.trt_magic)
     return _Cfg(
         Q=Q, c=c, w=w, opp=tuple(int(v) for v in lat.opposite),
         inv_tau=1.0 / problem.params.tau,
+        omega_minus=omega_minus,
         u_in=float(problem.init_u[0]),
         eq_in=tuple(float(v) for v in problem.ghost_ring_values()),
         src=src, has_solid=has_solid,

@@ -119,6 +119,49 @@ def collide(lat: Lattice, f: jnp.ndarray, inv_tau: float,
     return f_post
 
 
+def omega_minus_trt(inv_tau: float, magic: float = 3.0 / 16.0) -> float:
+    """Odd-moment relaxation rate for TRT given the viscosity rate 1/tau and
+    the 'magic parameter' Λ = (1/ω+ − ½)(1/ω− − ½). Λ = 3/16 places
+    bounce-back walls exactly halfway along links and is the standard
+    stability-optimal choice."""
+    lam_plus = 1.0 / inv_tau - 0.5
+    lam_minus = magic / lam_plus
+    return 1.0 / (lam_minus + 0.5)
+
+
+def collide_trt(lat: Lattice, f: jnp.ndarray, inv_tau: float,
+                force: tuple[float, ...] = (),
+                magic: float = 3.0 / 16.0) -> jnp.ndarray:
+    """Two-relaxation-time collision (new capability — the reference is
+    BGK-only). Even population parts f⁺ relax at 1/tau (sets viscosity, same
+    as BGK); odd parts f⁻ relax at ω⁻ from the magic parameter. Markedly
+    more stable than BGK as tau → 1/2 and degenerates to BGK when ω⁻ = 1/tau
+    (Λ = λ⁺²).
+
+        f_post = f − ω⁺ (f⁺ − feq⁺) − ω⁻ (f⁻ − feq⁻),
+        g±_i = (g_i ± g_opp(i)) / 2.
+    """
+    rho, u = moments(lat, f)
+    feq = equilibrium(lat, rho, u)
+    opp = tuple(int(v) for v in lat.opposite)
+    f_o = f[jnp.array(opp)]
+    feq_o = feq[jnp.array(opp)]
+    omega_p = inv_tau
+    omega_m = omega_minus_trt(inv_tau, magic)
+    # f - ω+ (f+ - feq+) - ω- (f- - feq-), with g± = (g ± g_opp)/2
+    half_p = 0.5 * omega_p
+    half_m = 0.5 * omega_m
+    f_post = (f
+              - half_p * ((f + f_o) - (feq + feq_o))
+              - half_m * ((f - f_o) - (feq - feq_o)))
+    if force:
+        c = lat.c.astype(np.float64)
+        F = np.asarray(force, dtype=np.float64)
+        src = np.asarray(3.0 * lat.w * (c @ F))
+        f_post = f_post + jnp.asarray(src, f.dtype).reshape(_wshape(lat, rho.ndim))
+    return f_post
+
+
 def rest_equilibrium(lat: Lattice, dtype=np.float64) -> np.ndarray:
     """Equilibrium at (rho=1, u=0) — just the weights. This is what the
     reference's solid cells hold forever in f_next (see note below)."""
