@@ -17,8 +17,10 @@ from __future__ import annotations
 import dataclasses
 import os
 import time
+from concurrent.futures import ThreadPoolExecutor
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from .config import SimulationParams
@@ -60,7 +62,25 @@ class Runner:
         self._fields = jax.jit(diagnostics.fields_fn(self.problem))
         self._stable = jax.jit(diagnostics.stability_fn(self.problem))
         self._max_vel = jax.jit(diagnostics.max_velocity_fn(self.problem))
+
+        # One fused boundary-diagnostics call per output interval: forces +
+        # max-velocity + stability in a single device round trip. The
+        # reference pays an MPI_Allreduce EVERY step plus separate force
+        # reductions (LBMSolver.h:52-67); host↔device latency makes per-item
+        # fetches the analogous tax here.
+        forces_fn_ = forces_mod.forces_fn(self.problem) \
+            if self.problem.solid is not None else None
+        stable_fn_ = diagnostics.stability_fn(self.problem)
+        maxv_fn_ = diagnostics.max_velocity_fn(self.problem)
+
+        def _diag(f):
+            force = forces_fn_(f) if forces_fn_ is not None else jnp.zeros(2)
+            return force, maxv_fn_(f), stable_fn_(f)
+
+        self._diag = jax.jit(_diag)
         os.makedirs(params.output_dir, exist_ok=True)
+        self._io_pool = ThreadPoolExecutor(max_workers=1)
+        self._io_futures: list = []
 
     # ---- banners (parity: LBMSolver.h:32-37, LBMGrid.h:92-102, 178-182) ----
     def _print_banner(self):
@@ -89,12 +109,13 @@ class Runner:
                 self.problem, self.mesh, length, backend=self.params.backend)
         return self._chunk_cache[length]
 
-    def _write_frame(self, f, t: int):
-        rho, u = self._fields(f)
-        rho = np.asarray(jax.device_get(rho))
-        u = np.asarray(jax.device_get(u))
-        io_mod.write_vtk_timestep(u[0], u[1], rho, self.params, t,
-                                  self.params.output_dir)
+    def _drain_io(self):
+        """Wait for async VTK writes (formatting a 1M-cell ASCII frame must
+        not stall the device; the reference serializes gather+write on the
+        critical path, LBMSolver.h:269-362)."""
+        for fut in self._io_futures:
+            fut.result()
+        self._io_futures = []
 
     def run(self, resume: bool = True) -> RunResult:
         p = self.params
@@ -142,47 +163,66 @@ class Runner:
         t_fields = max(p.num_timesteps - 1, start_step)
         fields_prev = None
         try:
-            while t < p.num_timesteps:
-                if t % freq == 0:
-                    if force_writer is not None:
-                        fvec = np.asarray(jax.device_get(self._forces(f)))
-                        cd, cl = forces_mod.force_coefficients(problem, fvec)
-                        force_writer.record(t, float(fvec[0]), float(fvec[1]),
-                                            cd, cl)
-                    if t > 0:
-                        mv = float(jax.device_get(self._max_vel(f)))
-                        if self.verbose:
-                            print(f"Timestep {t}: max_vel={mv:.6f}")
-                        if p.enable_vtk and t >= p.vtk_start_step:
-                            self._write_frame(f, t)
+            with meter.measure(p.num_timesteps - start_step):
+                while t < p.num_timesteps:
+                    # One fused diagnostics round trip per output interval
+                    # (forces + max-vel + stability) replaces the reference's
+                    # per-step MPI_Allreduce plus separate force reductions
+                    # (LBMSolver.h:52-67). Fetched before the next chunk is
+                    # dispatched — the experimental remote-TPU runtime has
+                    # been observed to wedge on overlapped dispatch against a
+                    # donated buffer — with the heavy ASCII formatting still
+                    # pushed off-thread.
+                    if t % freq == 0:
+                        fvec, mv, stable = jax.device_get(self._diag(f))
+                        frame = None
+                        if (t > 0 and p.enable_vtk and t >= p.vtk_start_step
+                                and not p.is_3d):
+                            rho_f, u_f = jax.device_get(self._fields(f))
+                            frame = (np.asarray(rho_f), np.asarray(u_f))
+                        if force_writer is not None:
+                            fvec = np.asarray(fvec)
+                            cd, cl = forces_mod.force_coefficients(problem, fvec)
+                            force_writer.record(t, float(fvec[0]),
+                                                float(fvec[1]), cd, cl)
+                        if t > 0:
+                            if self.verbose:
+                                print(f"Timestep {t}: max_vel={float(mv):.6f}")
+                            if frame is not None:
+                                self._io_futures.append(self._io_pool.submit(
+                                    io_mod.write_vtk_timestep, frame[1][0],
+                                    frame[1][1], frame[0], p, t, p.output_dir))
+                                self._io_futures = [fut for fut in
+                                                    self._io_futures
+                                                    if not fut.done()]
+                        if not bool(stable):
+                            print(f"Simulation unstable at timestep {t}")
+                            success = False
+                            break
 
-                n = min(freq - (t % freq), p.num_timesteps - t)
-                if t < t_fields:
-                    n = min(n, t_fields - t)
-                elif t == t_fields:
-                    rho_p, u_p = self._fields(f)
-                    fields_prev = (np.array(jax.device_get(rho_p)),
-                                   np.array(jax.device_get(u_p)))
-                chunk = self._chunk_fn(n)
-                with meter.measure(n):
+                    n = min(freq - (t % freq), p.num_timesteps - t)
+                    if t < t_fields:
+                        n = min(n, t_fields - t)
+                    elif t == t_fields:
+                        rho_p, u_p = self._fields(f)
+                        fields_prev = (np.array(jax.device_get(rho_p)),
+                                       np.array(jax.device_get(u_p)))
+                    chunk = self._chunk_fn(n)
                     f = chunk(f, solid_dev)
-                    # block_until_ready is unreliable on remote-TPU platforms;
-                    # a tiny device_get is a real fence.
-                    jax.block_until_ready(f)
-                    jax.device_get(f[(0,) * f.ndim])
-                t += n
-                chunks_done += 1
+                    t += n
+                    chunks_done += 1
 
-                if not bool(jax.device_get(self._stable(f))):
+                    if p.checkpoint_every and chunks_done % p.checkpoint_every == 0:
+                        ckpt.save(ckpt_dir, t, jax.device_get(f), p)
+
+                # final fence + stability check of the end state
+                if success and not bool(jax.device_get(self._stable(f))):
                     print(f"Simulation unstable at timestep {t}")
                     success = False
-                    break
-
-                if p.checkpoint_every and chunks_done % p.checkpoint_every == 0:
-                    ckpt.save(ckpt_dir, t, jax.device_get(f), p)
         finally:
             if force_writer is not None:
                 force_writer.close()
+            self._drain_io()
 
         stats = None
         if success:
