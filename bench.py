@@ -18,17 +18,21 @@ import time
 
 
 def bench(nx=2048, ny=512, backend="pallas", chunk_len=250, chunks=8,
-          warmup=2, precision="f32", mesh_shape=(1, 1), verbose=False):
+          warmup=2, precision="f32", mesh_shape=(1, 1), verbose=False,
+          reynolds=200.0):
     import jax
     import numpy as np
 
-    from tpulbm.config import SimulationParams
+    from tpulbm.config import SimulationParams, tau_for_reynolds
     from tpulbm.models import make_problem
     from tpulbm.parallel.mesh import make_mesh
     from tpulbm.parallel.sharded_step import make_chunk_fn, shard_state
 
+    # the driver metric is at Re=200 (the re200 preset's stable parameters)
     params = SimulationParams(nx=nx, ny=ny, precision=precision,
-                              backend=backend, mesh_shape=mesh_shape)
+                              backend=backend, mesh_shape=mesh_shape,
+                              inlet_velocity=0.05,
+                              tau=tau_for_reynolds(reynolds, 0.05, ny))
     problem = make_problem(params)
     n_dev = mesh_shape[0] * mesh_shape[1]
     mesh = make_mesh(mesh_shape, devices=jax.devices()[:n_dev])
@@ -91,13 +95,14 @@ def main():
 
     baseline = 5000.0
     print(json.dumps({
-        "metric": "MLUPS/chip, D2Q9 cylinder 2048x512 f32",
+        "metric": "MLUPS/chip, D2Q9 cylinder 2048x512 f32 Re=200",
         "value": round(mlups, 1),
         "unit": "MLUPS",
         "vs_baseline": round(mlups / baseline, 4),
         "backend": backend,
         "steps": steps,
         "wall_seconds": round(dt, 3),
+        "wall_clock_per_1k_steps_s": round(dt / steps * 1000, 4),
     }))
 
 
