@@ -17,7 +17,6 @@ from __future__ import annotations
 import jax.numpy as jnp
 import numpy as np
 
-from .. import physics
 from ..models.base import Problem
 
 

@@ -15,7 +15,6 @@ ring refreshed by two-phase ppermute (parallel/halo.py).
 from __future__ import annotations
 
 import os
-from functools import partial
 
 import jax
 import jax.numpy as jnp
