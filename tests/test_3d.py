@@ -64,3 +64,37 @@ def test_3d_runner_end_to_end(tmp_path):
     assert (tmp_path / "fields3d.npz").exists()
     data = np.load(tmp_path / "fields3d.npz")
     assert data["ux"].shape == (8, 16, 32)
+
+
+def test_3d_pallas_matches_jax():
+    # fused D3Q19 plane-slab kernel (interpret mode) vs the jax tier
+    params = _params(precision="f32")
+    problem = make_problem(params)
+    mesh = make_mesh((1, 1), devices=jax.devices()[:1])
+
+    def run(backend):
+        chunk = make_chunk_fn(problem, mesh, 4, backend=backend)
+        f, solid = shard_state(mesh, problem.initial_state(), problem.solid)
+        f = chunk(f, solid)
+        f = chunk(f, solid)
+        return np.asarray(jax.device_get(f))
+
+    ref = run("jax")
+    got = run("pallas")
+    np.testing.assert_allclose(got, ref, rtol=5e-6, atol=1e-7)
+
+
+def test_3d_pallas_bounce_back_and_trt():
+    params = _params(precision="f32", obstacle_bc="bounce_back",
+                     collision="trt")
+    problem = make_problem(params)
+    mesh = make_mesh((1, 1), devices=jax.devices()[:1])
+
+    def run(backend):
+        chunk = make_chunk_fn(problem, mesh, 3, backend=backend)
+        f, solid = shard_state(mesh, problem.initial_state(), problem.solid)
+        f = chunk(f, solid)
+        return np.asarray(jax.device_get(f))
+
+    np.testing.assert_allclose(run("pallas"), run("jax"), rtol=5e-6,
+                               atol=1e-7)

@@ -1,0 +1,369 @@
+"""Fused D3Q19 collide-stream Pallas kernel (single chip).
+
+Same slab-pipeline idea as the 2-D kernels (ops/step_pallas.py) one
+dimension up: the slab is a full z-plane (Q, ny, nx); the 4-slot plane ring
+gives each output plane its z±1 collided neighbors; in-plane (y, x) pulls
+are sublane/lane rolls with ghost sanitize at the physical edges. One HBM
+read + one write of f per step.
+
+Scope: the 3-D model family (flow past a sphere in a duct — BASELINE
+config 5; the C++ reference is strictly 2-D, so there is no parity
+constraint, only consistency with the jax tier, tested in interpret mode).
+Single device (mesh (1,1)); plane must fit VMEM (ny*nx ≲ 27k cells at
+Q=19); otherwise the chunk builder falls back to the jax tier.
+
+Ghost semantics mirror ops/step_jax.make_step_rolled for 3-D: y/z
+out-of-domain pulls read the frozen initial equilibrium; x out-of-domain
+pulls read 0 unless the source also leaves y/z range (the 2-D reference
+semantics carried over; all x-edge populations are overwritten by the
+equilibrium inlet / zero-gradient outlet anyway).
+"""
+from __future__ import annotations
+
+import dataclasses
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..models.base import Problem
+
+_VMEM_BUDGET = 13 * 1024 * 1024
+
+
+@dataclasses.dataclass(frozen=True)
+class _Cfg3d:
+    Q: int
+    c: tuple           # ((cx, cy, cz), ...)
+    w: tuple
+    opp: tuple
+    inv_tau: float
+    omega_minus: float | None
+    eq_in: tuple
+    src: tuple | None
+    has_solid: bool
+    bounce_back: bool
+    walls_y: bool
+    walls_z: bool
+    inlet_equilibrium: bool
+    outlet_zero_grad: bool
+    nz: int
+    ny: int
+    nx: int
+
+
+def _collide_planes(cfg: _Cfg3d, fw, solid):
+    """Generic-Q BGK/TRT relaxation of a list of Q same-shape blocks."""
+    Q = cfg.Q
+    rho = fw[0]
+    for i in range(1, Q):
+        rho = rho + fw[i]
+    mom = []
+    for d in range(3):
+        acc = None
+        for i in range(Q):
+            cid = cfg.c[i][d]
+            if cid == 0:
+                continue
+            term = fw[i] if cid > 0 else -fw[i]
+            acc = term if acc is None else acc + term
+        mom.append(acc)
+    inv_rho = 1.0 / rho
+    u = [m * inv_rho for m in mom]
+    base = 1.0 - 1.5 * (u[0] * u[0] + u[1] * u[1] + u[2] * u[2])
+    out = []
+    if cfg.omega_minus is not None:
+        hp, hm = 0.5 * cfg.inv_tau, 0.5 * cfg.omega_minus
+    for i in range(Q):
+        cx, cy, cz = cfg.c[i]
+        cu = None
+        for d, cd in enumerate((cx, cy, cz)):
+            if cd == 0:
+                continue
+            term = u[d] if cd > 0 else -u[d]
+            cu = term if cu is None else cu + term
+        wr = cfg.w[i] * rho
+        if cfg.omega_minus is not None:  # TRT
+            f_o = fw[cfg.opp[i]]
+            if cu is not None:
+                even_dev = (fw[i] + f_o) - 2.0 * wr * (base + 4.5 * cu * cu)
+                odd_dev = (fw[i] - f_o) - 6.0 * wr * cu
+                fp = fw[i] - hp * even_dev - hm * odd_dev
+            else:
+                fp = fw[i] - cfg.inv_tau * (fw[i] - wr * base)
+        else:  # BGK
+            if cu is not None:
+                feq = wr * (base + 3.0 * cu + 4.5 * cu * cu)
+            else:
+                feq = wr * base
+            fp = fw[i] - cfg.inv_tau * (fw[i] - feq)
+        if cfg.src is not None and cfg.src[i]:
+            fp = fp + cfg.src[i]
+        if cfg.bounce_back:
+            fp = jnp.where(solid, fw[i], fp)
+        out.append(fp)
+    return out
+
+
+def make_local_step_pallas3d(problem: Problem,
+                             local_shape: tuple[int, ...],
+                             interpret: bool | None = None):
+    """Build step(f, mask) -> f_new for (Q, nz, ny, nx) f32 on one device.
+    Returns None if a z-plane does not fit the VMEM budget."""
+    lat = problem.lattice
+    if lat.D != 3:
+        raise ValueError("pallas3d requires a 3-D lattice")
+    if problem.dtype != np.float32:
+        raise ValueError("pallas backend is f32; use backend='jax' for f64")
+    nz, ny, nx = local_shape
+    Q = lat.Q
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    if not interpret and (nx % 128 or ny % 8):
+        raise ValueError(f"pallas3d needs nx % 128 == 0 and ny % 8 == 0, "
+                         f"got {ny}x{nx}")
+    has_solid = problem.solid is not None
+    plane_bytes = Q * ny * nx * 4
+    usage = 6 * plane_bytes + (4 * ny * nx * 4 if has_solid else 0)
+    if usage > _VMEM_BUDGET or nz < 2:
+        return None
+
+    from .. import physics as _physics
+    omega_minus = None
+    if problem.collision == "trt":
+        omega_minus = _physics.omega_minus_trt(1.0 / problem.params.tau,
+                                               problem.trt_magic)
+    if problem.body_force:
+        F = np.asarray(problem.body_force, np.float64)
+        src = tuple(float(3.0 * lat.w[i] * (lat.c[i].astype(np.float64) @ F))
+                    for i in range(Q))
+    else:
+        src = None
+    cfg = _Cfg3d(
+        Q=Q, c=tuple(tuple(int(v) for v in row) for row in lat.c),
+        w=tuple(float(v) for v in lat.w),
+        opp=tuple(int(v) for v in lat.opposite),
+        inv_tau=1.0 / problem.params.tau, omega_minus=omega_minus,
+        eq_in=tuple(float(v) for v in problem.ghost_ring_values()),
+        src=src, has_solid=has_solid,
+        bounce_back=has_solid and problem.obstacle_bc == "bounce_back",
+        walls_y=problem.walls_y, walls_z=problem.walls_z,
+        inlet_equilibrium=problem.inlet_equilibrium,
+        outlet_zero_grad=problem.outlet_zero_grad,
+        nz=nz, ny=ny, nx=nx)
+
+    def kernel(f_ref, mask_ref, out_ref, fa, ob, msl, sem_f, sem_ob, sem_m):
+        def f_dma(z):
+            return pltpu.make_async_copy(f_ref.at[:, z], fa.at[z % 4],
+                                         sem_f.at[z % 4])
+
+        def m_dma(z):
+            return pltpu.make_async_copy(mask_ref.at[z], msl.at[z % 4],
+                                         sem_m.at[z % 4])
+
+        def out_dma(z):
+            return pltpu.make_async_copy(ob.at[z % 2], out_ref.at[:, z],
+                                         sem_ob.at[z % 2])
+
+        def start_in(z):
+            f_dma(z).start()
+            if has_solid:
+                m_dma(z).start()
+
+        def wait_in(z):
+            f_dma(z).wait()
+            if has_solid:
+                m_dma(z).wait()
+
+        def collide_plane(slot):
+            fw = [fa[slot, i] for i in range(Q)]
+            solid = (msl[slot] > 0.5) if cfg.bounce_back else None
+            fp = _collide_planes(cfg, fw, solid)
+            for i in range(Q):
+                fa[slot, i] = fp[i]
+
+        eq_plane = [jnp.full((ny, nx), cfg.eq_in[i], jnp.float32)
+                    for i in range(Q)]
+
+        start_in(0)
+        if nz > 1:
+            start_in(1)
+        wait_in(0)
+        collide_plane(0)
+
+        def loop(z, carry):
+            @pl.when(z + 1 < nz)
+            def _():
+                wait_in(z + 1)
+                collide_plane((z + 1) % 4)
+
+            @pl.when(z + 2 < nz)
+            def _():
+                start_in(z + 2)
+
+            oslot = z % 2
+
+            @pl.when(z >= 2)
+            def _():
+                out_dma(z - 2).wait()
+
+            cur = z % 4
+            # ---- pull streaming: z via plane ring (frozen eq beyond the
+            # physical z edges), y via sublane roll, x via lane roll ----
+            for i in range(Q):
+                cx, cy, cz = cfg.c[i]
+                if cz == 0:
+                    plane = fa[cur, i]
+                elif cz > 0:
+                    plane = jnp.where(z == 0, eq_plane[i], fa[(z - 1) % 4, i])
+                else:
+                    plane = jnp.where(z == nz - 1, eq_plane[i],
+                                      fa[(z + 1) % 4, i])
+                if cy:
+                    plane = pltpu.roll(plane, cy % ny, axis=0)
+                if cx:
+                    plane = pltpu.roll(plane, cx % nx, axis=1)
+                ob[oslot, i] = plane
+
+            # ---- ghost sanitize (see module docstring) ----
+            for i in range(Q):
+                cx, cy, cz = cfg.c[i]
+                if cx:
+                    xc = 0 if cx > 0 else nx - 1
+                    # x-edge ghost: 0, unless the source also left z range
+                    if cz > 0:
+                        val = jnp.where(z == 0, cfg.eq_in[i], 0.0)
+                    elif cz < 0:
+                        val = jnp.where(z == nz - 1, cfg.eq_in[i], 0.0)
+                    else:
+                        val = jnp.float32(0.0)
+                    ob[oslot, i, :, xc:xc + 1] = jnp.broadcast_to(
+                        val, (ny, 1)).astype(jnp.float32)
+                if cy > 0:
+                    ob[oslot, i, 0:1, :] = jnp.full((1, nx), cfg.eq_in[i],
+                                                    jnp.float32)
+                elif cy < 0:
+                    ob[oslot, i, ny - 1:ny, :] = jnp.full((1, nx),
+                                                          cfg.eq_in[i],
+                                                          jnp.float32)
+
+            def fluid_rows(rs, re, cs=None, ce=None):
+                m = msl[cur, rs:re, :]
+                if cs is not None:
+                    m = m[:, cs:ce]
+                return m < 0.5
+
+            # ---- walls in y (rows) ----
+            if cfg.walls_y:
+                for i in range(Q):
+                    cy = cfg.c[i][1]
+                    if cy > 0:
+                        val = ob[oslot, cfg.opp[i], 0:1, :]
+                        if has_solid:
+                            val = jnp.where(fluid_rows(0, 1), val,
+                                            ob[oslot, i, 0:1, :])
+                        ob[oslot, i, 0:1, :] = val
+                for i in range(Q):
+                    cy = cfg.c[i][1]
+                    if cy < 0:
+                        val = ob[oslot, cfg.opp[i], ny - 1:ny, :]
+                        if has_solid:
+                            val = jnp.where(fluid_rows(ny - 1, ny), val,
+                                            ob[oslot, i, ny - 1:ny, :])
+                        ob[oslot, i, ny - 1:ny, :] = val
+
+            # ---- walls in z (whole first/last output planes) ----
+            if cfg.walls_z:
+                fluid_plane = (msl[cur] < 0.5) if has_solid else None
+
+                @pl.when(z == 0)
+                def _():
+                    for i in range(Q):
+                        if cfg.c[i][2] > 0:
+                            val = ob[oslot, cfg.opp[i]]
+                            if has_solid:
+                                val = jnp.where(fluid_plane, val, ob[oslot, i])
+                            ob[oslot, i] = val
+
+                @pl.when(z == nz - 1)
+                def _():
+                    for i in range(Q):
+                        if cfg.c[i][2] < 0:
+                            val = ob[oslot, cfg.opp[i]]
+                            if has_solid:
+                                val = jnp.where(fluid_plane, val, ob[oslot, i])
+                            ob[oslot, i] = val
+
+            # ---- equilibrium inlet, column 0 ----
+            if cfg.inlet_equilibrium:
+                for i in range(Q):
+                    val = jnp.full((ny, 1), cfg.eq_in[i], jnp.float32)
+                    if has_solid:
+                        val = jnp.where(fluid_rows(0, ny, 0, 1), val,
+                                        ob[oslot, i, :, 0:1])
+                    ob[oslot, i, :, 0:1] = val
+
+            # ---- zero-gradient outlet, column nx-1 ----
+            if cfg.outlet_zero_grad:
+                for i in range(Q):
+                    val = ob[oslot, i, :, nx - 2:nx - 1]
+                    if has_solid:
+                        val = jnp.where(fluid_rows(0, ny, nx - 1, nx), val,
+                                        ob[oslot, i, :, nx - 1:nx])
+                    ob[oslot, i, :, nx - 1:nx] = val
+
+            # ---- obstacle ----
+            if has_solid:
+                solid_p = msl[cur] > 0.5
+                if cfg.bounce_back:
+                    snap = [ob[oslot, i] for i in range(Q)]
+                    for i in range(Q):
+                        ob[oslot, i] = jnp.where(solid_p, snap[cfg.opp[i]],
+                                                 ob[oslot, i])
+                else:
+                    for i in range(Q):
+                        ob[oslot, i] = jnp.where(solid_p, cfg.w[i],
+                                                 ob[oslot, i])
+
+            out_dma(z).start()
+            return carry
+
+        lax.fori_loop(0, nz, loop, 0, unroll=False)
+        if nz >= 2:
+            out_dma(nz - 2).wait()
+        out_dma(nz - 1).wait()
+
+    call = pl.pallas_call(
+        kernel,
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),  # f (HBM)
+            pl.BlockSpec(memory_space=pl.ANY),  # mask f32 (HBM)
+        ],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        out_shape=jax.ShapeDtypeStruct((Q, nz, ny, nx), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((4, Q, ny, nx), jnp.float32),
+            pltpu.VMEM((2, Q, ny, nx), jnp.float32),
+            pltpu.VMEM((4, ny, nx), jnp.float32),
+            pltpu.SemaphoreType.DMA((4,)),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((4,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_BUDGET + 3 * 1024 * 1024),
+        interpret=interpret,
+    )
+
+    zero_mask = np.zeros((nz, ny, nx), np.float32)
+
+    def step(f, mask=None):
+        if has_solid and mask is None:
+            raise ValueError("pallas3d needs the solid mask")
+        mask = jnp.asarray(zero_mask) if mask is None else mask
+        return call(f, mask)
+
+    return step

@@ -43,7 +43,19 @@ def make_chunk_fn(problem: Problem, mesh: Mesh, chunk_len: int,
     eq_ring = problem.ghost_ring_values()
     has_solid = problem.solid is not None
 
-    if backend == "pallas":
+    pallas3d_step = None
+    if backend == "pallas" and ndim == 3:
+        from ..ops.step_pallas3d import make_local_step_pallas3d
+        if mesh_shape != (1, 1):
+            raise ValueError("the 3-D pallas backend is single-device; use "
+                             "backend='jax' for sharded 3-D runs")
+        pallas3d_step = make_local_step_pallas3d(problem, local_shape)
+        if pallas3d_step is None:
+            import warnings
+            warnings.warn("3-D plane too large for the pallas kernel's VMEM "
+                          "budget; falling back to backend='jax'")
+            backend = "jax"
+    if backend == "pallas" and ndim == 2:
         from ..ops.step_pallas import (make_local_step_pallas,
                                        make_local_step_pallas2)
         if mesh_shape[1] != 1:
@@ -58,7 +70,7 @@ def make_chunk_fn(problem: Problem, mesh: Mesh, chunk_len: int,
             pallas_step2 = make_local_step_pallas2(problem, local_shape)
     elif backend == "jax":
         local_step = make_local_step_padded(problem, local_shape)
-    else:
+    elif backend != "pallas":
         raise ValueError(f"unknown backend {backend!r}")
 
     ring_kw = dict(eq_ring=eq_ring, mesh_shape=mesh_shape,
@@ -84,6 +96,15 @@ def make_chunk_fn(problem: Problem, mesh: Mesh, chunk_len: int,
         fpad, _ = lax.scan(one_step, fpad, None, length=chunk_len)
         center = (slice(None),) + (slice(1, -1),) * ndim
         return fpad[center]
+
+    def body_pallas3d(f_local, solid_local):
+        mask = solid_local.astype(jnp.float32) if has_solid else None
+
+        def one_step(f, _):
+            return pallas3d_step(f, mask), None
+
+        f_local, _ = lax.scan(one_step, f_local, None, length=chunk_len)
+        return f_local
 
     def body_pallas(f_local, solid_local):
         iy = lax.axis_index("y")
@@ -124,7 +145,10 @@ def make_chunk_fn(problem: Problem, mesh: Mesh, chunk_len: int,
         f_local, _ = lax.scan(one_step, f_local, None, length=chunk_len)
         return f_local
 
-    body = body_pallas if backend == "pallas" else body_jax
+    if backend == "pallas":
+        body = body_pallas3d if ndim == 3 else body_pallas
+    else:
+        body = body_jax
 
     spec_f = P(*((None,) + (None,) * (ndim - 2) + ("y", "x")))
     spec_m = P(*((None,) * (ndim - 2) + ("y", "x")))
