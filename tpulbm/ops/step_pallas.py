@@ -66,6 +66,8 @@ class _Cfg:
     src: tuple | None   # body-force source term per direction
     has_solid: bool
     bounce_back: bool
+    guard_bcs: bool     # solid cells touch a BC region → strips need the mask
+    slab_skip: bool     # obstacle handling may be skipped on solid-free slabs
     walls_y: bool
     inlet_zou_he: bool
     outlet_zou_he: bool
@@ -144,7 +146,7 @@ def _stream_rows(cfg: _Cfg, i: int, cur, below_row, above_row):
 
 
 def _apply_bcs(cfg: _Cfg, ref, slot, msl, mslot, is_bottom, is_top, fl, fr,
-               mask_rows=None):
+               mask_rows=None, solid_flag=None):
     """Apply ghost sanitize + walls + Zou-He inlet/outlet + obstacle strips
     in reference order (LBMSolver.h:150-263) on slab `ref[slot]`.
 
@@ -197,7 +199,7 @@ def _apply_bcs(cfg: _Cfg, ref, slot, msl, mslot, is_bottom, is_top, fl, fr,
         def _bottom():
             for i in (2, 5, 6):  # f2<-f4, f5<-f7, f6<-f8
                 val = ref[slot, opp[i], 0:1, :]
-                if cfg.has_solid:
+                if cfg.guard_bcs:
                     val = jnp.where(mrow(0, 1) < 0.5, val, ref[slot, i, 0:1, :])
                 ref[slot, i, 0:1, :] = val
 
@@ -205,7 +207,7 @@ def _apply_bcs(cfg: _Cfg, ref, slot, msl, mslot, is_bottom, is_top, fl, fr,
         def _top():
             for i in (4, 7, 8):  # f4<-f2, f7<-f5, f8<-f6
                 val = ref[slot, opp[i], Ty - 1:Ty, :]
-                if cfg.has_solid:
+                if cfg.guard_bcs:
                     val = jnp.where(mrow(Ty - 1, Ty) < 0.5, val,
                                     ref[slot, i, Ty - 1:Ty, :])
                 ref[slot, i, Ty - 1:Ty, :] = val
@@ -223,7 +225,7 @@ def _apply_bcs(cfg: _Cfg, ref, slot, msl, mslot, is_bottom, is_top, fl, fr,
                    5: pr[7] - ht + (1.0 / 6.0) * ru,
                    8: pr[6] + ht + (1.0 / 6.0) * ru}
             for i, val in new.items():
-                if cfg.has_solid:
+                if cfg.guard_bcs:
                     val = jnp.where(mrow(0, Ty, 0, 1) < 0.5, val, pr[i])
                 ref[slot, i, :, 0:1] = val
 
@@ -240,20 +242,27 @@ def _apply_bcs(cfg: _Cfg, ref, slot, msl, mslot, is_bottom, is_top, fl, fr,
                    6: pr[8] - ht - (1.0 / 6.0) * u_out,
                    7: pr[5] + ht - (1.0 / 6.0) * u_out}
             for i, val in new.items():
-                if cfg.has_solid:
+                if cfg.guard_bcs:
                     val = jnp.where(mrow(0, Ty, xc, xc + 1) < 0.5, val, pr[i])
                 ref[slot, i, :, xc:xc + 1] = val
 
-    # obstacle (semantics: ops/boundaries.apply_obstacle)
+    # obstacle (semantics: ops/boundaries.apply_obstacle); skipped entirely
+    # on slabs the (static) solid mask does not touch
     if cfg.has_solid:
-        solid_c = mrow(0, Ty) > 0.5
-        if cfg.bounce_back:
-            snap = [ref[slot, i] for i in range(Q)]
-            for i in range(Q):
-                ref[slot, i] = jnp.where(solid_c, snap[opp[i]], ref[slot, i])
-        else:  # reference-parity equilibrium wall: pin to w_i
-            for i in range(Q):
-                ref[slot, i] = jnp.where(solid_c, w[i], ref[slot, i])
+        def _obstacle():
+            solid_c = mrow(0, Ty) > 0.5
+            if cfg.bounce_back:
+                snap = [ref[slot, i] for i in range(Q)]
+                for i in range(Q):
+                    ref[slot, i] = jnp.where(solid_c, snap[opp[i]],
+                                             ref[slot, i])
+            else:  # reference-parity equilibrium wall: pin to w_i
+                for i in range(Q):
+                    ref[slot, i] = jnp.where(solid_c, w[i], ref[slot, i])
+        if solid_flag is None:
+            _obstacle()
+        else:
+            pl.when(solid_flag)(_obstacle)
 
 
 def _bc_row_values(cfg: _Cfg, planes, mask_row, fl, fr):
@@ -329,6 +338,18 @@ def _build_cfg(problem: Problem, local_shape, interpret, substeps=1) -> _Cfg:
     else:
         src = None
     has_solid = problem.solid is not None
+    bounce_back = has_solid and problem.obstacle_bc == "bounce_back"
+    # Static geometry facts (the solid mask is compile-time data): if no
+    # solid cell touches a wall row or the inlet/outlet columns, the BC
+    # strips need no mask guard at all; and on slabs with no solid cells the
+    # obstacle handling (mask DMA + pinning selects) can be skipped — the
+    # cylinder occupies ~3% of rows, so most slabs skip it.
+    guard_bcs = False
+    if has_solid:
+        s = problem.solid
+        guard_bcs = bool(s[0, :].any() or s[-1, :].any()
+                         or s[:, 0].any() or s[:, -1].any())
+    slab_skip = has_solid and not bounce_back and not guard_bcs
 
     ty_env = os.environ.get("TPULBM_PALLAS_TY")
     slabs = 6 if substeps == 1 else 9  # f-sized slab buffers in VMEM
@@ -360,7 +381,8 @@ def _build_cfg(problem: Problem, local_shape, interpret, substeps=1) -> _Cfg:
         u_in=float(problem.init_u[0]),
         eq_in=tuple(float(v) for v in problem.ghost_ring_values()),
         src=src, has_solid=has_solid,
-        bounce_back=has_solid and problem.obstacle_bc == "bounce_back",
+        bounce_back=bounce_back,
+        guard_bcs=guard_bcs, slab_skip=slab_skip,
         walls_y=problem.walls_y,
         inlet_zou_he=problem.inlet_zou_he,
         outlet_zou_he=problem.outlet_zou_he,
@@ -375,6 +397,7 @@ def _wrap_call(cfg: _Cfg, kernel, nyl, depth, interpret, has_solid):
         kernel,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),  # flags (4,) int32
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # per-slab solid flags (n_ty,)
             pl.BlockSpec(memory_space=pl.ANY),      # f (HBM)
             pl.BlockSpec(memory_space=pltpu.VMEM),  # rb (Q,depth,nxl)
             pl.BlockSpec(memory_space=pltpu.VMEM),  # rt
@@ -391,16 +414,20 @@ def _wrap_call(cfg: _Cfg, kernel, nyl, depth, interpret, has_solid):
     )
     zero_mask = np.zeros((nyl, nxl), np.float32)
     zero_ring = np.zeros((depth, nxl), np.float32)
+    ones_sflags = np.ones((cfg.n_ty,), np.int32)
 
-    def step(f, rb, rt, flags, mask=None, mrb=None, mrt=None):
+    def step(f, rb, rt, flags, mask=None, mrb=None, mrt=None, sflags=None):
         if has_solid and mask is None:
             raise ValueError("pallas backend needs the solid mask")
         mask = jnp.asarray(zero_mask) if mask is None else mask
         mrb = jnp.asarray(zero_ring) if mrb is None else mrb
         mrt = jnp.asarray(zero_ring) if mrt is None else mrt
-        return call(flags, f, rb, rt, mask, mrb, mrt)
+        sflags = jnp.asarray(ones_sflags) if sflags is None else sflags
+        return call(flags, sflags, f, rb, rt, mask, mrb, mrt)
 
     step.tile_height = cfg.Ty
+    step.n_ty = cfg.n_ty
+    step.slab_skip = cfg.slab_skip
     return step
 
 
@@ -421,8 +448,8 @@ def make_local_step_pallas(problem: Problem,
     Q, Ty, nxl, n_ty = cfg.Q, cfg.Ty, cfg.nxl, cfg.n_ty
     has_solid = cfg.has_solid
 
-    def kernel(flags_ref, f_ref, rb_ref, rt_ref, mask_ref, mrb_ref, mrt_ref,
-               out_ref, fsl, ob, msl, sem_f, sem_ob, sem_m):
+    def kernel(flags_ref, sflags_ref, f_ref, rb_ref, rt_ref, mask_ref,
+               mrb_ref, mrt_ref, out_ref, fsl, ob, msl, sem_f, sem_ob, sem_m):
         fb, ft, fl, fr = (flags_ref[k] for k in range(4))
 
         def f_dma(t):
@@ -437,15 +464,25 @@ def make_local_step_pallas(problem: Problem,
             return pltpu.make_async_copy(
                 ob.at[t % 2], out_ref.at[:, pl.ds(t * Ty, Ty), :], sem_ob.at[t % 2])
 
+        def mask_op(t, fn):
+            # skip the mask DMA on solid-free slabs (static bounding box)
+            if not has_solid:
+                return
+            if cfg.slab_skip:
+                pl.when(sflags_ref[t] == 1)(fn)
+            else:
+                fn()
+
         def start_in(t):
             f_dma(t).start()
-            if has_solid:
-                m_dma(t).start()
+            mask_op(t, lambda: m_dma(t).start())
 
         def wait_in(t):
             f_dma(t).wait()
-            if has_solid:
-                m_dma(t).wait()
+            mask_op(t, lambda: m_dma(t).wait())
+
+        def slab_flag(t):
+            return (sflags_ref[t] == 1) if cfg.slab_skip else None
 
         def collide_slab(slot):
             fw = [fsl[slot, i] for i in range(Q)]
@@ -494,7 +531,8 @@ def make_local_step_pallas(problem: Problem,
 
             _apply_bcs(cfg, ob, oslot, msl if has_solid else None, cur_slot,
                        jnp.logical_and(t == 0, fb == 1),
-                       jnp.logical_and(t == n_ty - 1, ft == 1), fl, fr)
+                       jnp.logical_and(t == n_ty - 1, ft == 1), fl, fr,
+                       solid_flag=slab_flag(t))
 
             out_dma(t).start()
             return carry
@@ -538,8 +576,9 @@ def make_local_step_pallas2(problem: Problem,
     if n_ty < 3:
         return None
 
-    def kernel(flags_ref, f_ref, rb_ref, rt_ref, mask_ref, mrb_ref, mrt_ref,
-               out_ref, fa, gb, ob, msl, g_rt, sem_f, sem_ob, sem_m):
+    def kernel(flags_ref, sflags_ref, f_ref, rb_ref, rt_ref, mask_ref,
+               mrb_ref, mrt_ref, out_ref, fa, gb, ob, msl, g_rt,
+               sem_f, sem_ob, sem_m):
         fb, ft, fl, fr = (flags_ref[k] for k in range(4))
 
         def f_dma(t):
@@ -554,15 +593,24 @@ def make_local_step_pallas2(problem: Problem,
             return pltpu.make_async_copy(
                 ob.at[t % 2], out_ref.at[:, pl.ds(t * Ty, Ty), :], sem_ob.at[t % 2])
 
+        def mask_op(t, fn):
+            if not has_solid:
+                return
+            if cfg.slab_skip:
+                pl.when(sflags_ref[t] == 1)(fn)
+            else:
+                fn()
+
         def start_in(t):
             f_dma(t).start()
-            if has_solid:
-                m_dma(t).start()
+            mask_op(t, lambda: m_dma(t).start())
 
         def wait_in(t):
             f_dma(t).wait()
-            if has_solid:
-                m_dma(t).wait()
+            mask_op(t, lambda: m_dma(t).wait())
+
+        def slab_flag(t):
+            return (sflags_ref[t] == 1) if cfg.slab_skip else None
 
         def collide_a(slot):
             fw = [fa[slot, i] for i in range(Q)]
@@ -623,7 +671,8 @@ def make_local_step_pallas2(problem: Problem,
             gb[0, i] = _stream_rows(cfg, i, fa[0, i], rbA[i][1:2, :],
                                     fa[1, i, 0:1, :])
         _apply_bcs(cfg, gb, 0, msl if has_solid else None, 0,
-                   fb == 1, jnp.asarray(False, jnp.bool_), fl, fr)
+                   fb == 1, jnp.asarray(False, jnp.bool_), fl, fr,
+                   solid_flag=slab_flag(0))
         collide_gb(0, 0)
 
         def make_gb(s_idx):
@@ -639,7 +688,8 @@ def make_local_step_pallas2(problem: Problem,
                 gb[gslot, i] = _stream_rows(cfg, i, fa[cur_slot, i], below, above)
             _apply_bcs(cfg, gb, gslot, msl if has_solid else None, cur_slot,
                        jnp.asarray(False, jnp.bool_),
-                       jnp.logical_and(is_last, ft == 1), fl, fr)
+                       jnp.logical_and(is_last, ft == 1), fl, fr,
+                       solid_flag=slab_flag(s_idx))
             collide_gb(gslot, cur_slot)
 
         def loop(s, carry):
@@ -698,7 +748,8 @@ def make_local_step_pallas2(problem: Problem,
 
             _apply_bcs(cfg, ob, oslot, msl if has_solid else None, s % 4,
                        jnp.logical_and(s == 0, fb == 1),
-                       jnp.logical_and(s == n_ty - 1, ft == 1), fl, fr)
+                       jnp.logical_and(s == n_ty - 1, ft == 1), fl, fr,
+                       solid_flag=slab_flag(s))
 
             out_dma(s).start()
             return carry

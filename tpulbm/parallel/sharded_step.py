@@ -106,6 +106,13 @@ def make_chunk_fn(problem: Problem, mesh: Mesh, chunk_len: int,
         f_local, _ = lax.scan(one_step, f_local, None, length=chunk_len)
         return f_local
 
+    # static row bounding box of the solid mask, for per-slab obstacle skip
+    solid_rows = None
+    if has_solid and ndim == 2:
+        rows = np.nonzero(problem.solid.any(axis=1))[0]
+        if len(rows):
+            solid_rows = (int(rows.min()), int(rows.max()))
+
     def body_pallas(f_local, solid_local):
         iy = lax.axis_index("y")
         nyl, nxl = local_shape[-2], local_shape[-1]
@@ -113,6 +120,18 @@ def make_chunk_fn(problem: Problem, mesh: Mesh, chunk_len: int,
         flags = jnp.stack([
             (y0 == 0), (y0 + nyl == problem.params.ny),
             jnp.array(True), jnp.array(True)]).astype(jnp.int32)
+
+        def sflags_for(stepper):
+            # int32 (n_ty,): does slab t of this shard intersect the solid
+            # bounding box (static geometry, traced shard offset)
+            if not has_solid:
+                return None
+            ty = stepper.tile_height
+            starts = y0 + jnp.arange(stepper.n_ty) * ty
+            if solid_rows is None:
+                return jnp.zeros((stepper.n_ty,), jnp.int32)
+            lo, hi = solid_rows
+            return ((starts <= hi) & (starts + ty > lo)).astype(jnp.int32)
 
         def mask_rings(depth):
             if not has_solid:
@@ -127,10 +146,13 @@ def make_chunk_fn(problem: Problem, mesh: Mesh, chunk_len: int,
         if pallas_step2 is not None:
             mask, mrb, mrt = mask_rings(2)
 
+            sflags = sflags_for(pallas_step2)
+
             def two_steps(f, _):
                 rb, rt = halo.ring_rows(f, eq_ring=eq_ring,
                                         mesh_shape=mesh_shape, depth=2)
-                return pallas_step2(f, rb, rt, flags, mask, mrb, mrt), None
+                return pallas_step2(f, rb, rt, flags, mask, mrb, mrt,
+                                    sflags), None
 
             f_local, _ = lax.scan(two_steps, f_local, None,
                                   length=chunk_len // 2)
@@ -138,9 +160,11 @@ def make_chunk_fn(problem: Problem, mesh: Mesh, chunk_len: int,
 
         mask, mrb, mrt = mask_rings(1)
 
+        sflags = sflags_for(pallas_step)
+
         def one_step(f, _):
             rb, rt = halo.ring_rows(f, eq_ring=eq_ring, mesh_shape=mesh_shape)
-            return pallas_step(f, rb, rt, flags, mask, mrb, mrt), None
+            return pallas_step(f, rb, rt, flags, mask, mrb, mrt, sflags), None
 
         f_local, _ = lax.scan(one_step, f_local, None, length=chunk_len)
         return f_local
