@@ -55,8 +55,13 @@ def main(argv=None) -> int:
 
     params = params_from_args(args)
     if args.mesh == "auto":
-        params = params.replace(mesh_shape=choose_decomposition(
-            len(jax.devices()), params.nx, params.ny))
+        n_dev = len(jax.devices())
+        if params.backend == "pallas" and params.ny % n_dev == 0:
+            # the pallas backend shards over y only
+            params = params.replace(mesh_shape=(n_dev, 1))
+        else:
+            params = params.replace(mesh_shape=choose_decomposition(
+                n_dev, params.nx, params.ny))
 
     runner = Runner(params)
     with trace(args.profile_dir):
