@@ -125,3 +125,35 @@ def test_checkpoint_rejects_mismatched_params(tmp_path):
     latest = ckpt.latest(str(tmp_path / "checkpoints"))
     with pytest.raises(ValueError):
         ckpt.load(latest, p.replace(tau=0.7))
+
+
+def test_runner_pallas_backend_matches_jax(tmp_path):
+    # full Runner lifecycle through the pallas path (interpret mode on CPU)
+    outs = {}
+    for backend in ("jax", "pallas"):
+        params = tiny_params(tmp_path / backend, backend=backend,
+                             enable_vtk=False)
+        result = Runner(params, verbose=False).run()
+        assert result.success
+        outs[backend] = open(tmp_path / backend / "forces.csv").read()
+    # identical cadence; near-identical raw forces (f32 rounding between
+    # tiers; the coefficients divide by q≈2.5e-6 on this tiny cylinder and
+    # amplify that noise, so compare the forces themselves)
+    ja = [r.split(",") for r in outs["jax"].splitlines()[1:]]
+    pa = [r.split(",") for r in outs["pallas"].splitlines()[1:]]
+    assert [r[0] for r in ja] == [r[0] for r in pa]
+    for rj, rp in zip(ja, pa):
+        np.testing.assert_allclose([float(v) for v in rp[1:3]],
+                                   [float(v) for v in rj[1:3]], rtol=1e-4,
+                                   atol=5e-6)
+
+
+def test_runner_aborts_on_instability(tmp_path):
+    # tau barely above 0.5 with a large impulsive velocity blows up quickly;
+    # the runner must abort with success=False and not write final CSVs
+    params = tiny_params(tmp_path, tau=0.501, inlet_velocity=0.3,
+                         num_timesteps=2000, output_frequency=100,
+                         enable_vtk=False)
+    result = Runner(params, verbose=False).run()
+    assert not result.success
+    assert not (tmp_path / "velocity_field.csv").exists()
