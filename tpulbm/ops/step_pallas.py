@@ -625,17 +625,14 @@ def make_local_step_pallas2(problem: Problem,
         rbA = _collide_rows(cfg, [rb_ref[i] for i in range(Q)], mrb)  # (2,nxl)
         rtA = _collide_rows(cfg, [rt_ref[i] for i in range(Q)], mrt)
 
-        # Prologue: raw slabs 0..2 in flight; 0 and 1 A-collided.
+        # Prologue: raw slabs 0..2 in flight; 0 and 1 A-collided (n_ty >= 3).
         start_in(0)
         start_in(1)
-        if n_ty > 3:
-            start_in(2)
+        start_in(2)
         wait_in(0)
         collide_a(0)
         wait_in(1)
         collide_a(1)
-        if n_ty == 3:
-            start_in(2)
 
         # Intermediate ring row below (t+1 state at local row -1): streamed
         # from rbA + slab 0, BC'd, then B-collided. Frozen ghost at the
