@@ -17,7 +17,7 @@ import sys
 import time
 
 
-def bench(nx=2048, ny=512, backend="pallas", chunk_len=250, chunks=8,
+def bench(nx=2048, ny=512, backend="pallas", chunk_len=280, chunks=8,
           warmup=2, precision="f32", mesh_shape=(1, 1), verbose=False,
           reynolds=200.0):
     import jax
@@ -70,7 +70,7 @@ def main():
     ap.add_argument("--nx", type=int, default=2048)
     ap.add_argument("--ny", type=int, default=512)
     ap.add_argument("--chunks", type=int, default=8)
-    ap.add_argument("--chunk-len", type=int, default=250)
+    ap.add_argument("--chunk-len", type=int, default=280)
     ap.add_argument("--precision", default="f32")
     ap.add_argument("-v", "--verbose", action="store_true")
     args = ap.parse_args()

@@ -152,3 +152,54 @@ def test_pallas_rejects_f64():
     from tpulbm.ops.step_pallas import make_local_step_pallas
     with pytest.raises(ValueError):
         make_local_step_pallas(problem, (32, 64))
+
+
+@pytest.mark.parametrize("n_sub,chunk_len", [(3, 6), (4, 4)])
+def test_pallasN_cylinder(monkeypatch, n_sub, chunk_len):
+    monkeypatch.setenv("TPULBM_PALLAS_TY", "8")
+    monkeypatch.setenv("TPULBM_SUBSTEPS", str(n_sub))
+    params = SimulationParams(nx=128, ny=64, tau=0.6, inlet_velocity=0.05,
+                              precision="f32")
+    problem = make_problem(params)
+    from tpulbm.ops.step_pallas import make_local_step_pallasN
+    assert make_local_step_pallasN(problem, (64, 128), n_sub,
+                                   interpret=True) is not None
+    got = _run(problem, (1, 1), "pallas", n_chunks=3, chunk_len=chunk_len)
+    monkeypatch.delenv("TPULBM_PALLAS_TY")
+    monkeypatch.delenv("TPULBM_SUBSTEPS")
+    ref = _run(problem, (1, 1), "jax", n_chunks=3, chunk_len=chunk_len)
+    for k, (r, g) in enumerate(zip(ref, got)):
+        np.testing.assert_allclose(g, r, rtol=5e-6, atol=1e-7,
+                                   err_msg=f"N={n_sub} chunk {k}")
+
+
+@pytest.mark.parametrize("n_sub", [3, 4])
+def test_pallasN_sharded_bounce_back(monkeypatch, n_sub):
+    monkeypatch.setenv("TPULBM_PALLAS_TY", "8")
+    monkeypatch.setenv("TPULBM_SUBSTEPS", str(n_sub))
+    params = SimulationParams(nx=128, ny=128, tau=0.6, inlet_velocity=0.05,
+                              precision="f32", obstacle_bc="bounce_back",
+                              cylinder_y=0.5, cylinder_radius=0.08)
+    problem = make_problem(params)
+    got = _run(problem, (2, 1), "pallas", n_chunks=2, chunk_len=n_sub * 2)
+    monkeypatch.delenv("TPULBM_PALLAS_TY")
+    monkeypatch.delenv("TPULBM_SUBSTEPS")
+    ref = _run(problem, (1, 1), "jax", n_chunks=2, chunk_len=n_sub * 2)
+    for k, (r, g) in enumerate(zip(ref, got)):
+        np.testing.assert_allclose(g, r, rtol=5e-6, atol=1e-7,
+                                   err_msg=f"N={n_sub} chunk {k}")
+
+
+def test_pallasN_poiseuille_periodic(monkeypatch):
+    monkeypatch.setenv("TPULBM_PALLAS_TY", "8")
+    monkeypatch.setenv("TPULBM_SUBSTEPS", "3")
+    params = SimulationParams(nx=128, ny=48, tau=0.8, problem="poiseuille",
+                              periodic_x=True, body_force=(1e-5, 0.0),
+                              inlet_velocity=0.0, precision="f32")
+    problem = make_problem(params)
+    got = _run(problem, (2, 1), "pallas", n_chunks=2, chunk_len=6)
+    monkeypatch.delenv("TPULBM_PALLAS_TY")
+    monkeypatch.delenv("TPULBM_SUBSTEPS")
+    ref = _run(problem, (1, 1), "jax", n_chunks=2, chunk_len=6)
+    for k, (r, g) in enumerate(zip(ref, got)):
+        np.testing.assert_allclose(g, r, rtol=5e-6, atol=1e-7)

@@ -352,14 +352,18 @@ def _build_cfg(problem: Problem, local_shape, interpret, substeps=1) -> _Cfg:
     slab_skip = has_solid and not bounce_back and not guard_bcs
 
     ty_env = os.environ.get("TPULBM_PALLAS_TY")
-    slabs = 6 if substeps == 1 else 9  # f-sized slab buffers in VMEM
+    # f-sized slab buffers: 4-slot raw ring + 3-slot ring per intermediate
+    # stage + 2-slot output ring; mask ring is N+2 slots for N >= 3
+    slabs = 4 + 3 * (substeps - 1) + 2
+    mask_slots = 4 if substeps <= 2 else substeps + 2
     if ty_env:
         Ty = int(ty_env)
         if nyl % Ty:
             raise ValueError(f"TPULBM_PALLAS_TY={Ty} does not divide ny={nyl}")
     else:
         def usage(ty):
-            return (slabs * Q * ty + (4 * ty if has_solid else 0)) * nxl * 4
+            return (slabs * Q * ty
+                    + (mask_slots * ty if has_solid else 0)) * nxl * 4
         valid = [ty for ty in range(1, nyl + 1)
                  if nyl % ty == 0 and usage(ty) <= _VMEM_BUDGET
                  and (interpret or ty % 8 == 0)]
@@ -767,3 +771,282 @@ def make_local_step_pallas2(problem: Problem,
         pltpu.SemaphoreType.DMA((4,)),
     ]
     return _wrap_call(cfg, kernel, nyl, 2, interpret, has_solid)
+
+
+
+def make_local_step_pallasN(problem: Problem,
+                            local_shape: tuple[int, ...],
+                            n_sub: int,
+                            interpret: bool | None = None):
+    """N-substep fused kernel: advances n_sub timesteps per HBM round trip.
+
+    Generalizes the 2-step kernel to a cascade of N collide-stream stages
+    over the slab pipeline — stage 0 collides raw slabs in place; stages
+    1..N-1 hold collided intermediate states in 3-slot rings; the final
+    stage streams into the output (uncollided: the new carry). Ghost-row
+    chains of depth N-k are recomputed locally from depth-N halo rows
+    (parallel/halo.ring_rows(depth=N)), keeping the ICI payload at N
+    rows/side. HBM traffic per timestep falls to (1 read + 1 write)/N of f;
+    VPU work per timestep is unchanged, so this pays while the slab DMA is
+    the bottleneck.
+
+    Returns None when the local block has fewer than n_sub+1 slabs or the
+    buffers exceed the VMEM budget.
+    """
+    assert n_sub >= 2
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    try:
+        cfg = _build_cfg(problem, local_shape, interpret, substeps=n_sub)
+    except ValueError:
+        return None
+    nyl = local_shape[0]
+    Q, Ty, nxl, n_ty = cfg.Q, cfg.Ty, cfg.nxl, cfg.n_ty
+    N = n_sub
+    M = N + 2  # mask-slab ring size: slot idx must survive until out[idx]
+    has_solid = cfg.has_solid
+    if n_ty < N + 1:
+        return None
+
+    def kernel(flags_ref, sflags_ref, f_ref, rb_ref, rt_ref, mask_ref,
+               mrb_ref, mrt_ref, out_ref, fa, *rest):
+        gs = list(rest[:N - 1])          # stages 1..N-1, 3-slot rings
+        ob, msl, t_scr = rest[N - 1:N + 2]
+        sem_f, sem_ob, sem_m = rest[N + 2:N + 5]
+        fb, ft, fl, fr = (flags_ref[k] for k in range(4))
+
+        def stage_ref(k):
+            """(ref, n_slots) holding stage-k slabs (stage 0 = collided raw)."""
+            return (fa, 4) if k == 0 else (gs[k - 1], 3)
+
+        def f_dma(t):
+            return pltpu.make_async_copy(
+                f_ref.at[:, pl.ds(t * Ty, Ty), :], fa.at[t % 4], sem_f.at[t % 4])
+
+        def m_dma(t):
+            return pltpu.make_async_copy(
+                mask_ref.at[pl.ds(t * Ty, Ty), :], msl.at[t % M], sem_m.at[t % M])
+
+        def out_dma(t):
+            return pltpu.make_async_copy(
+                ob.at[t % 2], out_ref.at[:, pl.ds(t * Ty, Ty), :], sem_ob.at[t % 2])
+
+        def mask_op(t, fn):
+            if not has_solid:
+                return
+            if cfg.slab_skip:
+                pl.when(sflags_ref[t] == 1)(fn)
+            else:
+                fn()
+
+        def start_in(t):
+            f_dma(t).start()
+            mask_op(t, lambda: m_dma(t).start())
+
+        def wait_in(t):
+            f_dma(t).wait()
+            mask_op(t, lambda: m_dma(t).wait())
+
+        def slab_flag(t):
+            return (sflags_ref[t] == 1) if cfg.slab_skip else None
+
+        def collide_a(t):
+            slot = t % 4
+            fw = [fa[slot, i] for i in range(Q)]
+            solid_rows = (msl[t % M] > 0.5) if cfg.bounce_back else None
+            fp = _collide_rows(cfg, fw, solid_rows)
+            for i in range(Q):
+                fa[slot, i] = fp[i]
+
+        eq_row = [jnp.full((1, nxl), cfg.eq_in[i], jnp.float32)
+                  for i in range(Q)]
+        # ring mask rows, indexed like the ghost offsets
+        mrb_rows = {r: mrb_ref[N + r:N + r + 1, :] for r in range(-N, 0)}
+        mrt_rows = {r: mrt_ref[r - 1:r, :] for r in range(1, N + 1)}
+
+        def collide_row_vals(planes, mask_row):
+            solid = (mask_row > 0.5) if cfg.bounce_back else None
+            return _collide_rows(cfg, planes, solid)
+
+        def stream_row(below, cur, above):
+            planes = []
+            for i in range(Q):
+                cx, cy = cfg.c[i]
+                row = cur[i] if cy == 0 else (below[i] if cy > 0 else above[i])
+                if cx:
+                    row = pltpu.roll(row, cx % nxl, axis=1)
+                planes.append(row)
+            return planes
+
+        # ---- bottom ghost chains: B[k][r] = stage-k collided ghost row r
+        # (r in -(N-k)..-1), as loop-invariant values ----
+        B = [dict() for _ in range(N)]
+        for r in range(-N, 0):
+            planes = [rb_ref[i, N + r:N + r + 1, :] for i in range(Q)]
+            B[0][r] = collide_row_vals(planes, mrb_rows[r])
+
+        # ---- prologue: raw slabs 0..N-1 in flight and collided; the DMA
+        # for slab N starts only after the stage prologue has consumed
+        # fa[0] (for N == 4 they share a slot) ----
+        for j in range(N):
+            start_in(j)
+        for j in range(N):
+            wait_in(j)
+            collide_a(j)
+
+        def make_stage_slab(k, idx, below, above, is_bottom, is_top,
+                            collide_after=True):
+            """Stage-k slab `idx` from stage k-1 (tgt = gs[k-1], or ob for
+            k == N). below/above: per-pop (1, nxl) boundary rows."""
+            srcref, m_src = stage_ref(k - 1)
+            tgt, m_tgt = (ob, 2) if k == N else stage_ref(k)
+            tslot = idx % m_tgt
+            for i in range(Q):
+                tgt[tslot, i] = _stream_rows(cfg, i, srcref[idx % m_src, i],
+                                             below[i], above[i])
+            _apply_bcs(cfg, tgt, tslot, msl if has_solid else None, idx % M,
+                       is_bottom, is_top, fl, fr, solid_flag=slab_flag(idx))
+            if collide_after:
+                fw = [tgt[tslot, i] for i in range(Q)]
+                solid_rows = (msl[idx % M] > 0.5) if cfg.bounce_back else None
+                fp = _collide_rows(cfg, fw, solid_rows)
+                for i in range(Q):
+                    tgt[tslot, i] = fp[i]
+
+        false_ = jnp.asarray(False, jnp.bool_)
+
+        # prologue (continued): for each intermediate stage k, its ghost chain then its
+        # slabs 0..N-k-1 (loop iteration s first needs stage-k slab s+N-k)
+        for k in range(1, N):
+            srcref, m_src = stage_ref(k - 1)
+            for r in range(-(N - k), 0):
+                below = B[k - 1][r - 1]
+                cur = B[k - 1][r]
+                if r == -1:
+                    above = [srcref[0, i, 0:1, :] for i in range(Q)]
+                else:
+                    above = B[k - 1][r + 1]
+                planes = stream_row(below, cur, above)
+                planes = _bc_row_values(
+                    cfg, planes, mrb_rows[r] if has_solid else None, fl, fr)
+                planes = collide_row_vals(planes, mrb_rows[r])
+                B[k][r] = [jnp.where(fb == 1, eq_row[i], planes[i])
+                           for i in range(Q)]
+            for j in range(N - k):
+                if j == 0:
+                    below = B[k - 1][-1]
+                else:
+                    below = [srcref[(j - 1) % m_src, i, Ty - 1:Ty, :]
+                             for i in range(Q)]
+                above = [srcref[(j + 1) % m_src, i, 0:1, :] for i in range(Q)]
+                make_stage_slab(k, j, below, above,
+                                (fb == 1) if j == 0 else false_, false_)
+
+        # raw slab N may now reuse fa[0]'s slot (prologue reads done)
+        if n_ty > N:
+            start_in(N)
+
+        # T[0] = collided raw top ghost rows (+1..+N), loop-invariant values
+        T0 = {}
+        for r in range(1, N + 1):
+            planes = [rt_ref[i, r - 1:r, :] for i in range(Q)]
+            T0[r] = collide_row_vals(planes, mrt_rows[r])
+
+        def t_prev(k, r):
+            """Stage k-1's top ghost row +r as per-pop (1, nxl) values."""
+            if k == 1:
+                return T0[r]
+            return [t_scr[k - 2, i, r - 1:r, :] for i in range(Q)]
+
+        def compute_t_chain(k):
+            """Stage-k top ghost rows (+1..+N-k) into t_scr[k-1], from stage
+            k-1's last slab and T[k-1]."""
+            srcref, m_src = stage_ref(k - 1)
+            for r in range(1, N - k + 1):
+                if r == 1:
+                    below = [srcref[(n_ty - 1) % m_src, i, Ty - 1:Ty, :]
+                             for i in range(Q)]
+                else:
+                    below = t_prev(k, r - 1)
+                cur = t_prev(k, r)
+                above = t_prev(k, r + 1)
+                planes = stream_row(below, cur, above)
+                planes = _bc_row_values(
+                    cfg, planes, mrt_rows[r] if has_solid else None, fl, fr)
+                planes = collide_row_vals(planes, mrt_rows[r])
+                for i in range(Q):
+                    t_scr[k - 1, i, r - 1:r, :] = jnp.where(
+                        ft == 1, eq_row[i], planes[i])
+
+        def loop(s, carry):
+            # stage 0: collide raw slab s+N; prefetch raw s+N+1
+            @pl.when(s + N < n_ty)
+            def _():
+                wait_in(s + N)
+                collide_a(s + N)
+
+            @pl.when(s + N + 1 < n_ty)
+            def _():
+                start_in(s + N + 1)
+
+            # intermediate stages k = 1..N-1 produce slab s + N - k
+            for k in range(1, N):
+                idx = s + (N - k)
+
+                @pl.when(idx < n_ty)
+                def _(k=k, idx=idx):
+                    srcref, m_src = stage_ref(k - 1)
+                    below = [srcref[(idx - 1) % m_src, i, Ty - 1:Ty, :]
+                             for i in range(Q)]
+                    is_last = idx == n_ty - 1
+                    above = [jnp.where(is_last, t_prev(k, 1)[i],
+                                       srcref[(idx + 1) % m_src, i, 0:1, :])
+                             for i in range(Q)]
+                    make_stage_slab(k, idx, below, above, false_,
+                                    jnp.logical_and(is_last, ft == 1))
+
+            # top ghost chain for stage k, computed the same iteration its
+            # source (stage k-1's last slab, idx n_ty-1) was produced above;
+            # consumers read it from the NEXT iteration on
+            for k in range(1, N):
+                @pl.when(s == n_ty - 2 - N + k)
+                def _(k=k):
+                    compute_t_chain(k)
+
+            # final stage: out slab s (uncollided — the new carry)
+            @pl.when(s >= 2)
+            def _():
+                out_dma(s - 2).wait()
+
+            srcref, m_src = stage_ref(N - 1)
+            is_last = s == n_ty - 1
+            below = [jnp.where(s == 0, B[N - 1][-1][i],
+                               srcref[(s - 1) % m_src, i, Ty - 1:Ty, :])
+                     for i in range(Q)]
+            above = [jnp.where(is_last, t_prev(N, 1)[i],
+                               srcref[(s + 1) % m_src, i, 0:1, :])
+                     for i in range(Q)]
+            make_stage_slab(N, s, below, above,
+                            jnp.logical_and(s == 0, fb == 1),
+                            jnp.logical_and(is_last, ft == 1),
+                            collide_after=False)
+            out_dma(s).start()
+            return carry
+
+        lax.fori_loop(0, n_ty, loop, 0, unroll=False)
+        if n_ty >= 2:
+            out_dma(n_ty - 2).wait()
+        out_dma(n_ty - 1).wait()
+
+    kernel.scratch_shapes = (
+        [pltpu.VMEM((4, Q, Ty, nxl), jnp.float32)]             # raw/stage-0
+        + [pltpu.VMEM((3, Q, Ty, nxl), jnp.float32)
+           for _ in range(N - 1)]                              # stages 1..N-1
+        + [pltpu.VMEM((2, Q, Ty, nxl), jnp.float32),           # out slabs
+           pltpu.VMEM((M, Ty, nxl), jnp.float32),              # mask slabs
+           pltpu.VMEM((N - 1, Q, N, nxl), jnp.float32),        # top ghost rows
+           pltpu.SemaphoreType.DMA((4,)),
+           pltpu.SemaphoreType.DMA((2,)),
+           pltpu.SemaphoreType.DMA((M,))]
+    )
+    return _wrap_call(cfg, kernel, nyl, N, interpret, has_solid)

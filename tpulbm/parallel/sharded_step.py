@@ -63,11 +63,26 @@ def make_chunk_fn(problem: Problem, mesh: Mesh, chunk_len: int,
                 "the pallas backend shards over y only; use mesh (N, 1) or "
                 "backend='jax' for x-sharded meshes")
         pallas_step = make_local_step_pallas(problem, local_shape)
-        # temporal blocking: two timesteps per HBM round trip when the chunk
-        # length is even and the local block has enough slabs
+        # temporal blocking: N timesteps per HBM round trip when the chunk
+        # length divides by N and the local block has enough slabs. Prefer
+        # the deepest blocking that fits; TPULBM_SUBSTEPS forces a value,
+        # TPULBM_NO_FUSED2 disables blocking entirely.
         pallas_step2 = None
-        if chunk_len % 2 == 0 and not os.environ.get("TPULBM_NO_FUSED2"):
-            pallas_step2 = make_local_step_pallas2(problem, local_shape)
+        pallas_substeps = 1
+        if not os.environ.get("TPULBM_NO_FUSED2"):
+            forced = os.environ.get("TPULBM_SUBSTEPS")
+            candidates = [int(forced)] if forced else [4, 3, 2]
+            from ..ops.step_pallas import make_local_step_pallasN
+            for n_sub in candidates:
+                if n_sub == 1 or chunk_len % n_sub:
+                    continue
+                builder = (make_local_step_pallas2 if n_sub == 2
+                           else lambda p, s: make_local_step_pallasN(p, s, n_sub))
+                stepper = builder(problem, local_shape)
+                if stepper is not None:
+                    pallas_step2 = stepper
+                    pallas_substeps = n_sub
+                    break
     elif backend == "jax":
         local_step = make_local_step_padded(problem, local_shape)
     elif backend != "pallas":
@@ -144,18 +159,18 @@ def make_chunk_fn(problem: Problem, mesh: Mesh, chunk_len: int,
             return mask, mrb[0], mrt[0]  # (depth, nxl)
 
         if pallas_step2 is not None:
-            mask, mrb, mrt = mask_rings(2)
-
+            depth = pallas_substeps
+            mask, mrb, mrt = mask_rings(depth)
             sflags = sflags_for(pallas_step2)
 
-            def two_steps(f, _):
+            def n_steps(f, _):
                 rb, rt = halo.ring_rows(f, eq_ring=eq_ring,
-                                        mesh_shape=mesh_shape, depth=2)
+                                        mesh_shape=mesh_shape, depth=depth)
                 return pallas_step2(f, rb, rt, flags, mask, mrb, mrt,
                                     sflags), None
 
-            f_local, _ = lax.scan(two_steps, f_local, None,
-                                  length=chunk_len // 2)
+            f_local, _ = lax.scan(n_steps, f_local, None,
+                                  length=chunk_len // depth)
             return f_local
 
         mask, mrb, mrt = mask_rings(1)
