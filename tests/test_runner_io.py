@@ -157,3 +157,29 @@ def test_runner_aborts_on_instability(tmp_path):
     result = Runner(params, verbose=False).run()
     assert not result.success
     assert not (tmp_path / "velocity_field.csv").exists()
+
+
+def test_super_chunk_path_matches_interval_path(tmp_path):
+    # long enough that the batched-diagnostics fast path engages
+    # (num_timesteps > _SUPER_K * freq); must produce identical forces.csv
+    import tpulbm.runner as runner_mod
+    base = dict(nx=64, ny=32, tau=0.6, inlet_velocity=0.05,
+                num_timesteps=400, output_frequency=20, enable_vtk=False,
+                precision="f64", backend="jax")
+    pa = SimulationParams(output_dir=str(tmp_path / "super"), **base)
+    Runner(pa, verbose=False).run()
+
+    orig = runner_mod._SUPER_K
+    runner_mod._SUPER_K = 10 ** 9  # force the per-interval path
+    try:
+        pb = SimulationParams(output_dir=str(tmp_path / "plain"), **base)
+        Runner(pb, verbose=False).run()
+    finally:
+        runner_mod._SUPER_K = orig
+
+    fa = open(tmp_path / "super" / "forces.csv").read()
+    fb = open(tmp_path / "plain" / "forces.csv").read()
+    assert fa == fb
+    va = open(tmp_path / "super" / "velocity_field.csv").read()
+    vb = open(tmp_path / "plain" / "velocity_field.csv").read()
+    assert va == vb

@@ -30,11 +30,13 @@ from .mesh import local_block_shape
 
 
 def make_chunk_fn(problem: Problem, mesh: Mesh, chunk_len: int,
-                  backend: str = "jax"):
+                  backend: str = "jax", _raw: bool = False):
     """Build a jitted fn(f, solid) -> f advanced by chunk_len steps.
 
     f: global (Q, *spatial) array (sharded or to-be-sharded); donated.
     solid: global bool mask (or None-placeholder of zeros when no obstacle).
+    _raw: return the un-jitted shard_map callable (for composition inside a
+    larger jit, e.g. make_super_chunk_fn).
     """
     spatial = problem.spatial_shape
     ndim = len(spatial)
@@ -194,7 +196,40 @@ def make_chunk_fn(problem: Problem, mesh: Mesh, chunk_len: int,
     # check_vma=False: pallas_call out_shapes don't carry vma annotations
     sharded = shard_map(body, mesh=mesh, in_specs=(spec_f, spec_m),
                         out_specs=spec_f, check_vma=False)
+    if _raw:
+        return sharded
     return jax.jit(sharded, donate_argnums=(0,))
+
+
+def make_super_chunk_fn(problem: Problem, mesh: Mesh, interval_len: int,
+                        n_intervals: int, backend: str = "jax"):
+    """fn(f, solid) -> (f', diags): advances n_intervals × interval_len steps
+    with ONE host round trip, recording per-interval diagnostics on device.
+
+    diags = (forces (n_intervals, D), max_vel (n_intervals,), stable
+    (n_intervals,)), each evaluated at the interval-start states — the
+    reference's output cadence (LBMSolver.h:52-67) — so a long run needs
+    ~n_intervals× fewer host↔device synchronizations (each costs 50-300 ms
+    through a remote-TPU relay).
+    """
+    from ..ops import diagnostics, forces as forces_mod
+
+    chunk = make_chunk_fn(problem, mesh, interval_len, backend=backend,
+                          _raw=True)
+    has_solid = problem.solid is not None
+    forces_fn = forces_mod.forces_fn(problem) if has_solid else None
+    maxv_fn = diagnostics.max_velocity_fn(problem)
+    stable_fn = diagnostics.stability_fn(problem)
+
+    def fn(f, solid):
+        def interval(fc, _):
+            force = forces_fn(fc) if forces_fn is not None else jnp.zeros(2)
+            diag = (force, maxv_fn(fc), stable_fn(fc))
+            return chunk(fc, solid), diag
+
+        return lax.scan(interval, f, None, length=n_intervals)
+
+    return jax.jit(fn, donate_argnums=(0,))
 
 
 def shard_state(mesh: Mesh, f, solid=None):
