@@ -23,6 +23,9 @@ def bench(nx=2048, ny=512, backend="pallas", chunk_len=280, chunks=8,
     import jax
     import numpy as np
 
+    from tpulbm.utils.jaxcache import enable_compilation_cache
+    enable_compilation_cache()
+
     from tpulbm.config import SimulationParams, tau_for_reynolds
     from tpulbm.models import make_problem
     from tpulbm.parallel.mesh import make_mesh

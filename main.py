@@ -43,6 +43,8 @@ def main(argv=None) -> int:
         os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
                                    + f" --xla_force_host_platform_device_count={args.cpu_devices}").strip()
     import jax
+    from tpulbm.utils.jaxcache import enable_compilation_cache
+    enable_compilation_cache()
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
     if args.distributed:
