@@ -64,7 +64,16 @@ def make_chunk_fn(problem: Problem, mesh: Mesh, chunk_len: int,
             raise ValueError(
                 "the pallas backend shards over y only; use mesh (N, 1) or "
                 "backend='jax' for x-sharded meshes")
-        pallas_step = make_local_step_pallas(problem, local_shape)
+        try:
+            pallas_step = make_local_step_pallas(problem, local_shape)
+        except ValueError as e:
+            # layout/dtype constraints (nx % 128, f64, VMEM) — degrade
+            # gracefully instead of failing the run
+            import warnings
+            warnings.warn(f"pallas backend unavailable for this config "
+                          f"({e}); falling back to backend='jax'")
+            backend = "jax"
+    if backend == "pallas" and ndim == 2:
         # temporal blocking: N timesteps per HBM round trip when the chunk
         # length divides by N and the local block has enough slabs. Prefer
         # the deepest blocking that fits; TPULBM_SUBSTEPS forces a value,
@@ -80,7 +89,10 @@ def make_chunk_fn(problem: Problem, mesh: Mesh, chunk_len: int,
                     continue
                 builder = (make_local_step_pallas2 if n_sub == 2
                            else lambda p, s: make_local_step_pallasN(p, s, n_sub))
-                stepper = builder(problem, local_shape)
+                try:
+                    stepper = builder(problem, local_shape)
+                except ValueError:
+                    stepper = None  # no slab height fits VMEM at this depth
                 if stepper is not None:
                     pallas_step2 = stepper
                     pallas_substeps = n_sub
