@@ -74,3 +74,44 @@ def test_stability_predicate():
     assert bool(physics.is_stable(f))
     assert not bool(physics.is_stable(f.at[0, 0, 0].set(jnp.nan)))
     assert not bool(physics.is_stable(f.at[0, 0, 0].set(2e5)))
+
+
+def test_momentum_exchange_no_wrap_at_nonperiodic_edges():
+    # A solid column on the x=0 edge must not pair with fluid on the x=nx-1
+    # edge through jnp.roll's wraparound (the reference bounds-checks its
+    # neighbor lookup instead, LBMIO.h:143-145). Populations are zero except
+    # at the far edge, so any nonzero force can only come from wrapping.
+    from tpulbm.config import SimulationParams
+    from tpulbm.models import make_problem
+    from tpulbm.ops.forces import momentum_exchange
+
+    params = SimulationParams(nx=16, ny=8, num_timesteps=1)
+    problem = make_problem(params)
+    Q, ny, nx = 9, params.ny, params.nx
+
+    for axis, edge_idx in ((1, (slice(None), 0)),    # solid col at x=0
+                           (0, (0, slice(None)))):   # solid row at y=0
+        solid = np.zeros((ny, nx), bool)
+        solid[edge_idx[0], edge_idx[1]] = True
+        f = np.zeros((Q, ny, nx), np.float64)
+        if axis == 1:
+            f[:, :, -1] = 1.0   # fluid populations only at x=nx-1
+        else:
+            f[:, -1, :] = 1.0   # only at y=ny-1
+        force = np.asarray(momentum_exchange(problem, jnp.asarray(f),
+                                             jnp.asarray(solid)))
+        np.testing.assert_allclose(force, 0.0, atol=0.0)
+
+    # and legitimate interior pairing still contributes: bias the
+    # east-moving population so the drag is nonzero and exactly computable
+    solid = np.zeros((ny, nx), bool)
+    solid[4, 8] = True
+    f = np.ones((Q, ny, nx), np.float64)
+    f[1] = 2.0  # c_1 = (+1, 0)
+    force = np.asarray(momentum_exchange(problem, jnp.asarray(f),
+                                         jnp.asarray(solid)))
+    # F_x = Σ_i 2 c_ix f_i over the 8 fluid neighbors of the solid cell:
+    # the +x and -x columns cancel for f=1 except the f_1=2 excess at the
+    # west neighbor: 2*(+1)*(2-1) = 2
+    np.testing.assert_allclose(force[0], 2.0, atol=1e-12)
+    np.testing.assert_allclose(force[1], 0.0, atol=1e-12)

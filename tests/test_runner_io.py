@@ -125,6 +125,31 @@ def test_checkpoint_rejects_mismatched_params(tmp_path):
     latest = ckpt.latest(str(tmp_path / "checkpoints"))
     with pytest.raises(ValueError):
         ckpt.load(latest, p.replace(tau=0.7))
+    # ALL physics-relevant fields are guarded, not just grid/tau/problem
+    for change in (dict(inlet_velocity=0.01), dict(collision="trt"),
+                   dict(obstacle_bc="bounce_back"), dict(precision="f64"),
+                   dict(body_force=(1e-5, 0.0))):
+        with pytest.raises(ValueError):
+            ckpt.load(latest, p.replace(**change))
+    # runtime-only fields may differ freely (extending a run, new mesh, …)
+    step, _ = ckpt.load(latest, p.replace(num_timesteps=999, output_dir="/x",
+                                          mesh_shape=(2, 1), enable_vtk=False))
+    assert step == 60
+
+
+def test_force_writer_resume_drops_overlapping_rows(tmp_path):
+    path = str(tmp_path / "forces.csv")
+    with io_mod.ForceWriter(path) as w:
+        for t in (0, 20, 40, 60):
+            w.record(t, 1.0, 2.0, 3.0, 4.0)
+    # resume from a checkpoint at t=40: rows 40, 60 were recorded after it
+    # and will be re-recorded — they must be dropped, not duplicated
+    with io_mod.ForceWriter(path, append=True, resume_step=40) as w:
+        w.record(40, 1.5, 2.5, 3.5, 4.5)
+    rows = open(path).read().splitlines()
+    assert rows[0] == io_mod.ForceWriter.HEADER.strip()
+    assert [r.split(",")[0] for r in rows[1:]] == ["0", "20", "40"]
+    assert rows[3].startswith("40,1.50000000")
 
 
 def test_runner_pallas_backend_matches_jax(tmp_path):

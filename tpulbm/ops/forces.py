@@ -38,6 +38,17 @@ def momentum_exchange(problem: Problem, f_post: jnp.ndarray,
             # ([z,] y, x), velocity components are (x, y[, z])).
             shifts = tuple(-int(c[i, k]) for k in range(lat.D))[::-1]
             solid_shift = jnp.roll(solid, shifts, tuple(range(ndim)))
+            # jnp.roll wraps; on non-periodic axes a solid cell touching a
+            # domain edge must not pair with fluid on the opposite edge
+            # (the reference bounds-checks instead, LBMIO.h:143-145).
+            for axis, s in enumerate(shifts):
+                if s == 0:
+                    continue
+                if axis == ndim - 1 and problem.periodic_x:
+                    continue
+                idx = [slice(None)] * ndim
+                idx[axis] = 0 if s > 0 else -1
+                solid_shift = solid_shift.at[tuple(idx)].set(False)
             contrib = jnp.sum(jnp.where(fluid & solid_shift, f_post[i], 0.0))
             total = total + 2.0 * cid * contrib
         comps.append(total)

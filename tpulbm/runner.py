@@ -148,7 +148,8 @@ class Runner:
         if self._forces is not None:
             forces_path = os.path.join(p.output_dir, "forces.csv")
             force_writer = io_mod.ForceWriter(forces_path,
-                                              append=start_step > 0)
+                                              append=start_step > 0,
+                                              resume_step=start_step)
 
         meter = ThroughputMeter(p.num_cells)
         if self.verbose:
@@ -242,9 +243,13 @@ class Runner:
                                 self._io_futures.append(self._io_pool.submit(
                                     io_mod.write_vtk_timestep, frame[1][0],
                                     frame[1][1], frame[0], p, t, p.output_dir))
-                                self._io_futures = [fut for fut in
-                                                    self._io_futures
-                                                    if not fut.done()]
+                                pending = []
+                                for fut in self._io_futures:
+                                    if fut.done():
+                                        fut.result()  # surface write failures
+                                    else:
+                                        pending.append(fut)
+                                self._io_futures = pending
                         if not bool(stable):
                             print(f"Simulation unstable at timestep {t}")
                             success = False

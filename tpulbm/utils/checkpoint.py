@@ -17,6 +17,17 @@ from ..config import SimulationParams
 
 _PAT = re.compile(r"ckpt_(\d+)\.npz$")
 
+# Fields that do not change the physics of the trajectory: safe to differ
+# between the checkpointing run and the resuming run. Everything else
+# (grid, tau, velocities, BC/collision choices, body force, precision, …)
+# must match — resuming with different physics silently mixes two
+# simulations (the inlet velocity even shapes the frozen ghost ring).
+_RUNTIME_FIELDS = frozenset({
+    "num_timesteps", "output_frequency", "vtk_start_step", "backend",
+    "mesh_shape", "checkpoint_every", "checkpoint_dir", "output_dir",
+    "enable_vtk",
+})
+
 
 def save(ckpt_dir: str, step: int, f: np.ndarray,
          params: SimulationParams, keep: int = 3) -> str:
@@ -46,9 +57,10 @@ def load(path: str, params: SimulationParams | None = None
         step = int(data["step"])
         saved = SimulationParams.from_json(bytes(data["params_json"]).decode())
     if params is not None:
-        for field in ("nx", "ny", "nz", "tau", "problem"):
-            if getattr(saved, field) != getattr(params, field):
+        saved_d, run_d = saved.to_dict(), params.to_dict()
+        for field in sorted(set(saved_d) & set(run_d) - _RUNTIME_FIELDS):
+            if saved_d[field] != run_d[field]:
                 raise ValueError(
                     f"checkpoint {path} was written with {field}="
-                    f"{getattr(saved, field)!r}, run has {getattr(params, field)!r}")
+                    f"{saved_d[field]!r}, run has {run_d[field]!r}")
     return step, f

@@ -31,9 +31,28 @@ class ForceWriter:
 
     HEADER = "timestep,drag_force,lift_force,drag_coeff,lift_coeff\n"
 
-    def __init__(self, path: str, append: bool = False):
+    def __init__(self, path: str, append: bool = False,
+                 resume_step: int | None = None):
         self.path = path
         if append and os.path.exists(path):
+            if resume_step is not None:
+                # Rows recorded after the checkpoint we resumed from would be
+                # re-recorded (duplicate timesteps skew the time-averaged
+                # drag and Strouhal peak spacing) — keep only rows strictly
+                # before the resume step.
+                with open(path) as fh:
+                    lines = fh.readlines()
+                kept = [self.HEADER]
+                for ln in lines:
+                    head = ln.split(",", 1)[0]
+                    try:
+                        ts = int(head)
+                    except ValueError:
+                        continue  # header or corrupt tail line
+                    if ts < resume_step:
+                        kept.append(ln)
+                with open(path, "w") as fh:
+                    fh.writelines(kept)
             self._fh = open(path, "a")
         else:
             self._fh = open(path, "w")
