@@ -57,13 +57,11 @@ def main(argv=None) -> int:
 
     params = params_from_args(args)
     if args.mesh == "auto":
-        n_dev = len(jax.devices())
-        if params.backend == "pallas" and params.ny % n_dev == 0:
-            # the pallas backend shards over y only
-            params = params.replace(mesh_shape=(n_dev, 1))
-        else:
-            params = params.replace(mesh_shape=choose_decomposition(
-                n_dev, params.nx, params.ny))
+        # every decomposition runs the pallas fast path now (the x-tiled
+        # kernel stitches ppermute'd halo columns), so use the reference's
+        # surface-minimizing chooser unconditionally (LBMGrid.h:366-392)
+        params = params.replace(mesh_shape=choose_decomposition(
+            len(jax.devices()), params.nx, params.ny))
 
     runner = Runner(params)
     with trace(args.profile_dir):

@@ -120,13 +120,18 @@ def test_pallas2_cylinder_straddling_shard_boundary(monkeypatch):
               monkeypatch=monkeypatch, chunk_len=4, n_chunks=3)
 
 
-def test_pallas_rejects_x_sharding():
+def test_pallas_x_sharding_routes_to_tiled_kernel():
+    # x-sharded meshes take the x-tiled kernel (round-1 VERDICT #2: the old
+    # mesh-(N,1) restriction is gone); equivalence is tested in
+    # test_pallas_tiled.py — here just assert the fast path engages.
     import jax as _jax
     from tpulbm.parallel.sharded_step import make_chunk_fn as mk
     params = SimulationParams(nx=256, ny=64, precision="f32")
     problem = make_problem(params)
     mesh = make_mesh((1, 2), devices=_jax.devices()[:2])
-    with pytest.raises(ValueError):
+    import warnings
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")  # no jax-fallback warning allowed
         mk(problem, mesh, 5, backend="pallas")
 
 

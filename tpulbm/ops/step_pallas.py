@@ -73,8 +73,13 @@ class _Cfg:
     outlet_zou_he: bool
     periodic_x: bool
     Ty: int
-    nxl: int
+    nxl: int            # slab buffer width (== local nx for full-width kernels)
     n_ty: int
+    # Buffer-column positions of the physical x-edge cells. Full-width
+    # kernels put them at the buffer edges; the x-tiled kernel
+    # (step_pallas_tiled.py) centers the owned columns between halo regions.
+    xl_col: int = 0
+    xr_col: int = -1    # resolved to nxl-1 in _build_cfg
 
 
 def _collide_rows(cfg: _Cfg, fw, solid_rows):
@@ -155,6 +160,7 @@ def _apply_bcs(cfg: _Cfg, ref, slot, msl, mslot, is_bottom, is_top, fl, fr,
     direct (Ty, nxl)-shaped value, when msl is None).
     """
     Q, Ty, nxl = cfg.Q, cfg.Ty, cfg.nxl
+    xl, xr = cfg.xl_col, cfg.xr_col
     opp, w, eq_in, u_in = cfg.opp, cfg.w, cfg.eq_in, cfg.u_in
 
     def mrow(rs, re, cs=None, ce=None):
@@ -173,7 +179,7 @@ def _apply_bcs(cfg: _Cfg, ref, slot, msl, mslot, is_bottom, is_top, fl, fr,
             cx, cy = cfg.c[i]
             if cx == 0:
                 continue
-            xc = 0 if cx > 0 else nxl - 1
+            xc = xl if cx > 0 else xr
             fe = fl if cx > 0 else fr
 
             @pl.when(fe == 1)
@@ -212,11 +218,11 @@ def _apply_bcs(cfg: _Cfg, ref, slot, msl, mslot, is_bottom, is_top, fl, fr,
                                     ref[slot, i, Ty - 1:Ty, :])
                 ref[slot, i, Ty - 1:Ty, :] = val
 
-    # Zou-He inlet, column 0 (LBMSolver.h:179-207)
+    # Zou-He inlet, physical column xl (LBMSolver.h:179-207)
     if cfg.inlet_zou_he:
         @pl.when(fl == 1)
         def _inlet():
-            pr = [ref[slot, i, :, 0:1] for i in range(Q)]
+            pr = [ref[slot, i, :, xl:xl + 1] for i in range(Q)]
             rho_bc = (pr[0] + pr[2] + pr[4]
                       + 2.0 * (pr[3] + pr[6] + pr[7])) / (1.0 - u_in)
             ru = rho_bc * u_in
@@ -226,14 +232,14 @@ def _apply_bcs(cfg: _Cfg, ref, slot, msl, mslot, is_bottom, is_top, fl, fr,
                    8: pr[6] + ht + (1.0 / 6.0) * ru}
             for i, val in new.items():
                 if cfg.guard_bcs:
-                    val = jnp.where(mrow(0, Ty, 0, 1) < 0.5, val, pr[i])
-                ref[slot, i, :, 0:1] = val
+                    val = jnp.where(mrow(0, Ty, xl, xl + 1) < 0.5, val, pr[i])
+                ref[slot, i, :, xl:xl + 1] = val
 
-    # Zou-He pressure outlet, column nxl-1 (LBMSolver.h:210-236)
+    # Zou-He pressure outlet, physical column xr (LBMSolver.h:210-236)
     if cfg.outlet_zou_he:
         @pl.when(fr == 1)
         def _outlet():
-            xc = nxl - 1
+            xc = xr
             pr = [ref[slot, i, :, xc:xc + 1] for i in range(Q)]
             u_out = -1.0 + (pr[0] + pr[2] + pr[4]
                             + 2.0 * (pr[1] + pr[5] + pr[8]))  # rho_out = 1
@@ -271,6 +277,7 @@ def _bc_row_values(cfg: _Cfg, planes, mask_row, fl, fr):
     Walls never apply (ring rows are never global wall rows — the shard that
     owns the wall applies them). planes: list of Q (1, nxl) values."""
     Q, nxl = cfg.Q, cfg.nxl
+    xl, xr = cfg.xl_col, cfg.xr_col
     eq_in, u_in = cfg.eq_in, cfg.u_in
     col = jax.lax.broadcasted_iota(jnp.int32, (1, nxl), 1)
     planes = list(planes)
@@ -280,10 +287,10 @@ def _bc_row_values(cfg: _Cfg, planes, mask_row, fl, fr):
         for i in range(Q):
             cx, _ = cfg.c[i]
             if cx > 0:
-                planes[i] = jnp.where((col == 0) & (fl == 1),
+                planes[i] = jnp.where((col == xl) & (fl == 1),
                                       jnp.float32(0.0), planes[i])
             elif cx < 0:
-                planes[i] = jnp.where((col == nxl - 1) & (fr == 1),
+                planes[i] = jnp.where((col == xr) & (fr == 1),
                                       jnp.float32(0.0), planes[i])
     fluid = (mask_row < 0.5) if cfg.has_solid else None
 
@@ -291,7 +298,7 @@ def _bc_row_values(cfg: _Cfg, planes, mask_row, fl, fr):
         return m if fluid is None else (m & fluid)
 
     if cfg.inlet_zou_he:
-        m = guard((col == 0) & (fl == 1))
+        m = guard((col == xl) & (fl == 1))
         p = planes
         rho_bc = (p[0] + p[2] + p[4] + 2.0 * (p[3] + p[6] + p[7])) / (1.0 - u_in)
         ru = rho_bc * u_in
@@ -300,7 +307,7 @@ def _bc_row_values(cfg: _Cfg, planes, mask_row, fl, fr):
         planes[5] = jnp.where(m, p[7] - ht + (1.0 / 6.0) * ru, p[5])
         planes[8] = jnp.where(m, p[6] + ht + (1.0 / 6.0) * ru, p[8])
     if cfg.outlet_zou_he:
-        m = guard((col == nxl - 1) & (fr == 1))
+        m = guard((col == xr) & (fr == 1))
         p = planes
         u_out = -1.0 + (p[0] + p[2] + p[4] + 2.0 * (p[1] + p[5] + p[8]))
         ht = 0.5 * (p[2] - p[4])
@@ -319,15 +326,14 @@ def _bc_row_values(cfg: _Cfg, planes, mask_row, fl, fr):
     return planes
 
 
-def _build_cfg(problem: Problem, local_shape, interpret, substeps=1) -> _Cfg:
+def _physics_cfg_fields(problem: Problem) -> dict:
+    """The geometry/physics _Cfg fields shared by the full-width and x-tiled
+    kernel builders (everything except the slab/tile sizing)."""
     lat = problem.lattice
     if lat.D != 2:
         raise ValueError("pallas backend is 2-D (D2Q9); use backend='jax' for 3-D")
     if problem.dtype != np.float32:
         raise ValueError("pallas backend is f32; use backend='jax' for f64")
-    nyl, nxl = local_shape
-    if not interpret and nxl % 128 != 0:
-        raise ValueError(f"pallas backend needs local nx % 128 == 0, got {nxl}")
     Q = lat.Q
     c = tuple((int(cx), int(cy)) for cx, cy in lat.c)
     w = tuple(float(v) for v in lat.w)
@@ -351,6 +357,35 @@ def _build_cfg(problem: Problem, local_shape, interpret, substeps=1) -> _Cfg:
                          or s[:, 0].any() or s[:, -1].any())
     slab_skip = has_solid and not bounce_back and not guard_bcs
 
+    from .. import physics as _physics
+    omega_minus = None
+    if problem.collision == "trt":
+        omega_minus = _physics.omega_minus_trt(1.0 / problem.params.tau,
+                                               problem.trt_magic)
+    return dict(
+        Q=Q, c=c, w=w, opp=tuple(int(v) for v in lat.opposite),
+        inv_tau=1.0 / problem.params.tau,
+        omega_minus=omega_minus,
+        u_in=float(problem.init_u[0]),
+        eq_in=tuple(float(v) for v in problem.ghost_ring_values()),
+        src=src, has_solid=has_solid,
+        bounce_back=bounce_back,
+        guard_bcs=guard_bcs, slab_skip=slab_skip,
+        walls_y=problem.walls_y,
+        inlet_zou_he=problem.inlet_zou_he,
+        outlet_zou_he=problem.outlet_zou_he,
+        periodic_x=problem.periodic_x,
+    )
+
+
+def _build_cfg(problem: Problem, local_shape, interpret, substeps=1) -> _Cfg:
+    fields = _physics_cfg_fields(problem)
+    nyl, nxl = local_shape
+    if not interpret and nxl % 128 != 0:
+        raise ValueError(f"pallas backend needs local nx % 128 == 0, got {nxl}")
+    Q = fields["Q"]
+    has_solid = fields["has_solid"]
+
     ty_env = os.environ.get("TPULBM_PALLAS_TY")
     # f-sized slab buffers: 4-slot raw ring + 3-slot ring per intermediate
     # stage + 2-slot output ring; mask ring is N+2 slots for N >= 3
@@ -373,26 +408,8 @@ def _build_cfg(problem: Problem, local_shape, interpret, substeps=1) -> _Cfg:
                 f"local ny must have a multiple-of-8 divisor small enough")
         Ty = max(valid)
 
-    from .. import physics as _physics
-    omega_minus = None
-    if problem.collision == "trt":
-        omega_minus = _physics.omega_minus_trt(1.0 / problem.params.tau,
-                                               problem.trt_magic)
-    return _Cfg(
-        Q=Q, c=c, w=w, opp=tuple(int(v) for v in lat.opposite),
-        inv_tau=1.0 / problem.params.tau,
-        omega_minus=omega_minus,
-        u_in=float(problem.init_u[0]),
-        eq_in=tuple(float(v) for v in problem.ghost_ring_values()),
-        src=src, has_solid=has_solid,
-        bounce_back=bounce_back,
-        guard_bcs=guard_bcs, slab_skip=slab_skip,
-        walls_y=problem.walls_y,
-        inlet_zou_he=problem.inlet_zou_he,
-        outlet_zou_he=problem.outlet_zou_he,
-        periodic_x=problem.periodic_x,
-        Ty=Ty, nxl=nxl, n_ty=nyl // Ty,
-    )
+    return _Cfg(**fields, Ty=Ty, nxl=nxl, n_ty=nyl // Ty,
+                xl_col=0, xr_col=nxl - 1)
 
 
 def _wrap_call(cfg: _Cfg, kernel, nyl, depth, interpret, has_solid):

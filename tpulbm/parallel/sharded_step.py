@@ -60,25 +60,49 @@ def make_chunk_fn(problem: Problem, mesh: Mesh, chunk_len: int,
     if backend == "pallas" and ndim == 2:
         from ..ops.step_pallas import (make_local_step_pallas,
                                        make_local_step_pallas2)
-        if mesh_shape[1] != 1:
-            raise ValueError(
-                "the pallas backend shards over y only; use mesh (N, 1) or "
-                "backend='jax' for x-sharded meshes")
+        from ..ops.step_pallas_tiled import make_local_step_tiled
+        # The full-width slab kernels assume the local block spans the whole
+        # x extent (x pulls are lane rolls + edge sanitize); x-sharded meshes
+        # take the x-tiled kernel, which stitches ppermute'd halo columns.
+        # TPULBM_FORCE_TILED routes single-shard-x runs to it too (tests).
+        x_sharded = (mesh_shape[1] != 1
+                     or bool(os.environ.get("TPULBM_FORCE_TILED")))
+        pallas_step = None
+
+        def _pallas_possible():
+            # hard constraints shared by every pallas kernel: D2Q9, f32, and
+            # (on real TPUs) a 128-lane-aligned local width
+            from ..ops.step_pallas import _physics_cfg_fields
+            _physics_cfg_fields(problem)  # raises for D≠2 / f64
+            if (jax.default_backend() != "cpu"
+                    and local_shape[-1] % 128 != 0):
+                raise ValueError(
+                    f"pallas backend needs local nx % 128 == 0, "
+                    f"got {local_shape[-1]}")
+
         try:
-            pallas_step = make_local_step_pallas(problem, local_shape)
+            _pallas_possible()
         except ValueError as e:
-            # layout/dtype constraints (nx % 128, f64, VMEM) — degrade
-            # gracefully instead of failing the run
+            # layout/dtype constraints — degrade gracefully
             import warnings
             warnings.warn(f"pallas backend unavailable for this config "
                           f"({e}); falling back to backend='jax'")
             backend = "jax"
+        if backend == "pallas" and not x_sharded:
+            try:
+                pallas_step = make_local_step_pallas(problem, local_shape)
+            except ValueError:
+                # full-width slabs exceed VMEM at this nx — the x-tiled
+                # kernel (block below) covers wide rows; keep pallas alive
+                pallas_step = None
     if backend == "pallas" and ndim == 2:
         # temporal blocking: N timesteps per HBM round trip when the chunk
         # length divides by N and the local block has enough slabs. Prefer
-        # the deepest blocking that fits; TPULBM_SUBSTEPS forces a value,
-        # TPULBM_NO_FUSED2 disables blocking entirely.
+        # the deepest blocking that fits — full-width slabs first, x-tiled
+        # slabs when the width doesn't fit VMEM (or the mesh is x-sharded).
+        # TPULBM_SUBSTEPS forces a depth, TPULBM_NO_FUSED2 disables blocking.
         pallas_step2 = None
+        pallas_tiled = None
         pallas_substeps = 1
         if not os.environ.get("TPULBM_NO_FUSED2"):
             forced = os.environ.get("TPULBM_SUBSTEPS")
@@ -87,16 +111,34 @@ def make_chunk_fn(problem: Problem, mesh: Mesh, chunk_len: int,
             for n_sub in candidates:
                 if n_sub == 1 or chunk_len % n_sub:
                     continue
-                builder = (make_local_step_pallas2 if n_sub == 2
-                           else lambda p, s: make_local_step_pallasN(p, s, n_sub))
-                try:
-                    stepper = builder(problem, local_shape)
-                except ValueError:
-                    stepper = None  # no slab height fits VMEM at this depth
+                stepper = None
+                if not x_sharded:
+                    builder = (make_local_step_pallas2 if n_sub == 2
+                               else lambda p, s: make_local_step_pallasN(p, s, n_sub))
+                    try:
+                        stepper = builder(problem, local_shape)
+                    except ValueError:
+                        stepper = None  # no slab height fits VMEM at this depth
                 if stepper is not None:
                     pallas_step2 = stepper
                     pallas_substeps = n_sub
                     break
+                stepper = make_local_step_tiled(problem, local_shape, n_sub)
+                if stepper is not None:
+                    pallas_tiled = stepper
+                    pallas_substeps = n_sub
+                    break
+        if (pallas_step2 is None and pallas_tiled is None
+                and pallas_step is None):
+            # x-sharded mesh with no fitting tiled depth: try depth 1
+            pallas_tiled = make_local_step_tiled(problem, local_shape, 1)
+            pallas_substeps = 1
+            if pallas_tiled is None:
+                import warnings
+                warnings.warn("no pallas tile configuration fits this local "
+                              "block; falling back to backend='jax'")
+                backend = "jax"
+                local_step = make_local_step_padded(problem, local_shape)
     elif backend == "jax":
         local_step = make_local_step_padded(problem, local_shape)
     elif backend != "pallas":
@@ -198,8 +240,60 @@ def make_chunk_fn(problem: Problem, mesh: Mesh, chunk_len: int,
         f_local, _ = lax.scan(one_step, f_local, None, length=chunk_len)
         return f_local
 
+    def body_pallas_tiled(f_local, solid_local):
+        iy = lax.axis_index("y")
+        ix = lax.axis_index("x")
+        nyl, nxl = local_shape[-2], local_shape[-1]
+        y0 = iy * nyl
+        x0 = ix * nxl
+        flags = jnp.stack([
+            (y0 == 0), (y0 + nyl == problem.params.ny),
+            (x0 == 0), (x0 + nxl == problem.params.nx)]).astype(jnp.int32)
+        N = pallas_tiled.depth
+        H = pallas_tiled.halo_width
+
+        # per-y-slab solid flags (static geometry, traced shard offset)
+        sflags = None
+        if has_solid:
+            ty = pallas_tiled.tile_height
+            starts = y0 + jnp.arange(pallas_tiled.n_ty) * ty
+            if solid_rows is None:
+                sflags = jnp.zeros((pallas_tiled.n_ty,), jnp.int32)
+            else:
+                lo, hi = solid_rows
+                sflags = ((starts <= hi) & (starts + ty > lo)).astype(jnp.int32)
+
+        mask = ml = mr = mrb = mrt = None
+        if has_solid:
+            mask = solid_local.astype(jnp.float32)
+            zr = np.zeros(1, np.float32)
+            ml3, mr3 = halo.ring_cols(mask[None], eq_ring=zr,
+                                      mesh_shape=mesh_shape, depth=N, H=H,
+                                      periodic_x=problem.periodic_x)
+            mrb3, mrt3 = halo.ring_rows_ext(mask[None], ml3, mr3, eq_ring=zr,
+                                            mesh_shape=mesh_shape, depth=N)
+            ml, mr, mrb, mrt = ml3[0], mr3[0], mrb3[0], mrt3[0]
+
+        def n_steps(f, _):
+            rl, rr = halo.ring_cols(f, eq_ring=eq_ring, mesh_shape=mesh_shape,
+                                    depth=N, H=H,
+                                    periodic_x=problem.periodic_x)
+            rb, rt = halo.ring_rows_ext(f, rl, rr, eq_ring=eq_ring,
+                                        mesh_shape=mesh_shape, depth=N)
+            return pallas_tiled(f, rb, rt, rl, rr, flags, mask, mrb, mrt,
+                                ml, mr, sflags), None
+
+        f_local, _ = lax.scan(n_steps, f_local, None,
+                              length=chunk_len // N)
+        return f_local
+
     if backend == "pallas":
-        body = body_pallas3d if ndim == 3 else body_pallas
+        if ndim == 3:
+            body = body_pallas3d
+        elif pallas_tiled is not None:
+            body = body_pallas_tiled
+        else:
+            body = body_pallas
     else:
         body = body_jax
 

@@ -28,6 +28,7 @@ from .geometry import solid_cell_count
 from .models import make_problem
 from .models.base import Problem
 from .ops import diagnostics, forces as forces_mod
+from .parallel import multihost
 from .parallel.mesh import make_mesh
 from .parallel.sharded_step import (make_chunk_fn, make_super_chunk_fn,
                                     shard_state)
@@ -55,7 +56,11 @@ class Runner:
         if params.precision == "f64":
             jax.config.update("jax_enable_x64", True)
         self.params = params
-        self.verbose = verbose
+        # rank-0 semantics (reference LBMIO.h:35-46, LBMGrid.h:92): banners
+        # and files come from process 0 only; collective gathers still run
+        # on every process
+        self.primary = multihost.is_primary()
+        self.verbose = verbose and self.primary
         self.problem: Problem = make_problem(params)
         n_dev = params.mesh_shape[0] * params.mesh_shape[1]
         devices = list(devices if devices is not None else jax.devices())[:n_dev]
@@ -147,9 +152,10 @@ class Runner:
         forces_path = None
         if self._forces is not None:
             forces_path = os.path.join(p.output_dir, "forces.csv")
-            force_writer = io_mod.ForceWriter(forces_path,
-                                              append=start_step > 0,
-                                              resume_step=start_step)
+            if self.primary:
+                force_writer = io_mod.ForceWriter(forces_path,
+                                                  append=start_step > 0,
+                                                  resume_step=start_step)
 
         meter = ThroughputMeter(p.num_cells)
         if self.verbose:
@@ -188,6 +194,8 @@ class Runner:
                                 problem, self.mesh, freq, _SUPER_K,
                                 backend=p.backend)
                         f, diags = self._super(f, solid_dev)
+                        # per-interval scalars are replicated → addressable
+                        # from every process, no collective gather needed
                         forces_k, maxv_k, stable_k = jax.device_get(diags)
                         aborted = False
                         for j in range(_SUPER_K):
@@ -212,7 +220,9 @@ class Runner:
                         chunks_done += _SUPER_K
                         if (p.checkpoint_every and
                                 chunks_done - last_ckpt >= p.checkpoint_every):
-                            ckpt.save(ckpt_dir, t, jax.device_get(f), p)
+                            f_host = multihost.fetch_global(f)
+                            if self.primary:
+                                ckpt.save(ckpt_dir, t, f_host, p)
                             last_ckpt = chunks_done
                         continue
 
@@ -229,7 +239,8 @@ class Runner:
                         frame = None
                         if (t > 0 and p.enable_vtk and t >= p.vtk_start_step
                                 and not p.is_3d):
-                            rho_f, u_f = jax.device_get(self._fields(f))
+                            # collective on multi-host — every process joins
+                            rho_f, u_f = multihost.fetch_tree(self._fields(f))
                             frame = (np.asarray(rho_f), np.asarray(u_f))
                         if force_writer is not None:
                             fvec = np.asarray(fvec)
@@ -239,7 +250,7 @@ class Runner:
                         if t > 0:
                             if self.verbose:
                                 print(f"Timestep {t}: max_vel={float(mv):.6f}")
-                            if frame is not None:
+                            if frame is not None and self.primary:
                                 self._io_futures.append(self._io_pool.submit(
                                     io_mod.write_vtk_timestep, frame[1][0],
                                     frame[1][1], frame[0], p, t, p.output_dir))
@@ -259,9 +270,8 @@ class Runner:
                     if t < t_fields:
                         n = min(n, t_fields - t)
                     elif t == t_fields:
-                        rho_p, u_p = self._fields(f)
-                        fields_prev = (np.array(jax.device_get(rho_p)),
-                                       np.array(jax.device_get(u_p)))
+                        rho_p, u_p = multihost.fetch_tree(self._fields(f))
+                        fields_prev = (np.array(rho_p), np.array(u_p))
                     chunk = self._chunk_fn(n)
                     f = chunk(f, solid_dev)
                     t += n
@@ -269,7 +279,9 @@ class Runner:
 
                     if (p.checkpoint_every and
                             chunks_done - last_ckpt >= p.checkpoint_every):
-                        ckpt.save(ckpt_dir, t, jax.device_get(f), p)
+                        f_host = multihost.fetch_global(f)
+                        if self.primary:
+                            ckpt.save(ckpt_dir, t, f_host, p)
                         last_ckpt = chunks_done
 
                 # final fence + stability check of the end state
@@ -299,9 +311,9 @@ class Runner:
         p = self.params
         if self.verbose:
             print("\nGathering final results...")
-        rho, u = self._fields(f)
-        rho = np.asarray(jax.device_get(rho))
-        u = np.asarray(jax.device_get(u))
+        rho, u = multihost.fetch_tree(self._fields(f))
+        rho = np.asarray(rho)
+        u = np.asarray(u)
         if fields_prev is not None:
             rho_prev, u_prev = fields_prev
             edge_cols = []
@@ -314,6 +326,8 @@ class Runner:
                 u_prev[..., col] = u[..., col]
             rho, u = rho_prev, u_prev
         stats = None
+        if not self.primary:      # rank-0 file semantics (LBMIO.h:35-46)
+            return None
         if not p.is_3d:
             io_mod.write_velocity_field(u[0], u[1], rho, p, p.output_dir)
             io_mod.write_simulation_params(u[0], u[1], p, p.output_dir)
