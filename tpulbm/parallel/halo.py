@@ -249,6 +249,37 @@ def ring_rows_ext(f: jnp.ndarray, rl: jnp.ndarray, rr: jnp.ndarray, *,
     return rb, rt
 
 
+def ring_rows_3d(f: jnp.ndarray, *, eq_ring: np.ndarray,
+                 mesh_shape: tuple[int, int], depth: int = 8,
+                 axis_names: tuple[str, str] = ("y", "x")
+                 ) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """y-halo rows for the y-tiled 3-D pallas path: (rb, rt), each
+    (Q, nz, depth, nx) — the neighbor shard's edge rows at every z plane;
+    frozen ghost equilibrium at physical y edges (3-D ghost semantics:
+    y/z out-of-domain pulls read the frozen initial equilibrium). depth is
+    the sublane-aligned halo height (8); only the row adjacent to the block
+    is consumed per step, the rest is fill. mesh_x must be 1 (3-D pallas
+    shards y only; x pulls are lane rolls in the kernel)."""
+    my, mx = mesh_shape
+    if mx != 1:
+        raise ValueError("ring_rows_3d requires mesh_x == 1")
+    ay = axis_names[0]
+    Q, nz, nyl, nx = f.shape
+    eq_rows = jnp.broadcast_to(
+        jnp.asarray(eq_ring, f.dtype)[:, None, None, None],
+        (Q, nz, depth, nx))
+    if my == 1:
+        return eq_rows, eq_rows
+    top_edge = f[:, :, nyl - depth:nyl, :]
+    bottom_edge = f[:, :, 0:depth, :]
+    from_below = lax.ppermute(top_edge, ay, _perm_fwd(my, False))
+    from_above = lax.ppermute(bottom_edge, ay, _perm_bwd(my, False))
+    iy = lax.axis_index(ay)
+    rb = jnp.where(iy > 0, from_below, eq_rows)
+    rt = jnp.where(iy < my - 1, from_above, eq_rows)
+    return rb, rt
+
+
 def make_padded(f_local: jnp.ndarray, eq_ring: np.ndarray) -> jnp.ndarray:
     """Allocate a padded local block with ring pre-filled with the frozen
     ghost equilibrium and center = f_local."""
