@@ -61,6 +61,42 @@ int fastio_write_vtk(const char* path, const char* header,
   return std::fclose(f) ? 1 : 0;
 }
 
+// 3-D variant: real uz in the vector lines and the magnitude
+// (STRUCTURED_POINTS with DIMENSIONS nx ny nz in the header; same blocks).
+int fastio_write_vtk3(const char* path, const char* header, const double* ux,
+                      const double* uy, const double* uz, const double* rho,
+                      int64_t n) {
+  FILE* f = std::fopen(path, "w");
+  if (!f) return 1;
+  setvbuf(f, nullptr, _IOFBF, kBuf);
+  std::fputs(header, f);
+  std::fputs("VECTORS velocity double\n", f);
+  char line[192];
+  for (int64_t i = 0; i < n; ++i) {
+    int k = fmt8(line, ux[i]);
+    line[k++] = ' ';
+    k += fmt8(line + k, uy[i]);
+    line[k++] = ' ';
+    k += fmt8(line + k, uz[i]);
+    line[k++] = '\n';
+    std::fwrite(line, 1, k, f);
+  }
+  std::fputs("\nSCALARS velocity_magnitude double\nLOOKUP_TABLE default\n", f);
+  for (int64_t i = 0; i < n; ++i) {
+    int k = fmt8(line,
+                 std::sqrt(ux[i] * ux[i] + uy[i] * uy[i] + uz[i] * uz[i]));
+    line[k++] = '\n';
+    std::fwrite(line, 1, k, f);
+  }
+  std::fputs("\nSCALARS density double\nLOOKUP_TABLE default\n", f);
+  for (int64_t i = 0; i < n; ++i) {
+    int k = fmt8(line, rho[i]);
+    line[k++] = '\n';
+    std::fwrite(line, 1, k, f);
+  }
+  return std::fclose(f) ? 1 : 0;
+}
+
 // Per-cell CSV "x,y,ux,uy,rho,velocity_magnitude" (LBMIO.h:312-320).
 int fastio_write_velocity_field(const char* path, const double* ux,
                                 const double* uy, const double* rho,

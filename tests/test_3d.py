@@ -98,3 +98,124 @@ def test_3d_pallas_bounce_back_and_trt():
 
     np.testing.assert_allclose(run("pallas"), run("jax"), rtol=5e-6,
                                atol=1e-7)
+
+
+def _run3d(params, mesh_shape, backend, env=None, chunk_len=4, n_chunks=2):
+    import os
+    env = env or {}
+    old = {k: os.environ.get(k) for k in env}
+    os.environ.update(env)
+    try:
+        problem = make_problem(params)
+        n_dev = mesh_shape[0] * mesh_shape[1]
+        mesh = make_mesh(mesh_shape, devices=jax.devices()[:n_dev])
+        chunk = make_chunk_fn(problem, mesh, chunk_len, backend=backend)
+        f, solid = shard_state(mesh, problem.initial_state(), problem.solid)
+        for _ in range(n_chunks):
+            f = chunk(f, solid)
+        return np.asarray(jax.device_get(f))
+    finally:
+        for k in env:
+            os.environ.pop(k, None)
+            if old[k] is not None:
+                os.environ[k] = old[k]
+
+
+def test_3d_tiled_pallas_matches_jax():
+    # y-tiled D3Q19 kernel forced on a single device (the big-plane path)
+    params = _params(precision="f32")
+    ref = _run3d(params, (1, 1), "jax")
+    got = _run3d(params, (1, 1), "pallas", env={"TPULBM_FORCE_TILED": "1"})
+    np.testing.assert_allclose(got, ref, rtol=5e-6, atol=1e-7)
+
+
+def test_3d_tiled_pallas_y_sharded():
+    # y-sharded 3-D pallas: halo rows ride ppermute (ring_rows_3d)
+    params = _params(ny=32, precision="f32")
+    ref = _run3d(params, (1, 1), "jax")
+    got = _run3d(params, (4, 1), "pallas")
+    np.testing.assert_allclose(got, ref, rtol=5e-6, atol=1e-7)
+
+
+def test_3d_tiled_pallas_y_sharded_bounce_back():
+    # sphere straddling the y-shard boundary, bounce-back + TRT (sphere
+    # centered so it does not pierce the inlet column — that geometry
+    # deliberately falls back to the jax tier, see next test)
+    params = _params(ny=32, precision="f32", obstacle_bc="bounce_back",
+                     collision="trt", cylinder_x=0.5, cylinder_y=0.5,
+                     cylinder_radius=0.2)
+    ref = _run3d(params, (1, 1), "jax")
+    got = _run3d(params, (2, 1), "pallas")
+    np.testing.assert_allclose(got, ref, rtol=5e-6, atol=1e-7)
+
+
+def test_3d_inlet_piercing_solid_falls_back_to_jax():
+    # solid on the inlet column: both 3-D pallas builders refuse (return
+    # None) and the chunk builder must route to the jax tier, matching it
+    # exactly by construction
+    params = _params(ny=32, precision="f32", obstacle_bc="bounce_back",
+                     cylinder_y=0.5, cylinder_radius=0.2)  # touches x=0
+    problem = make_problem(params)
+    assert problem.solid[..., 0].any()
+    from tpulbm.ops.step_pallas3d import (make_local_step_pallas3d,
+                                          make_local_step_pallas3d_tiled)
+    assert make_local_step_pallas3d(problem, problem.spatial_shape,
+                                    interpret=True) is None
+    assert make_local_step_pallas3d_tiled(problem, problem.spatial_shape,
+                                          interpret=True) is None
+    import warnings
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        ref = _run3d(params, (1, 1), "jax")
+        got = _run3d(params, (1, 1), "pallas")  # silently the jax tier
+    np.testing.assert_allclose(got, ref, rtol=0, atol=0)
+
+
+def test_3d_runner_writes_vtk_frames(tmp_path):
+    params = _params(num_timesteps=20, output_frequency=10, precision="f32",
+                     output_dir=str(tmp_path), backend="jax",
+                     enable_vtk=True)
+    from tpulbm.runner import Runner
+    result = Runner(params, verbose=False).run()
+    assert result.success
+    import os as _os
+    frames = sorted(_os.listdir(tmp_path / "vtk_output"))
+    # frame at t=10 plus the final frame at t=20
+    assert frames == ["lbm_000010.vtk", "lbm_000020.vtk"]
+    vtk = open(tmp_path / "vtk_output" / "lbm_000010.vtk").read().splitlines()
+    assert vtk[3] == "DATASET STRUCTURED_POINTS"
+    assert vtk[4] == "DIMENSIONS 32 16 8"
+    assert vtk[7] == f"POINT_DATA {32 * 16 * 8}"
+    assert vtk[8] == "VECTORS velocity double"
+    assert len(vtk[9].split()) == 3          # real uz component
+    assert not vtk[9].endswith(" 0.0")       # duct flow has nonzero uz wakes
+    idx = vtk.index("SCALARS velocity_magnitude double")
+    assert vtk[idx + 1] == "LOOKUP_TABLE default"
+
+
+def test_3d_native_vtk_matches_python(tmp_path):
+    import os as _os
+    from tpulbm.utils import io as io_mod
+    from tpulbm.utils.native import get_native_io
+    if get_native_io() is None or not getattr(get_native_io(), "_has_vtk3",
+                                              False):
+        import pytest
+        pytest.skip("native IO unavailable")
+    rng = np.random.default_rng(3)
+    nz, ny, nx = 4, 6, 10
+    ux, uy, uz = (rng.standard_normal((nz, ny, nx)) * 0.1 for _ in range(3))
+    rho = 1.0 + rng.standard_normal((nz, ny, nx)) * 0.01
+    params = _params(nx=nx, ny=ny, nz=nz)
+    _os.environ["TPULBM_NO_NATIVE"] = "1"
+    try:
+        io_mod.write_vtk_timestep(ux, uy, rho, params, 3,
+                                  str(tmp_path / "py"), uz=uz)
+        py = open(tmp_path / "py" / "vtk_output" / "lbm_000003.vtk",
+                  "rb").read()
+    finally:
+        del _os.environ["TPULBM_NO_NATIVE"]
+    io_mod.write_vtk_timestep(ux, uy, rho, params, 3, str(tmp_path / "nat"),
+                              uz=uz)
+    nat = open(tmp_path / "nat" / "vtk_output" / "lbm_000003.vtk",
+               "rb").read()
+    assert nat == py

@@ -109,6 +109,15 @@ def _collide_planes(cfg: _Cfg3d, fw, solid):
     return out
 
 
+def _solid_touches_x_edges(problem: Problem) -> bool:
+    """Solid cells on the inlet/outlet columns interact with the x-edge
+    ghost sanitize in an order the 3-D kernels don't reproduce (a geometry
+    outside the sphere-in-duct model family); such configs take the jax
+    tier instead of silently diverging."""
+    s = problem.solid
+    return bool(s[..., 0].any() or s[..., -1].any())
+
+
 def make_local_step_pallas3d(problem: Problem,
                              local_shape: tuple[int, ...],
                              interpret: bool | None = None):
@@ -127,6 +136,8 @@ def make_local_step_pallas3d(problem: Problem,
         raise ValueError(f"pallas3d needs nx % 128 == 0 and ny % 8 == 0, "
                          f"got {ny}x{nx}")
     has_solid = problem.solid is not None
+    if has_solid and _solid_touches_x_edges(problem):
+        return None  # inlet/outlet-piercing solids: jax tier handles them
     plane_bytes = Q * ny * nx * 4
     usage = 6 * plane_bytes + (4 * ny * nx * 4 if has_solid else 0)
     if usage > _VMEM_BUDGET or nz < 2:
@@ -366,4 +377,380 @@ def make_local_step_pallas3d(problem: Problem,
         mask = jnp.asarray(zero_mask) if mask is None else mask
         return call(f, mask)
 
+    return step
+
+
+def make_local_step_pallas3d_tiled(problem: Problem,
+                                   local_shape: tuple[int, ...],
+                                   interpret: bool | None = None):
+    """y-tiled D3Q19 kernel: step(f, rb, rt, flags, mask, mrb, mrt) -> f_new.
+
+    Lifts the full-plane kernel's VMEM cap (ny*nx ≲ 27k cells) by tiling
+    each z-plane along y — slabs are (Q, Ty + 2H, nx) with H = 8 halo rows
+    per side (sublane alignment), fetched per tile; only the center Ty rows
+    are written back (overlapped tiling, exactly the 2-D x-tiled design one
+    axis over, ops/step_pallas_tiled.py). The same halo plumbing makes the
+    kernel y-SHARDABLE: shard-edge tiles take their halo rows from ring
+    inputs rb/rt = halo.ring_rows_3d (ppermute over the 'y' mesh axis;
+    frozen ghost equilibrium at physical y edges).
+
+      f:      (Q, nz, nyl, nx) local block
+      rb/rt:  (Q, nz, H, nx) ring rows
+      flags:  (2,) int32 [is_bottom, is_top] — physical y edges of the shard
+      mask:   (nz, nyl, nx) f32; mrb/mrt: (nz, H, nx) mask ring rows
+
+    Returns None when no y-tile fits VMEM or nz < 2.
+    """
+    lat = problem.lattice
+    if lat.D != 3:
+        raise ValueError("pallas3d requires a 3-D lattice")
+    if problem.dtype != np.float32:
+        raise ValueError("pallas backend is f32; use backend='jax' for f64")
+    nz, nyl, nx = local_shape
+    Q = lat.Q
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    if not interpret and nx % 128:
+        raise ValueError(f"pallas3d needs nx % 128 == 0, got {nx}")
+    has_solid = problem.solid is not None
+    if has_solid and _solid_touches_x_edges(problem):
+        return None  # inlet/outlet-piercing solids: jax tier handles them
+    H = 8 if not interpret else 2
+
+    def usage(wy):
+        return (6 * Q * wy * nx + (4 * wy * nx if has_solid else 0)) * 4
+
+    tys = sorted((t for t in range(1, nyl + 1)
+                  if nyl % t == 0 and (interpret or t % 8 == 0)
+                  and usage(t + 2 * H) <= _VMEM_BUDGET), reverse=True)
+    if not tys or nz < 2:
+        return None
+    Ty = tys[0]
+    Wy = Ty + 2 * H
+    n_ty = nyl // Ty
+
+    from .. import physics as _physics
+    omega_minus = None
+    if problem.collision == "trt":
+        omega_minus = _physics.omega_minus_trt(1.0 / problem.params.tau,
+                                               problem.trt_magic)
+    if problem.body_force:
+        F = np.asarray(problem.body_force, np.float64)
+        src = tuple(float(3.0 * lat.w[i] * (lat.c[i].astype(np.float64) @ F))
+                    for i in range(Q))
+    else:
+        src = None
+    cfg = _Cfg3d(
+        Q=Q, c=tuple(tuple(int(v) for v in row) for row in lat.c),
+        w=tuple(float(v) for v in lat.w),
+        opp=tuple(int(v) for v in lat.opposite),
+        inv_tau=1.0 / problem.params.tau, omega_minus=omega_minus,
+        eq_in=tuple(float(v) for v in problem.ghost_ring_values()),
+        src=src, has_solid=has_solid,
+        bounce_back=has_solid and problem.obstacle_bc == "bounce_back",
+        walls_y=problem.walls_y, walls_z=problem.walls_z,
+        inlet_equilibrium=problem.inlet_equilibrium,
+        outlet_zero_grad=problem.outlet_zero_grad,
+        nz=nz, ny=Wy, nx=nx)
+    # global-edge row positions inside the tile buffer
+    yb, yt = H, H + Ty - 1
+
+    def kernel(flags_ref, f_ref, rb_ref, rt_ref, mask_ref, mrb_ref, mrt_ref,
+               out_ref, fa, ob, msl, sem_fc, sem_fb, sem_ft, sem_ob, sem_m,
+               sem_mb, sem_mt):
+        fb, ft = flags_ref[0], flags_ref[1]
+        tyi = pl.program_id(0)
+        algn = 8 if not interpret else 1
+        ya = pl.multiple_of(tyi * Ty, algn)
+        ya_b = pl.multiple_of(tyi * Ty - H, algn)
+        ya_t = pl.multiple_of(tyi * Ty + Ty, algn)
+        at_bot = tyi == 0
+        at_top = tyi == n_ty - 1
+        # does THIS tile hold the physical bottom/top row
+        gb = jnp.logical_and(at_bot, fb == 1)
+        gt = jnp.logical_and(at_top, ft == 1)
+
+        def fc_dma(z):
+            return pltpu.make_async_copy(
+                f_ref.at[:, z, pl.ds(ya, Ty), :],
+                fa.at[z % 4, :, H:H + Ty, :], sem_fc.at[z % 4])
+
+        def fb_ring(z):
+            return pltpu.make_async_copy(
+                rb_ref.at[:, z], fa.at[z % 4, :, 0:H, :], sem_fb.at[z % 4])
+
+        def fb_inner(z):
+            return pltpu.make_async_copy(
+                f_ref.at[:, z, pl.ds(ya_b, H), :],
+                fa.at[z % 4, :, 0:H, :], sem_fb.at[z % 4])
+
+        def ft_ring(z):
+            return pltpu.make_async_copy(
+                rt_ref.at[:, z], fa.at[z % 4, :, H + Ty:Wy, :],
+                sem_ft.at[z % 4])
+
+        def ft_inner(z):
+            return pltpu.make_async_copy(
+                f_ref.at[:, z, pl.ds(ya_t, H), :],
+                fa.at[z % 4, :, H + Ty:Wy, :], sem_ft.at[z % 4])
+
+        def mc_dma(z):
+            return pltpu.make_async_copy(
+                mask_ref.at[z, pl.ds(ya, Ty), :],
+                msl.at[z % 4, H:H + Ty, :], sem_m.at[z % 4])
+
+        def mb_ring(z):
+            return pltpu.make_async_copy(
+                mrb_ref.at[z], msl.at[z % 4, 0:H, :], sem_mb.at[z % 4])
+
+        def mb_inner(z):
+            return pltpu.make_async_copy(
+                mask_ref.at[z, pl.ds(ya_b, H), :],
+                msl.at[z % 4, 0:H, :], sem_mb.at[z % 4])
+
+        def mt_ring(z):
+            return pltpu.make_async_copy(
+                mrt_ref.at[z], msl.at[z % 4, H + Ty:Wy, :], sem_mt.at[z % 4])
+
+        def mt_inner(z):
+            return pltpu.make_async_copy(
+                mask_ref.at[z, pl.ds(ya_t, H), :],
+                msl.at[z % 4, H + Ty:Wy, :], sem_mt.at[z % 4])
+
+        def start_in(z):
+            fc_dma(z).start()
+            pl.when(at_bot)(lambda: fb_ring(z).start())
+            pl.when(jnp.logical_not(at_bot))(lambda: fb_inner(z).start())
+            pl.when(at_top)(lambda: ft_ring(z).start())
+            pl.when(jnp.logical_not(at_top))(lambda: ft_inner(z).start())
+            if has_solid:
+                mc_dma(z).start()
+                pl.when(at_bot)(lambda: mb_ring(z).start())
+                pl.when(jnp.logical_not(at_bot))(lambda: mb_inner(z).start())
+                pl.when(at_top)(lambda: mt_ring(z).start())
+                pl.when(jnp.logical_not(at_top))(lambda: mt_inner(z).start())
+
+        def wait_in(z):
+            fc_dma(z).wait()
+            fb_ring(z).wait()
+            ft_ring(z).wait()
+            if has_solid:
+                mc_dma(z).wait()
+                mb_ring(z).wait()
+                mt_ring(z).wait()
+
+        def out_dma(z):
+            return pltpu.make_async_copy(
+                ob.at[z % 2, :, H:H + Ty, :],
+                out_ref.at[:, z, pl.ds(ya, Ty), :], sem_ob.at[z % 2])
+
+        def collide_tile(slot):
+            fw = [fa[slot, i] for i in range(Q)]
+            solid = (msl[slot] > 0.5) if cfg.bounce_back else None
+            fp = _collide_planes(cfg, fw, solid)
+            for i in range(Q):
+                fa[slot, i] = fp[i]
+
+        eq_tile = [jnp.full((Wy, nx), cfg.eq_in[i], jnp.float32)
+                   for i in range(Q)]
+
+        start_in(0)
+        if nz > 1:
+            start_in(1)
+        wait_in(0)
+        collide_tile(0)
+
+        def loop(z, carry):
+            @pl.when(z + 1 < nz)
+            def _():
+                wait_in(z + 1)
+                collide_tile((z + 1) % 4)
+
+            @pl.when(z + 2 < nz)
+            def _():
+                start_in(z + 2)
+
+            oslot = z % 2
+
+            @pl.when(z >= 2)
+            def _():
+                out_dma(z - 2).wait()
+
+            cur = z % 4
+            # pull streaming: z via tile ring (frozen eq beyond physical z
+            # edges), y via sublane roll on the haloed tile, x via lane roll
+            for i in range(Q):
+                cx, cy, cz = cfg.c[i]
+                if cz == 0:
+                    plane = fa[cur, i]
+                elif cz > 0:
+                    plane = jnp.where(z == 0, eq_tile[i], fa[(z - 1) % 4, i])
+                else:
+                    plane = jnp.where(z == nz - 1, eq_tile[i],
+                                      fa[(z + 1) % 4, i])
+                if cy:
+                    plane = pltpu.roll(plane, cy % Wy, axis=0)
+                if cx:
+                    plane = pltpu.roll(plane, cx % nx, axis=1)
+                ob[oslot, i] = plane
+
+            # ghost sanitize — x edges every tile; y edges only on the tile
+            # holding the physical boundary row
+            for i in range(Q):
+                cx, cy, cz = cfg.c[i]
+                if cx:
+                    xc = 0 if cx > 0 else nx - 1
+                    if cz > 0:
+                        val = jnp.where(z == 0, cfg.eq_in[i], 0.0)
+                    elif cz < 0:
+                        val = jnp.where(z == nz - 1, cfg.eq_in[i], 0.0)
+                    else:
+                        val = jnp.float32(0.0)
+                    ob[oslot, i, :, xc:xc + 1] = jnp.broadcast_to(
+                        val, (Wy, 1)).astype(jnp.float32)
+                if cy > 0:
+                    @pl.when(gb)
+                    def _(i=i):
+                        ob[oslot, i, yb:yb + 1, :] = jnp.full(
+                            (1, nx), cfg.eq_in[i], jnp.float32)
+                elif cy < 0:
+                    @pl.when(gt)
+                    def _(i=i):
+                        ob[oslot, i, yt:yt + 1, :] = jnp.full(
+                            (1, nx), cfg.eq_in[i], jnp.float32)
+
+            def fluid_rows(rs, re, cs=None, ce=None):
+                m = msl[cur, rs:re, :]
+                if cs is not None:
+                    m = m[:, cs:ce]
+                return m < 0.5
+
+            # walls in y (global boundary rows only)
+            if cfg.walls_y:
+                @pl.when(gb)
+                def _():
+                    for i in range(Q):
+                        if cfg.c[i][1] > 0:
+                            val = ob[oslot, cfg.opp[i], yb:yb + 1, :]
+                            if has_solid:
+                                val = jnp.where(fluid_rows(yb, yb + 1), val,
+                                                ob[oslot, i, yb:yb + 1, :])
+                            ob[oslot, i, yb:yb + 1, :] = val
+
+                @pl.when(gt)
+                def _():
+                    for i in range(Q):
+                        if cfg.c[i][1] < 0:
+                            val = ob[oslot, cfg.opp[i], yt:yt + 1, :]
+                            if has_solid:
+                                val = jnp.where(fluid_rows(yt, yt + 1), val,
+                                                ob[oslot, i, yt:yt + 1, :])
+                            ob[oslot, i, yt:yt + 1, :] = val
+
+            # walls in z (whole first/last output planes)
+            if cfg.walls_z:
+                fluid_plane = (msl[cur] < 0.5) if has_solid else None
+
+                @pl.when(z == 0)
+                def _():
+                    for i in range(Q):
+                        if cfg.c[i][2] > 0:
+                            val = ob[oslot, cfg.opp[i]]
+                            if has_solid:
+                                val = jnp.where(fluid_plane, val, ob[oslot, i])
+                            ob[oslot, i] = val
+
+                @pl.when(z == nz - 1)
+                def _():
+                    for i in range(Q):
+                        if cfg.c[i][2] < 0:
+                            val = ob[oslot, cfg.opp[i]]
+                            if has_solid:
+                                val = jnp.where(fluid_plane, val, ob[oslot, i])
+                            ob[oslot, i] = val
+
+            # equilibrium inlet, column 0
+            if cfg.inlet_equilibrium:
+                for i in range(Q):
+                    val = jnp.full((Wy, 1), cfg.eq_in[i], jnp.float32)
+                    if has_solid:
+                        val = jnp.where(fluid_rows(0, Wy, 0, 1), val,
+                                        ob[oslot, i, :, 0:1])
+                    ob[oslot, i, :, 0:1] = val
+
+            # zero-gradient outlet, column nx-1
+            if cfg.outlet_zero_grad:
+                for i in range(Q):
+                    val = ob[oslot, i, :, nx - 2:nx - 1]
+                    if has_solid:
+                        val = jnp.where(fluid_rows(0, Wy, nx - 1, nx), val,
+                                        ob[oslot, i, :, nx - 1:nx])
+                    ob[oslot, i, :, nx - 1:nx] = val
+
+            # obstacle
+            if has_solid:
+                solid_p = msl[cur] > 0.5
+                if cfg.bounce_back:
+                    snap = [ob[oslot, i] for i in range(Q)]
+                    for i in range(Q):
+                        ob[oslot, i] = jnp.where(solid_p, snap[cfg.opp[i]],
+                                                 ob[oslot, i])
+                else:
+                    for i in range(Q):
+                        ob[oslot, i] = jnp.where(solid_p, cfg.w[i],
+                                                 ob[oslot, i])
+
+            out_dma(z).start()
+            return carry
+
+        lax.fori_loop(0, nz, loop, 0, unroll=False)
+        if nz >= 2:
+            out_dma(nz - 2).wait()
+        out_dma(nz - 1).wait()
+
+    call = pl.pallas_call(
+        kernel,
+        grid=(n_ty,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # flags (2,)
+            pl.BlockSpec(memory_space=pl.ANY),      # f
+            pl.BlockSpec(memory_space=pl.ANY),      # rb
+            pl.BlockSpec(memory_space=pl.ANY),      # rt
+            pl.BlockSpec(memory_space=pl.ANY),      # mask
+            pl.BlockSpec(memory_space=pl.ANY),      # mrb
+            pl.BlockSpec(memory_space=pl.ANY),      # mrt
+        ],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        out_shape=jax.ShapeDtypeStruct((Q, nz, nyl, nx), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((4, Q, Wy, nx), jnp.float32),
+            pltpu.VMEM((2, Q, Wy, nx), jnp.float32),
+            pltpu.VMEM((4, Wy, nx), jnp.float32),
+            pltpu.SemaphoreType.DMA((4,)),
+            pltpu.SemaphoreType.DMA((4,)),
+            pltpu.SemaphoreType.DMA((4,)),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((4,)),
+            pltpu.SemaphoreType.DMA((4,)),
+            pltpu.SemaphoreType.DMA((4,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_BUDGET + 3 * 1024 * 1024),
+        interpret=interpret,
+    )
+
+    zero_mask = np.zeros((nz, nyl, nx), np.float32)
+    zero_ring = np.zeros((nz, H, nx), np.float32)
+
+    def step(f, rb, rt, flags, mask=None, mrb=None, mrt=None):
+        if has_solid and mask is None:
+            raise ValueError("pallas3d needs the solid mask")
+        mask = jnp.asarray(zero_mask) if mask is None else mask
+        mrb = jnp.asarray(zero_ring) if mrb is None else mrb
+        mrt = jnp.asarray(zero_ring) if mrt is None else mrt
+        return call(flags, f, rb, rt, mask, mrb, mrt)
+
+    step.halo_height = H
+    step.tile_height = Ty
+    step.n_ty = n_ty
     return step

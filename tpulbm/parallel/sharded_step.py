@@ -46,17 +46,37 @@ def make_chunk_fn(problem: Problem, mesh: Mesh, chunk_len: int,
     has_solid = problem.solid is not None
 
     pallas3d_step = None
+    pallas3d_tiled = None
     if backend == "pallas" and ndim == 3:
-        from ..ops.step_pallas3d import make_local_step_pallas3d
-        if mesh_shape != (1, 1):
-            raise ValueError("the 3-D pallas backend is single-device; use "
-                             "backend='jax' for sharded 3-D runs")
-        pallas3d_step = make_local_step_pallas3d(problem, local_shape)
-        if pallas3d_step is None:
+        from ..ops.step_pallas3d import (make_local_step_pallas3d,
+                                         make_local_step_pallas3d_tiled)
+        if mesh_shape[1] != 1:
             import warnings
-            warnings.warn("3-D plane too large for the pallas kernel's VMEM "
-                          "budget; falling back to backend='jax'")
+            warnings.warn("the 3-D pallas backend shards over y only; "
+                          "falling back to backend='jax' for x-sharded 3-D")
             backend = "jax"
+        else:
+            try:
+                if (mesh_shape == (1, 1)
+                        and not os.environ.get("TPULBM_FORCE_TILED")):
+                    # full-plane kernel: no halo-row overhead when it fits
+                    pallas3d_step = make_local_step_pallas3d(problem,
+                                                             local_shape)
+                if pallas3d_step is None:
+                    # y-tiled kernel: big planes and/or y-sharded meshes
+                    pallas3d_tiled = make_local_step_pallas3d_tiled(
+                        problem, local_shape)
+            except ValueError as e:
+                import warnings
+                warnings.warn(f"pallas backend unavailable for this config "
+                              f"({e}); falling back to backend='jax'")
+                backend = "jax"
+            if (backend == "pallas" and pallas3d_step is None
+                    and pallas3d_tiled is None):
+                import warnings
+                warnings.warn("no 3-D pallas tile fits the VMEM budget; "
+                              "falling back to backend='jax'")
+                backend = "jax"
     if backend == "pallas" and ndim == 2:
         from ..ops.step_pallas import (make_local_step_pallas,
                                        make_local_step_pallas2)
@@ -177,6 +197,29 @@ def make_chunk_fn(problem: Problem, mesh: Mesh, chunk_len: int,
         f_local, _ = lax.scan(one_step, f_local, None, length=chunk_len)
         return f_local
 
+    def body_pallas3d_tiled(f_local, solid_local):
+        iy = lax.axis_index("y")
+        nyl3 = local_shape[-2]
+        y0 = iy * nyl3
+        flags = jnp.stack([(y0 == 0),
+                           (y0 + nyl3 == problem.params.ny)]).astype(jnp.int32)
+        H = pallas3d_tiled.halo_height
+        mask = mrb = mrt = None
+        if has_solid:
+            mask = solid_local.astype(jnp.float32)
+            zr = np.zeros(1, np.float32)
+            mrb4, mrt4 = halo.ring_rows_3d(mask[None], eq_ring=zr,
+                                           mesh_shape=mesh_shape, depth=H)
+            mrb, mrt = mrb4[0], mrt4[0]
+
+        def one_step(f, _):
+            rb, rt = halo.ring_rows_3d(f, eq_ring=eq_ring,
+                                       mesh_shape=mesh_shape, depth=H)
+            return pallas3d_tiled(f, rb, rt, flags, mask, mrb, mrt), None
+
+        f_local, _ = lax.scan(one_step, f_local, None, length=chunk_len)
+        return f_local
+
     # static row bounding box of the solid mask, for per-slab obstacle skip
     solid_rows = None
     if has_solid and ndim == 2:
@@ -289,7 +332,8 @@ def make_chunk_fn(problem: Problem, mesh: Mesh, chunk_len: int,
 
     if backend == "pallas":
         if ndim == 3:
-            body = body_pallas3d
+            body = (body_pallas3d if pallas3d_step is not None
+                    else body_pallas3d_tiled)
         elif pallas_tiled is not None:
             body = body_pallas_tiled
         else:

@@ -185,7 +185,7 @@ class Runner:
                     # stack. Each round trip costs 50-300 ms through the
                     # remote-TPU relay, so this dominates end-to-end wall
                     # time for long runs.
-                    vtk_needed = (p.enable_vtk and not p.is_3d
+                    vtk_needed = (p.enable_vtk
                                   and t + _SUPER_K * freq > p.vtk_start_step)
                     if (t % freq == 0 and not vtk_needed
                             and t + _SUPER_K * freq <= t_fields):
@@ -237,8 +237,7 @@ class Runner:
                     if t % freq == 0:
                         fvec, mv, stable = jax.device_get(self._diag(f))
                         frame = None
-                        if (t > 0 and p.enable_vtk and t >= p.vtk_start_step
-                                and not p.is_3d):
+                        if t > 0 and p.enable_vtk and t >= p.vtk_start_step:
                             # collective on multi-host — every process joins
                             rho_f, u_f = multihost.fetch_tree(self._fields(f))
                             frame = (np.asarray(rho_f), np.asarray(u_f))
@@ -251,9 +250,11 @@ class Runner:
                             if self.verbose:
                                 print(f"Timestep {t}: max_vel={float(mv):.6f}")
                             if frame is not None and self.primary:
+                                uz = frame[1][2] if p.is_3d else None
                                 self._io_futures.append(self._io_pool.submit(
                                     io_mod.write_vtk_timestep, frame[1][0],
-                                    frame[1][1], frame[0], p, t, p.output_dir))
+                                    frame[1][1], frame[0], p, t, p.output_dir,
+                                    uz))
                                 pending = []
                                 for fut in self._io_futures:
                                     if fut.done():
@@ -341,6 +342,13 @@ class Runner:
         else:
             np.savez(os.path.join(p.output_dir, "fields3d.npz"),
                      rho=rho, ux=u[0], uy=u[1], uz=u[2])
+            if p.enable_vtk:
+                # final ParaView-loadable STRUCTURED_POINTS frame (nz > 1)
+                io_mod.write_vtk_timestep(u[0], u[1], rho, p,
+                                          p.num_timesteps, p.output_dir,
+                                          uz=u[2])
             if self.verbose:
-                print("Files written: fields3d.npz")
+                print("Files written: fields3d.npz"
+                      + (", vtk_output/ (final frame)" if p.enable_vtk
+                         else ""))
         return stats

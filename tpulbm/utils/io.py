@@ -76,27 +76,48 @@ class ForceWriter:
 
 def write_vtk_timestep(ux: np.ndarray, uy: np.ndarray, rho: np.ndarray,
                        params: SimulationParams, timestep: int,
-                       out_dir: str = ".") -> str:
+                       out_dir: str = ".",
+                       uz: np.ndarray | None = None) -> str:
     """Legacy ASCII VTK frame, file vtk_output/lbm_%06d.vtk
-    (format parity: LBMIO.h:55-111). Arrays are (ny, nx)."""
+    (format parity: LBMIO.h:55-111). Arrays are (ny, nx), or (nz, ny, nx)
+    with `uz` given — STRUCTURED_POINTS generalizes to nz > 1 with the same
+    blocks (C-order ravel = x fastest, the VTK point order)."""
     vtk_dir = os.path.join(out_dir, "vtk_output")
     os.makedirs(vtk_dir, exist_ok=True)
     path = os.path.join(vtk_dir, f"lbm_{timestep:06d}.vtk")
     nx, ny = params.nx, params.ny
+    nz = params.nz if uz is not None else 1
     header = (
         "# vtk DataFile Version 3.0\n"
         f"LBM Flow Timestep {timestep}\n"
         "ASCII\n"
         "DATASET STRUCTURED_POINTS\n"
-        f"DIMENSIONS {nx} {ny} 1\n"
+        f"DIMENSIONS {nx} {ny} {nz}\n"
         "ORIGIN 0 0 0\n"
         "SPACING 1 1 1\n"
-        f"POINT_DATA {nx * ny}\n"
+        f"POINT_DATA {nx * ny * nz}\n"
     )
     ux = np.ascontiguousarray(ux, dtype=np.float64)
     uy = np.ascontiguousarray(uy, dtype=np.float64)
     rho = np.ascontiguousarray(rho, dtype=np.float64)
     native = get_native_io()
+    if uz is not None:
+        uz = np.ascontiguousarray(uz, dtype=np.float64)
+        if native is not None and getattr(native, "_has_vtk3", False):
+            native.write_vtk3(path, header, ux, uy, uz, rho)
+            return path
+        mag = np.sqrt(ux * ux + uy * uy + uz * uz)
+        with open(path, "w") as fh:
+            fh.write(header)
+            fh.write("VECTORS velocity double\n")
+            fh.writelines(f"{a:.8f} {b:.8f} {c:.8f}\n" for a, b, c in
+                          zip(ux.ravel(), uy.ravel(), uz.ravel()))
+            fh.write("\nSCALARS velocity_magnitude double\n"
+                     "LOOKUP_TABLE default\n")
+            fh.writelines(f"{v:.8f}\n" for v in mag.ravel())
+            fh.write("\nSCALARS density double\nLOOKUP_TABLE default\n")
+            fh.writelines(f"{v:.8f}\n" for v in rho.ravel())
+        return path
     if native is not None:
         native.write_vtk(path, header, ux, uy, rho)
         return path

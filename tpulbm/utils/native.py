@@ -43,10 +43,24 @@ class _NativeIO:
         lib.fastio_write_velocity_field.argtypes = [
             ctypes.c_char_p, dptr, dptr, dptr, ctypes.c_int64, ctypes.c_int64]
         lib.fastio_write_velocity_field.restype = ctypes.c_int
+        try:
+            lib.fastio_write_vtk3.argtypes = [
+                ctypes.c_char_p, ctypes.c_char_p, dptr, dptr, dptr, dptr,
+                ctypes.c_int64]
+            lib.fastio_write_vtk3.restype = ctypes.c_int
+            self._has_vtk3 = True
+        except AttributeError:  # stale .so without the 3-D entry point
+            self._has_vtk3 = False
 
     def write_vtk(self, path: str, header: str, ux, uy, rho) -> None:
         rc = self._lib.fastio_write_vtk(
             path.encode(), header.encode(), ux, uy, rho, ux.size)
+        if rc != 0:
+            raise OSError(f"native VTK write failed: {path}")
+
+    def write_vtk3(self, path: str, header: str, ux, uy, uz, rho) -> None:
+        rc = self._lib.fastio_write_vtk3(
+            path.encode(), header.encode(), ux, uy, uz, rho, ux.size)
         if rc != 0:
             raise OSError(f"native VTK write failed: {path}")
 
