@@ -187,9 +187,10 @@ def test_runner_aborts_on_instability(tmp_path):
 def test_super_chunk_path_matches_interval_path(tmp_path):
     # long enough that the batched-diagnostics fast path engages
     # (num_timesteps > _SUPER_K * freq); must produce identical forces.csv
+    # AND identical VTK frames (frames ride the same batched gather now)
     import tpulbm.runner as runner_mod
     base = dict(nx=64, ny=32, tau=0.6, inlet_velocity=0.05,
-                num_timesteps=400, output_frequency=20, enable_vtk=False,
+                num_timesteps=400, output_frequency=20, enable_vtk=True,
                 precision="f64", backend="jax")
     pa = SimulationParams(output_dir=str(tmp_path / "super"), **base)
     Runner(pa, verbose=False).run()
@@ -208,3 +209,10 @@ def test_super_chunk_path_matches_interval_path(tmp_path):
     va = open(tmp_path / "super" / "velocity_field.csv").read()
     vb = open(tmp_path / "plain" / "velocity_field.csv").read()
     assert va == vb
+    frames_a = sorted(os.listdir(tmp_path / "super" / "vtk_output"))
+    frames_b = sorted(os.listdir(tmp_path / "plain" / "vtk_output"))
+    assert frames_a == frames_b and len(frames_a) == 19  # t=20..380
+    for name in (frames_a[0], frames_a[7], frames_a[-1]):
+        ba = open(tmp_path / "super" / "vtk_output" / name, "rb").read()
+        bb = open(tmp_path / "plain" / "vtk_output" / name, "rb").read()
+        assert ba == bb, name

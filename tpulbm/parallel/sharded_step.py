@@ -352,7 +352,8 @@ def make_chunk_fn(problem: Problem, mesh: Mesh, chunk_len: int,
 
 
 def make_super_chunk_fn(problem: Problem, mesh: Mesh, interval_len: int,
-                        n_intervals: int, backend: str = "jax"):
+                        n_intervals: int, backend: str = "jax",
+                        with_fields: bool = False):
     """fn(f, solid) -> (f', diags): advances n_intervals × interval_len steps
     with ONE host round trip, recording per-interval diagnostics on device.
 
@@ -361,6 +362,12 @@ def make_super_chunk_fn(problem: Problem, mesh: Mesh, interval_len: int,
     reference's output cadence (LBMSolver.h:52-67) — so a long run needs
     ~n_intervals× fewer host↔device synchronizations (each costs 50-300 ms
     through a remote-TPU relay).
+
+    with_fields=True appends per-interval macroscopic fields
+    (rho (n_intervals, *spatial), u (n_intervals, D, *spatial)) to diags:
+    VTK frames then cost ONE batched gather per n_intervals frames instead
+    of a per-frame device stall — the fully-async answer to the reference's
+    serialized gather+write on the critical path (LBMSolver.h:269-362).
     """
     from ..ops import diagnostics, forces as forces_mod
 
@@ -370,11 +377,14 @@ def make_super_chunk_fn(problem: Problem, mesh: Mesh, interval_len: int,
     forces_fn = forces_mod.forces_fn(problem) if has_solid else None
     maxv_fn = diagnostics.max_velocity_fn(problem)
     stable_fn = diagnostics.stability_fn(problem)
+    fields_fn = diagnostics.fields_fn(problem) if with_fields else None
 
     def fn(f, solid):
         def interval(fc, _):
             force = forces_fn(fc) if forces_fn is not None else jnp.zeros(2)
             diag = (force, maxv_fn(fc), stable_fn(fc))
+            if fields_fn is not None:
+                diag = diag + tuple(fields_fn(fc))
             return chunk(fc, solid), diag
 
         return lax.scan(interval, f, None, length=n_intervals)

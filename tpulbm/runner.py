@@ -87,10 +87,17 @@ class Runner:
             return force, maxv_fn_(f), stable_fn_(f)
 
         self._diag = jax.jit(_diag)
-        self._super = None
+        self._super = {}   # with_fields flag -> jitted super-chunk fn
         os.makedirs(params.output_dir, exist_ok=True)
-        self._io_pool = ThreadPoolExecutor(max_workers=1)
+        # Frame formatting/writing parallelizes across frames (each VTK
+        # frame of a 1M-cell grid is ~50 MB of ASCII at ~36 MB/s per core);
+        # size the pool to the cores available, min 2 so writes overlap the
+        # batched gathers. The pending cap bounds the RAM held by queued
+        # frame copies (~13 MB each at the default grid).
+        self._io_pool = ThreadPoolExecutor(
+            max_workers=max(2, min(8, os.cpu_count() or 1)))
         self._io_futures: list = []
+        self._max_pending = 32
 
     # ---- banners (parity: LBMSolver.h:32-37, LBMGrid.h:92-102, 178-182) ----
     def _print_banner(self):
@@ -126,6 +133,25 @@ class Runner:
         for fut in self._io_futures:
             fut.result()
         self._io_futures = []
+
+    def _submit_frame(self, rho, u, t):
+        """Queue one VTK frame on the writer thread and surface any
+        exceptions from already-finished background writes."""
+        p = self.params
+        uz = u[2] if p.is_3d else None
+        self._io_futures.append(self._io_pool.submit(
+            io_mod.write_vtk_timestep, u[0], u[1], rho, p, t,
+            p.output_dir, uz))
+        pending = []
+        for fut in self._io_futures:
+            if fut.done():
+                fut.result()  # surface write failures
+            else:
+                pending.append(fut)
+        self._io_futures = pending
+        # backpressure: don't hold more than _max_pending frame copies
+        while len(self._io_futures) > self._max_pending:
+            self._io_futures.pop(0).result()
 
     def run(self, resume: bool = True) -> RunResult:
         p = self.params
@@ -178,25 +204,33 @@ class Runner:
         try:
             with meter.measure(p.num_timesteps - start_step):
                 while t < p.num_timesteps:
-                    # Fast path: when no VTK frames are needed, batch
-                    # _SUPER_K output intervals into ONE host round trip —
-                    # the per-interval diagnostics (forces/max-vel/stability)
-                    # are computed on device inside the scan and fetched as a
-                    # stack. Each round trip costs 50-300 ms through the
-                    # remote-TPU relay, so this dominates end-to-end wall
-                    # time for long runs.
-                    vtk_needed = (p.enable_vtk
+                    # Fast path: batch _SUPER_K output intervals into ONE
+                    # host round trip — the per-interval diagnostics
+                    # (forces/max-vel/stability) are computed on device
+                    # inside the scan and fetched as a stack. Each round
+                    # trip costs 50-300 ms through the remote-TPU relay, so
+                    # this dominates end-to-end wall time for long runs.
+                    # When VTK frames are due, the same scan also stacks the
+                    # per-interval macroscopic fields, so frames cost one
+                    # batched gather per _SUPER_K frames with the ASCII
+                    # formatting on the writer thread — no per-frame device
+                    # stall (the reference serializes gather+format+write
+                    # every frame, LBMSolver.h:269-362).
+                    vtk_window = (p.enable_vtk
                                   and t + _SUPER_K * freq > p.vtk_start_step)
-                    if (t % freq == 0 and not vtk_needed
-                            and t + _SUPER_K * freq <= t_fields):
-                        if self._super is None:
-                            self._super = make_super_chunk_fn(
+                    if t % freq == 0 and t + _SUPER_K * freq <= t_fields:
+                        if vtk_window not in self._super:
+                            self._super[vtk_window] = make_super_chunk_fn(
                                 problem, self.mesh, freq, _SUPER_K,
-                                backend=p.backend)
-                        f, diags = self._super(f, solid_dev)
+                                backend=p.backend, with_fields=vtk_window)
+                        f, diags = self._super[vtk_window](f, solid_dev)
                         # per-interval scalars are replicated → addressable
                         # from every process, no collective gather needed
-                        forces_k, maxv_k, stable_k = jax.device_get(diags)
+                        forces_k, maxv_k, stable_k = jax.device_get(diags[:3])
+                        rho_k = u_k = None
+                        if vtk_window:
+                            # one collective gather for all K frames
+                            rho_k, u_k = multihost.fetch_tree(diags[3:])
                         aborted = False
                         for j in range(_SUPER_K):
                             tj = t + j * freq
@@ -209,6 +243,11 @@ class Runner:
                             if tj > 0 and self.verbose:
                                 print(f"Timestep {tj}: "
                                       f"max_vel={float(maxv_k[j]):.6f}")
+                            if (vtk_window and tj > 0
+                                    and tj >= p.vtk_start_step
+                                    and self.primary):
+                                self._submit_frame(np.asarray(rho_k[j]),
+                                                   np.asarray(u_k[j]), tj)
                             if not bool(stable_k[j]):
                                 print(f"Simulation unstable at timestep {tj}")
                                 success = False
@@ -250,18 +289,7 @@ class Runner:
                             if self.verbose:
                                 print(f"Timestep {t}: max_vel={float(mv):.6f}")
                             if frame is not None and self.primary:
-                                uz = frame[1][2] if p.is_3d else None
-                                self._io_futures.append(self._io_pool.submit(
-                                    io_mod.write_vtk_timestep, frame[1][0],
-                                    frame[1][1], frame[0], p, t, p.output_dir,
-                                    uz))
-                                pending = []
-                                for fut in self._io_futures:
-                                    if fut.done():
-                                        fut.result()  # surface write failures
-                                    else:
-                                        pending.append(fut)
-                                self._io_futures = pending
+                                self._submit_frame(frame[0], frame[1], t)
                         if not bool(stable):
                             print(f"Simulation unstable at timestep {t}")
                             success = False
