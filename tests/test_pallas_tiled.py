@@ -138,3 +138,26 @@ def test_tiled_matches_full_width_kernel():
     for k, (r, g) in enumerate(zip(full, tiled)):
         np.testing.assert_allclose(g, r, rtol=5e-6, atol=1e-7,
                                    err_msg=f"chunk {k}")
+
+
+def test_tiled_guard_bcs_solid_touching_inlet():
+    # 2-D solid overlapping the inlet column and bottom wall: the BC strips
+    # must be mask-guarded (guard_bcs) in the tiled kernel too
+    params = CYL.replace(nx=128, ny=64, cylinder_x=0.0, cylinder_y=0.0,
+                         cylinder_radius=0.2)
+    from tpulbm.models import make_problem
+    problem = make_problem(params)
+    assert problem.solid[:, 0].any() and problem.solid[0, :].any()
+    from tpulbm.ops.step_pallas import _physics_cfg_fields
+    assert _physics_cfg_fields(problem)["guard_bcs"]
+    _compare(params, (2, 2), {}, chunk_len=6, n_chunks=2)
+
+
+def test_tiled_guard_bcs_solid_touching_outlet():
+    params = CYL.replace(nx=128, ny=64, cylinder_x=1.0, cylinder_y=0.5,
+                         cylinder_radius=0.15)
+    from tpulbm.models import make_problem
+    problem = make_problem(params)
+    assert problem.solid[:, -1].any()
+    _compare(params, (1, 2), {"TPULBM_SUBSTEPS": "2"}, chunk_len=6,
+             n_chunks=2)
