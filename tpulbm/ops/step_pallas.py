@@ -117,6 +117,11 @@ def _collide_rows(cfg: _Cfg, fw, solid_rows):
                 fp = jnp.where(solid_rows, fw[i], fp)
             out.append(fp)
         return out
+    # NOTE: a ±pair evaluation of feq (sharing cu²/base work per direction
+    # pair, like the TRT branch) was measured perf-neutral on hardware —
+    # the kernels are DMA/scheduling-bound, not feq-flop-bound — while its
+    # different rounding broke the tight pallas==jax equivalence gates.
+    # Keep the reference's direct form.
     for i in range(cfg.Q):
         cx, cy = cfg.c[i]
         cu = (cx * ux if cx else 0.0) + (cy * uy if cy else 0.0)

@@ -382,30 +382,40 @@ def make_local_step_pallas3d(problem: Problem,
 
 def make_local_step_pallas3d_tiled(problem: Problem,
                                    local_shape: tuple[int, ...],
+                                   n_sub: int = 1,
                                    interpret: bool | None = None):
-    """y-tiled D3Q19 kernel: step(f, rb, rt, flags, mask, mrb, mrt) -> f_new.
+    """y-tiled D3Q19 kernel with N-substep temporal blocking:
+    step(f, rb, rt, flags, mask, mrb, mrt) -> f advanced n_sub steps.
 
     Lifts the full-plane kernel's VMEM cap (ny*nx ≲ 27k cells) by tiling
     each z-plane along y — slabs are (Q, Ty + 2H, nx) with H = 8 halo rows
     per side (sublane alignment), fetched per tile; only the center Ty rows
-    are written back (overlapped tiling, exactly the 2-D x-tiled design one
-    axis over, ops/step_pallas_tiled.py). The same halo plumbing makes the
-    kernel y-SHARDABLE: shard-edge tiles take their halo rows from ring
-    inputs rb/rt = halo.ring_rows_3d (ppermute over the 'y' mesh axis;
-    frozen ghost equilibrium at physical y edges).
+    are written back (overlapped tiling, the 2-D x-tiled design one axis
+    over). The same halo plumbing makes the kernel y-SHARDABLE: shard-edge
+    tiles take their halo rows from ring inputs rb/rt = halo.ring_rows_3d.
+
+    Temporal blocking runs the z-plane cascade n_sub deep: stage 0 collides
+    raw tiles, stages 1..N-1 hold collided intermediates in 3-slot plane
+    rings, the final stage streams into the output (uncollided carry). No
+    ghost-row chains are needed, unlike the 2-D full-width kernels: the
+    H-row y-overlap supplies N rows of trapezoid validity, x validity is
+    pinned per substep by the edge sanitize + inlet/outlet, and the z ghost
+    planes are the frozen equilibrium (a BGK fixed point) at every substep.
+    HBM traffic per step falls to (1 + 2H/Ty reads + 1 write)/N of f — the
+    lever for this DMA-bound kernel (~270 GB/s measured).
 
       f:      (Q, nz, nyl, nx) local block
       rb/rt:  (Q, nz, H, nx) ring rows
       flags:  (2,) int32 [is_bottom, is_top] — physical y edges of the shard
       mask:   (nz, nyl, nx) f32; mrb/mrt: (nz, H, nx) mask ring rows
 
-    Returns None when no y-tile fits VMEM or nz < 2.
+    Returns None when no y-tile fits VMEM, nz < n_sub + 1, or n_sub > H.
     """
     lat = problem.lattice
     if lat.D != 3:
         raise ValueError("pallas3d requires a 3-D lattice")
     if problem.dtype != np.float32:
-        raise ValueError("pallas backend is f32; use backend='jax' for f64")
+        raise ValueError("pallas backend is f32; use backend='jax' for 3-D f64")
     nz, nyl, nx = local_shape
     Q = lat.Q
     if interpret is None:
@@ -415,15 +425,20 @@ def make_local_step_pallas3d_tiled(problem: Problem,
     has_solid = problem.solid is not None
     if has_solid and _solid_touches_x_edges(problem):
         return None  # inlet/outlet-piercing solids: jax tier handles them
-    H = 8 if not interpret else 2
+    H = 8 if not interpret else max(2, n_sub)
+    N = n_sub
+    if N > H or nz < N + 1:
+        return None
+    M = N + 2               # mask plane ring
+    S = 4 + 3 * (N - 1) + 2  # f-sized plane rings (raw + stages + out)
 
     def usage(wy):
-        return (6 * Q * wy * nx + (4 * wy * nx if has_solid else 0)) * 4
+        return (S * Q * wy * nx + (M * wy * nx if has_solid else 0)) * 4
 
     tys = sorted((t for t in range(1, nyl + 1)
                   if nyl % t == 0 and (interpret or t % 8 == 0)
                   and usage(t + 2 * H) <= _VMEM_BUDGET), reverse=True)
-    if not tys or nz < 2:
+    if not tys:
         return None
     Ty = tys[0]
     Wy = Ty + 2 * H
@@ -456,8 +471,10 @@ def make_local_step_pallas3d_tiled(problem: Problem,
     yb, yt = H, H + Ty - 1
 
     def kernel(flags_ref, f_ref, rb_ref, rt_ref, mask_ref, mrb_ref, mrt_ref,
-               out_ref, fa, ob, msl, sem_fc, sem_fb, sem_ft, sem_ob, sem_m,
-               sem_mb, sem_mt):
+               out_ref, fa, *rest):
+        gs = list(rest[:N - 1])                       # stages 1..N-1
+        (ob, msl, sem_fc, sem_fb, sem_ft, sem_ob, sem_m, sem_mb,
+         sem_mt) = rest[N - 1:]
         fb, ft = flags_ref[0], flags_ref[1]
         tyi = pl.program_id(0)
         algn = 8 if not interpret else 1
@@ -469,6 +486,10 @@ def make_local_step_pallas3d_tiled(problem: Problem,
         # does THIS tile hold the physical bottom/top row
         gb = jnp.logical_and(at_bot, fb == 1)
         gt = jnp.logical_and(at_top, ft == 1)
+
+        def stage_ref(k):
+            """(ref, n_slots) for stage-k planes (stage 0 = collided raw)."""
+            return (fa, 4) if k == 0 else (gs[k - 1], 3)
 
         def fc_dma(z):
             return pltpu.make_async_copy(
@@ -497,25 +518,25 @@ def make_local_step_pallas3d_tiled(problem: Problem,
         def mc_dma(z):
             return pltpu.make_async_copy(
                 mask_ref.at[z, pl.ds(ya, Ty), :],
-                msl.at[z % 4, H:H + Ty, :], sem_m.at[z % 4])
+                msl.at[z % M, H:H + Ty, :], sem_m.at[z % M])
 
         def mb_ring(z):
             return pltpu.make_async_copy(
-                mrb_ref.at[z], msl.at[z % 4, 0:H, :], sem_mb.at[z % 4])
+                mrb_ref.at[z], msl.at[z % M, 0:H, :], sem_mb.at[z % M])
 
         def mb_inner(z):
             return pltpu.make_async_copy(
                 mask_ref.at[z, pl.ds(ya_b, H), :],
-                msl.at[z % 4, 0:H, :], sem_mb.at[z % 4])
+                msl.at[z % M, 0:H, :], sem_mb.at[z % M])
 
         def mt_ring(z):
             return pltpu.make_async_copy(
-                mrt_ref.at[z], msl.at[z % 4, H + Ty:Wy, :], sem_mt.at[z % 4])
+                mrt_ref.at[z], msl.at[z % M, H + Ty:Wy, :], sem_mt.at[z % M])
 
         def mt_inner(z):
             return pltpu.make_async_copy(
                 mask_ref.at[z, pl.ds(ya_t, H), :],
-                msl.at[z % 4, H + Ty:Wy, :], sem_mt.at[z % 4])
+                msl.at[z % M, H + Ty:Wy, :], sem_mt.at[z % M])
 
         def start_in(z):
             fc_dma(z).start()
@@ -544,9 +565,10 @@ def make_local_step_pallas3d_tiled(problem: Problem,
                 ob.at[z % 2, :, H:H + Ty, :],
                 out_ref.at[:, z, pl.ds(ya, Ty), :], sem_ob.at[z % 2])
 
-        def collide_tile(slot):
+        def collide_a(z):
+            slot = z % 4
             fw = [fa[slot, i] for i in range(Q)]
-            solid = (msl[slot] > 0.5) if cfg.bounce_back else None
+            solid = (msl[z % M] > 0.5) if cfg.bounce_back else None
             fp = _collide_planes(cfg, fw, solid)
             for i in range(Q):
                 fa[slot, i] = fp[i]
@@ -554,46 +576,9 @@ def make_local_step_pallas3d_tiled(problem: Problem,
         eq_tile = [jnp.full((Wy, nx), cfg.eq_in[i], jnp.float32)
                    for i in range(Q)]
 
-        start_in(0)
-        if nz > 1:
-            start_in(1)
-        wait_in(0)
-        collide_tile(0)
-
-        def loop(z, carry):
-            @pl.when(z + 1 < nz)
-            def _():
-                wait_in(z + 1)
-                collide_tile((z + 1) % 4)
-
-            @pl.when(z + 2 < nz)
-            def _():
-                start_in(z + 2)
-
-            oslot = z % 2
-
-            @pl.when(z >= 2)
-            def _():
-                out_dma(z - 2).wait()
-
-            cur = z % 4
-            # pull streaming: z via tile ring (frozen eq beyond physical z
-            # edges), y via sublane roll on the haloed tile, x via lane roll
-            for i in range(Q):
-                cx, cy, cz = cfg.c[i]
-                if cz == 0:
-                    plane = fa[cur, i]
-                elif cz > 0:
-                    plane = jnp.where(z == 0, eq_tile[i], fa[(z - 1) % 4, i])
-                else:
-                    plane = jnp.where(z == nz - 1, eq_tile[i],
-                                      fa[(z + 1) % 4, i])
-                if cy:
-                    plane = pltpu.roll(plane, cy % Wy, axis=0)
-                if cx:
-                    plane = pltpu.roll(plane, cx % nx, axis=1)
-                ob[oslot, i] = plane
-
+        def apply_bcs(tgt, tslot, mslot, is_z0, is_zl):
+            """Per-substep BC sweep on tile tgt[tslot] (reference order:
+            ghost sanitize → walls → inlet/outlet → obstacle)."""
             # ghost sanitize — x edges every tile; y edges only on the tile
             # holding the physical boundary row
             for i in range(Q):
@@ -601,26 +586,26 @@ def make_local_step_pallas3d_tiled(problem: Problem,
                 if cx:
                     xc = 0 if cx > 0 else nx - 1
                     if cz > 0:
-                        val = jnp.where(z == 0, cfg.eq_in[i], 0.0)
+                        val = jnp.where(is_z0, cfg.eq_in[i], 0.0)
                     elif cz < 0:
-                        val = jnp.where(z == nz - 1, cfg.eq_in[i], 0.0)
+                        val = jnp.where(is_zl, cfg.eq_in[i], 0.0)
                     else:
                         val = jnp.float32(0.0)
-                    ob[oslot, i, :, xc:xc + 1] = jnp.broadcast_to(
+                    tgt[tslot, i, :, xc:xc + 1] = jnp.broadcast_to(
                         val, (Wy, 1)).astype(jnp.float32)
                 if cy > 0:
                     @pl.when(gb)
                     def _(i=i):
-                        ob[oslot, i, yb:yb + 1, :] = jnp.full(
+                        tgt[tslot, i, yb:yb + 1, :] = jnp.full(
                             (1, nx), cfg.eq_in[i], jnp.float32)
                 elif cy < 0:
                     @pl.when(gt)
                     def _(i=i):
-                        ob[oslot, i, yt:yt + 1, :] = jnp.full(
+                        tgt[tslot, i, yt:yt + 1, :] = jnp.full(
                             (1, nx), cfg.eq_in[i], jnp.float32)
 
             def fluid_rows(rs, re, cs=None, ce=None):
-                m = msl[cur, rs:re, :]
+                m = msl[mslot, rs:re, :]
                 if cs is not None:
                     m = m[:, cs:ce]
                 return m < 0.5
@@ -631,43 +616,45 @@ def make_local_step_pallas3d_tiled(problem: Problem,
                 def _():
                     for i in range(Q):
                         if cfg.c[i][1] > 0:
-                            val = ob[oslot, cfg.opp[i], yb:yb + 1, :]
+                            val = tgt[tslot, cfg.opp[i], yb:yb + 1, :]
                             if has_solid:
                                 val = jnp.where(fluid_rows(yb, yb + 1), val,
-                                                ob[oslot, i, yb:yb + 1, :])
-                            ob[oslot, i, yb:yb + 1, :] = val
+                                                tgt[tslot, i, yb:yb + 1, :])
+                            tgt[tslot, i, yb:yb + 1, :] = val
 
                 @pl.when(gt)
                 def _():
                     for i in range(Q):
                         if cfg.c[i][1] < 0:
-                            val = ob[oslot, cfg.opp[i], yt:yt + 1, :]
+                            val = tgt[tslot, cfg.opp[i], yt:yt + 1, :]
                             if has_solid:
                                 val = jnp.where(fluid_rows(yt, yt + 1), val,
-                                                ob[oslot, i, yt:yt + 1, :])
-                            ob[oslot, i, yt:yt + 1, :] = val
+                                                tgt[tslot, i, yt:yt + 1, :])
+                            tgt[tslot, i, yt:yt + 1, :] = val
 
             # walls in z (whole first/last output planes)
             if cfg.walls_z:
-                fluid_plane = (msl[cur] < 0.5) if has_solid else None
+                fluid_plane = (msl[mslot] < 0.5) if has_solid else None
 
-                @pl.when(z == 0)
+                @pl.when(is_z0)
                 def _():
                     for i in range(Q):
                         if cfg.c[i][2] > 0:
-                            val = ob[oslot, cfg.opp[i]]
+                            val = tgt[tslot, cfg.opp[i]]
                             if has_solid:
-                                val = jnp.where(fluid_plane, val, ob[oslot, i])
-                            ob[oslot, i] = val
+                                val = jnp.where(fluid_plane, val,
+                                                tgt[tslot, i])
+                            tgt[tslot, i] = val
 
-                @pl.when(z == nz - 1)
+                @pl.when(is_zl)
                 def _():
                     for i in range(Q):
                         if cfg.c[i][2] < 0:
-                            val = ob[oslot, cfg.opp[i]]
+                            val = tgt[tslot, cfg.opp[i]]
                             if has_solid:
-                                val = jnp.where(fluid_plane, val, ob[oslot, i])
-                            ob[oslot, i] = val
+                                val = jnp.where(fluid_plane, val,
+                                                tgt[tslot, i])
+                            tgt[tslot, i] = val
 
             # equilibrium inlet, column 0
             if cfg.inlet_equilibrium:
@@ -675,31 +662,105 @@ def make_local_step_pallas3d_tiled(problem: Problem,
                     val = jnp.full((Wy, 1), cfg.eq_in[i], jnp.float32)
                     if has_solid:
                         val = jnp.where(fluid_rows(0, Wy, 0, 1), val,
-                                        ob[oslot, i, :, 0:1])
-                    ob[oslot, i, :, 0:1] = val
+                                        tgt[tslot, i, :, 0:1])
+                    tgt[tslot, i, :, 0:1] = val
 
             # zero-gradient outlet, column nx-1
             if cfg.outlet_zero_grad:
                 for i in range(Q):
-                    val = ob[oslot, i, :, nx - 2:nx - 1]
+                    val = tgt[tslot, i, :, nx - 2:nx - 1]
                     if has_solid:
                         val = jnp.where(fluid_rows(0, Wy, nx - 1, nx), val,
-                                        ob[oslot, i, :, nx - 1:nx])
-                    ob[oslot, i, :, nx - 1:nx] = val
+                                        tgt[tslot, i, :, nx - 1:nx])
+                    tgt[tslot, i, :, nx - 1:nx] = val
 
             # obstacle
             if has_solid:
-                solid_p = msl[cur] > 0.5
+                solid_p = msl[mslot] > 0.5
                 if cfg.bounce_back:
-                    snap = [ob[oslot, i] for i in range(Q)]
+                    snap = [tgt[tslot, i] for i in range(Q)]
                     for i in range(Q):
-                        ob[oslot, i] = jnp.where(solid_p, snap[cfg.opp[i]],
-                                                 ob[oslot, i])
+                        tgt[tslot, i] = jnp.where(solid_p, snap[cfg.opp[i]],
+                                                  tgt[tslot, i])
                 else:
                     for i in range(Q):
-                        ob[oslot, i] = jnp.where(solid_p, cfg.w[i],
-                                                 ob[oslot, i])
+                        tgt[tslot, i] = jnp.where(solid_p, cfg.w[i],
+                                                  tgt[tslot, i])
 
+        def make_stage_plane(k, idx, is_z0, is_zl, below_eq, above_eq,
+                             collide_after=True):
+            """Stage-k plane `idx` from stage k-1: pull-stream (z via plane
+            ring with eq ghosts, y sublane roll, x lane roll) → BCs →
+            collide (except the final stage, which is the new carry)."""
+            srcref, m_src = stage_ref(k - 1)
+            tgt, m_tgt = (ob, 2) if k == N else stage_ref(k)
+            tslot = idx % m_tgt
+            for i in range(Q):
+                cx, cy, cz = cfg.c[i]
+                if cz == 0:
+                    plane = srcref[idx % m_src, i]
+                elif cz > 0:
+                    plane = (eq_tile[i] if below_eq is True else
+                             jnp.where(is_z0, eq_tile[i],
+                                       srcref[(idx - 1) % m_src, i]))
+                else:
+                    plane = (eq_tile[i] if above_eq is True else
+                             jnp.where(is_zl, eq_tile[i],
+                                       srcref[(idx + 1) % m_src, i]))
+                if cy:
+                    plane = pltpu.roll(plane, cy % Wy, axis=0)
+                if cx:
+                    plane = pltpu.roll(plane, cx % nx, axis=1)
+                tgt[tslot, i] = plane
+            apply_bcs(tgt, tslot, idx % M, is_z0, is_zl)
+            if collide_after:
+                fw = [tgt[tslot, i] for i in range(Q)]
+                solid = (msl[idx % M] > 0.5) if cfg.bounce_back else None
+                fp = _collide_planes(cfg, fw, solid)
+                for i in range(Q):
+                    tgt[tslot, i] = fp[i]
+
+        false_ = jnp.asarray(False, jnp.bool_)
+
+        # ---- prologue: raw planes 0..N-1 collided; stage-k planes
+        # 0..N-k-1 (loop iteration z first needs stage-k plane z+N-k) ----
+        for j in range(N):
+            start_in(j)
+        for j in range(N):
+            wait_in(j)
+            collide_a(j)
+        for k in range(1, N):
+            for j in range(N - k):
+                make_stage_plane(k, j, jnp.asarray(j == 0, jnp.bool_),
+                                 false_, below_eq=(j == 0), above_eq=False)
+        if nz > N:
+            start_in(N)
+
+        def loop(z, carry):
+            @pl.when(z + N < nz)
+            def _():
+                wait_in(z + N)
+                collide_a(z + N)
+
+            @pl.when(z + N + 1 < nz)
+            def _():
+                start_in(z + N + 1)
+
+            for k in range(1, N):
+                idx = z + (N - k)
+
+                @pl.when(idx < nz)
+                def _(k=k, idx=idx):
+                    make_stage_plane(k, idx, jnp.asarray(False, jnp.bool_),
+                                     idx == nz - 1, below_eq=False,
+                                     above_eq=False)
+
+            @pl.when(z >= 2)
+            def _():
+                out_dma(z - 2).wait()
+
+            make_stage_plane(N, z, z == 0, z == nz - 1, below_eq=False,
+                             above_eq=False, collide_after=False)
             out_dma(z).start()
             return carry
 
@@ -707,6 +768,21 @@ def make_local_step_pallas3d_tiled(problem: Problem,
         if nz >= 2:
             out_dma(nz - 2).wait()
         out_dma(nz - 1).wait()
+
+    scratch_shapes = (
+        [pltpu.VMEM((4, Q, Wy, nx), jnp.float32)]            # raw/stage-0
+        + [pltpu.VMEM((3, Q, Wy, nx), jnp.float32)
+           for _ in range(N - 1)]                            # stages 1..N-1
+        + [pltpu.VMEM((2, Q, Wy, nx), jnp.float32),          # out planes
+           pltpu.VMEM((M, Wy, nx), jnp.float32),             # mask planes
+           pltpu.SemaphoreType.DMA((4,)),
+           pltpu.SemaphoreType.DMA((4,)),
+           pltpu.SemaphoreType.DMA((4,)),
+           pltpu.SemaphoreType.DMA((2,)),
+           pltpu.SemaphoreType.DMA((M,)),
+           pltpu.SemaphoreType.DMA((M,)),
+           pltpu.SemaphoreType.DMA((M,))]
+    )
 
     call = pl.pallas_call(
         kernel,
@@ -722,18 +798,7 @@ def make_local_step_pallas3d_tiled(problem: Problem,
         ],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         out_shape=jax.ShapeDtypeStruct((Q, nz, nyl, nx), jnp.float32),
-        scratch_shapes=[
-            pltpu.VMEM((4, Q, Wy, nx), jnp.float32),
-            pltpu.VMEM((2, Q, Wy, nx), jnp.float32),
-            pltpu.VMEM((4, Wy, nx), jnp.float32),
-            pltpu.SemaphoreType.DMA((4,)),
-            pltpu.SemaphoreType.DMA((4,)),
-            pltpu.SemaphoreType.DMA((4,)),
-            pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA((4,)),
-            pltpu.SemaphoreType.DMA((4,)),
-            pltpu.SemaphoreType.DMA((4,)),
-        ],
+        scratch_shapes=scratch_shapes,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=_VMEM_BUDGET + 3 * 1024 * 1024),
         interpret=interpret,
@@ -753,4 +818,5 @@ def make_local_step_pallas3d_tiled(problem: Problem,
     step.halo_height = H
     step.tile_height = Ty
     step.n_ty = n_ty
+    step.depth = N
     return step

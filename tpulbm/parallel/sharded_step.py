@@ -57,15 +57,34 @@ def make_chunk_fn(problem: Problem, mesh: Mesh, chunk_len: int,
             backend = "jax"
         else:
             try:
-                if (mesh_shape == (1, 1)
+                # 2-step temporal blocking halves the HBM traffic of this
+                # DMA-bound kernel (measured +22-40%); deeper N shrinks Ty
+                # until the y-overlap waste (Wy/Ty) eats the gain, and past
+                # waste 1.5 the kernel goes VPU-bound — so N=2 with a
+                # Ty >= 4H guard is the sweet spot on v5e. TPULBM_SUBSTEPS
+                # forces a depth, TPULBM_NO_FUSED2 disables blocking.
+                if not os.environ.get("TPULBM_NO_FUSED2"):
+                    forced = os.environ.get("TPULBM_SUBSTEPS")
+                    cands = [int(forced)] if forced else [2]
+                    for n_sub in cands:
+                        if n_sub == 1 or chunk_len % n_sub:
+                            continue
+                        stepper = make_local_step_pallas3d_tiled(
+                            problem, local_shape, n_sub)
+                        if stepper is not None and (
+                                forced or stepper.tile_height
+                                >= 4 * stepper.halo_height):
+                            pallas3d_tiled = stepper
+                            break
+                if (pallas3d_tiled is None and mesh_shape == (1, 1)
                         and not os.environ.get("TPULBM_FORCE_TILED")):
-                    # full-plane kernel: no halo-row overhead when it fits
+                    # full-plane 1-step kernel: no halo-row overhead
                     pallas3d_step = make_local_step_pallas3d(problem,
                                                              local_shape)
-                if pallas3d_step is None:
-                    # y-tiled kernel: big planes and/or y-sharded meshes
+                if pallas3d_step is None and pallas3d_tiled is None:
+                    # y-tiled 1-step: big planes and/or y-sharded meshes
                     pallas3d_tiled = make_local_step_pallas3d_tiled(
-                        problem, local_shape)
+                        problem, local_shape, 1)
             except ValueError as e:
                 import warnings
                 warnings.warn(f"pallas backend unavailable for this config "
@@ -212,12 +231,13 @@ def make_chunk_fn(problem: Problem, mesh: Mesh, chunk_len: int,
                                            mesh_shape=mesh_shape, depth=H)
             mrb, mrt = mrb4[0], mrt4[0]
 
-        def one_step(f, _):
+        def n_steps(f, _):
             rb, rt = halo.ring_rows_3d(f, eq_ring=eq_ring,
                                        mesh_shape=mesh_shape, depth=H)
             return pallas3d_tiled(f, rb, rt, flags, mask, mrb, mrt), None
 
-        f_local, _ = lax.scan(one_step, f_local, None, length=chunk_len)
+        f_local, _ = lax.scan(n_steps, f_local, None,
+                              length=chunk_len // pallas3d_tiled.depth)
         return f_local
 
     # static row bounding box of the solid mask, for per-slab obstacle skip
