@@ -54,6 +54,10 @@ class _Cfg3d:
     nz: int
     ny: int
     nx: int
+    # do wall/inlet/outlet strips need a solid-mask guard? (static geometry:
+    # False when no solid cell touches a domain face — then the mask's only
+    # consumer is the obstacle pinning, which solid-free tiles can skip)
+    guard_bcs: bool = True
 
 
 def _collide_planes(cfg: _Cfg3d, fw, solid):
@@ -455,6 +459,27 @@ def make_local_step_pallas3d_tiled(problem: Problem,
                     for i in range(Q))
     else:
         src = None
+    # Static geometry facts (the mask is compile-time data), mirroring the
+    # 2-D kernels' guard_bcs/slab_skip: if no solid touches a domain face
+    # the BC strips need no mask guard, and tiles outside the solid's
+    # (z, y) bounding box skip the mask DMAs + obstacle pinning entirely
+    # (a 256³ sphere intersects only ~a quarter of the tiles).
+    bounce_back = has_solid and problem.obstacle_bc == "bounce_back"
+    guard3d = True
+    zflags_np = np.ones((nz,), np.int32)
+    solid_yrange = None
+    if has_solid:
+        s = problem.solid
+        guard3d = bool(s[:, 0, :].any() or s[:, -1, :].any()
+                       or s[0].any() or s[-1].any())
+        zr = np.nonzero(s.any(axis=(1, 2)))[0]
+        yr = np.nonzero(s.any(axis=(0, 2)))[0]
+        zflags_np = np.zeros((nz,), np.int32)
+        if len(zr):
+            zflags_np[zr.min():zr.max() + 1] = 1
+        solid_yrange = ((int(yr.min()), int(yr.max())) if len(yr) else None)
+    slab_skip = has_solid and not bounce_back and not guard3d
+
     cfg = _Cfg3d(
         Q=Q, c=tuple(tuple(int(v) for v in row) for row in lat.c),
         w=tuple(float(v) for v in lat.w),
@@ -462,16 +487,16 @@ def make_local_step_pallas3d_tiled(problem: Problem,
         inv_tau=1.0 / problem.params.tau, omega_minus=omega_minus,
         eq_in=tuple(float(v) for v in problem.ghost_ring_values()),
         src=src, has_solid=has_solid,
-        bounce_back=has_solid and problem.obstacle_bc == "bounce_back",
+        bounce_back=bounce_back,
         walls_y=problem.walls_y, walls_z=problem.walls_z,
         inlet_equilibrium=problem.inlet_equilibrium,
         outlet_zero_grad=problem.outlet_zero_grad,
-        nz=nz, ny=Wy, nx=nx)
+        nz=nz, ny=Wy, nx=nx, guard_bcs=guard3d)
     # global-edge row positions inside the tile buffer
     yb, yt = H, H + Ty - 1
 
-    def kernel(flags_ref, f_ref, rb_ref, rt_ref, mask_ref, mrb_ref, mrt_ref,
-               out_ref, fa, *rest):
+    def kernel(flags_ref, zflags_ref, tyflags_ref, f_ref, rb_ref, rt_ref,
+               mask_ref, mrb_ref, mrt_ref, out_ref, fa, *rest):
         gs = list(rest[:N - 1])                       # stages 1..N-1
         (ob, msl, sem_fc, sem_fb, sem_ft, sem_ob, sem_m, sem_mb,
          sem_mt) = rest[N - 1:]
@@ -486,6 +511,13 @@ def make_local_step_pallas3d_tiled(problem: Problem,
         # does THIS tile hold the physical bottom/top row
         gb = jnp.logical_and(at_bot, fb == 1)
         gt = jnp.logical_and(at_top, ft == 1)
+        tyflag = tyflags_ref[tyi]
+
+        def plane_flag(z):
+            """Does (tile tyi, plane z) intersect the solid bounding box?"""
+            if not slab_skip:
+                return None
+            return jnp.logical_and(zflags_ref[z] == 1, tyflag == 1)
 
         def stage_ref(k):
             """(ref, n_slots) for stage-k planes (stage 0 = collided raw)."""
@@ -538,27 +570,41 @@ def make_local_step_pallas3d_tiled(problem: Problem,
                 mask_ref.at[z, pl.ds(ya_t, H), :],
                 msl.at[z % M, H + Ty:Wy, :], sem_mt.at[z % M])
 
+        def mask_op(z, fn):
+            if not has_solid:
+                return
+            if slab_skip:
+                pl.when(plane_flag(z))(fn)
+            else:
+                fn()
+
         def start_in(z):
             fc_dma(z).start()
             pl.when(at_bot)(lambda: fb_ring(z).start())
             pl.when(jnp.logical_not(at_bot))(lambda: fb_inner(z).start())
             pl.when(at_top)(lambda: ft_ring(z).start())
             pl.when(jnp.logical_not(at_top))(lambda: ft_inner(z).start())
-            if has_solid:
+
+            def _masks():
                 mc_dma(z).start()
                 pl.when(at_bot)(lambda: mb_ring(z).start())
                 pl.when(jnp.logical_not(at_bot))(lambda: mb_inner(z).start())
                 pl.when(at_top)(lambda: mt_ring(z).start())
                 pl.when(jnp.logical_not(at_top))(lambda: mt_inner(z).start())
 
+            mask_op(z, _masks)
+
         def wait_in(z):
             fc_dma(z).wait()
             fb_ring(z).wait()
             ft_ring(z).wait()
-            if has_solid:
+
+            def _masks():
                 mc_dma(z).wait()
                 mb_ring(z).wait()
                 mt_ring(z).wait()
+
+            mask_op(z, _masks)
 
         def out_dma(z):
             return pltpu.make_async_copy(
@@ -576,7 +622,7 @@ def make_local_step_pallas3d_tiled(problem: Problem,
         eq_tile = [jnp.full((Wy, nx), cfg.eq_in[i], jnp.float32)
                    for i in range(Q)]
 
-        def apply_bcs(tgt, tslot, mslot, is_z0, is_zl):
+        def apply_bcs(tgt, tslot, mslot, is_z0, is_zl, solid_flag=None):
             """Per-substep BC sweep on tile tgt[tslot] (reference order:
             ghost sanitize → walls → inlet/outlet → obstacle)."""
             # ghost sanitize — x edges every tile; y edges only on the tile
@@ -617,7 +663,7 @@ def make_local_step_pallas3d_tiled(problem: Problem,
                     for i in range(Q):
                         if cfg.c[i][1] > 0:
                             val = tgt[tslot, cfg.opp[i], yb:yb + 1, :]
-                            if has_solid:
+                            if has_solid and cfg.guard_bcs:
                                 val = jnp.where(fluid_rows(yb, yb + 1), val,
                                                 tgt[tslot, i, yb:yb + 1, :])
                             tgt[tslot, i, yb:yb + 1, :] = val
@@ -627,21 +673,22 @@ def make_local_step_pallas3d_tiled(problem: Problem,
                     for i in range(Q):
                         if cfg.c[i][1] < 0:
                             val = tgt[tslot, cfg.opp[i], yt:yt + 1, :]
-                            if has_solid:
+                            if has_solid and cfg.guard_bcs:
                                 val = jnp.where(fluid_rows(yt, yt + 1), val,
                                                 tgt[tslot, i, yt:yt + 1, :])
                             tgt[tslot, i, yt:yt + 1, :] = val
 
             # walls in z (whole first/last output planes)
             if cfg.walls_z:
-                fluid_plane = (msl[mslot] < 0.5) if has_solid else None
+                fluid_plane = ((msl[mslot] < 0.5)
+                               if has_solid and cfg.guard_bcs else None)
 
                 @pl.when(is_z0)
                 def _():
                     for i in range(Q):
                         if cfg.c[i][2] > 0:
                             val = tgt[tslot, cfg.opp[i]]
-                            if has_solid:
+                            if fluid_plane is not None:
                                 val = jnp.where(fluid_plane, val,
                                                 tgt[tslot, i])
                             tgt[tslot, i] = val
@@ -651,7 +698,7 @@ def make_local_step_pallas3d_tiled(problem: Problem,
                     for i in range(Q):
                         if cfg.c[i][2] < 0:
                             val = tgt[tslot, cfg.opp[i]]
-                            if has_solid:
+                            if fluid_plane is not None:
                                 val = jnp.where(fluid_plane, val,
                                                 tgt[tslot, i])
                             tgt[tslot, i] = val
@@ -660,7 +707,7 @@ def make_local_step_pallas3d_tiled(problem: Problem,
             if cfg.inlet_equilibrium:
                 for i in range(Q):
                     val = jnp.full((Wy, 1), cfg.eq_in[i], jnp.float32)
-                    if has_solid:
+                    if has_solid and cfg.guard_bcs:
                         val = jnp.where(fluid_rows(0, Wy, 0, 1), val,
                                         tgt[tslot, i, :, 0:1])
                     tgt[tslot, i, :, 0:1] = val
@@ -669,23 +716,28 @@ def make_local_step_pallas3d_tiled(problem: Problem,
             if cfg.outlet_zero_grad:
                 for i in range(Q):
                     val = tgt[tslot, i, :, nx - 2:nx - 1]
-                    if has_solid:
+                    if has_solid and cfg.guard_bcs:
                         val = jnp.where(fluid_rows(0, Wy, nx - 1, nx), val,
                                         tgt[tslot, i, :, nx - 1:nx])
                     tgt[tslot, i, :, nx - 1:nx] = val
 
-            # obstacle
+            # obstacle (skipped on tiles outside the solid bounding box)
             if has_solid:
-                solid_p = msl[mslot] > 0.5
-                if cfg.bounce_back:
-                    snap = [tgt[tslot, i] for i in range(Q)]
-                    for i in range(Q):
-                        tgt[tslot, i] = jnp.where(solid_p, snap[cfg.opp[i]],
-                                                  tgt[tslot, i])
+                def _obstacle():
+                    solid_p = msl[mslot] > 0.5
+                    if cfg.bounce_back:
+                        snap = [tgt[tslot, i] for i in range(Q)]
+                        for i in range(Q):
+                            tgt[tslot, i] = jnp.where(
+                                solid_p, snap[cfg.opp[i]], tgt[tslot, i])
+                    else:
+                        for i in range(Q):
+                            tgt[tslot, i] = jnp.where(solid_p, cfg.w[i],
+                                                      tgt[tslot, i])
+                if solid_flag is None:
+                    _obstacle()
                 else:
-                    for i in range(Q):
-                        tgt[tslot, i] = jnp.where(solid_p, cfg.w[i],
-                                                  tgt[tslot, i])
+                    pl.when(solid_flag)(_obstacle)
 
         def make_stage_plane(k, idx, is_z0, is_zl, below_eq, above_eq,
                              collide_after=True):
@@ -712,7 +764,8 @@ def make_local_step_pallas3d_tiled(problem: Problem,
                 if cx:
                     plane = pltpu.roll(plane, cx % nx, axis=1)
                 tgt[tslot, i] = plane
-            apply_bcs(tgt, tslot, idx % M, is_z0, is_zl)
+            apply_bcs(tgt, tslot, idx % M, is_z0, is_zl,
+                      solid_flag=plane_flag(idx))
             if collide_after:
                 fw = [tgt[tslot, i] for i in range(Q)]
                 solid = (msl[idx % M] > 0.5) if cfg.bounce_back else None
@@ -789,6 +842,8 @@ def make_local_step_pallas3d_tiled(problem: Problem,
         grid=(n_ty,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),  # flags (2,)
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # zflags (nz,)
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # tyflags (n_ty,)
             pl.BlockSpec(memory_space=pl.ANY),      # f
             pl.BlockSpec(memory_space=pl.ANY),      # rb
             pl.BlockSpec(memory_space=pl.ANY),      # rt
@@ -806,17 +861,22 @@ def make_local_step_pallas3d_tiled(problem: Problem,
 
     zero_mask = np.zeros((nz, nyl, nx), np.float32)
     zero_ring = np.zeros((nz, H, nx), np.float32)
+    ones_ty = np.ones((n_ty,), np.int32)
 
-    def step(f, rb, rt, flags, mask=None, mrb=None, mrt=None):
+    def step(f, rb, rt, flags, mask=None, mrb=None, mrt=None, tyflags=None):
         if has_solid and mask is None:
             raise ValueError("pallas3d needs the solid mask")
         mask = jnp.asarray(zero_mask) if mask is None else mask
         mrb = jnp.asarray(zero_ring) if mrb is None else mrb
         mrt = jnp.asarray(zero_ring) if mrt is None else mrt
-        return call(flags, f, rb, rt, mask, mrb, mrt)
+        tyflags = jnp.asarray(ones_ty) if tyflags is None else tyflags
+        return call(flags, jnp.asarray(zflags_np), tyflags, f, rb, rt,
+                    mask, mrb, mrt)
 
     step.halo_height = H
     step.tile_height = Ty
     step.n_ty = n_ty
     step.depth = N
+    step.solid_yrange = solid_yrange
+    step.slab_skip = slab_skip
     return step

@@ -223,18 +223,33 @@ def make_chunk_fn(problem: Problem, mesh: Mesh, chunk_len: int,
         flags = jnp.stack([(y0 == 0),
                            (y0 + nyl3 == problem.params.ny)]).astype(jnp.int32)
         H = pallas3d_tiled.halo_height
-        mask = mrb = mrt = None
+        mask = mrb = mrt = tyflags = None
         if has_solid:
             mask = solid_local.astype(jnp.float32)
             zr = np.zeros(1, np.float32)
             mrb4, mrt4 = halo.ring_rows_3d(mask[None], eq_ring=zr,
                                            mesh_shape=mesh_shape, depth=H)
             mrb, mrt = mrb4[0], mrt4[0]
+            # per-tile solid flags from the (traced) shard y-offset against
+            # the static solid y-range (the z range is baked in the kernel).
+            # Tiles carry H halo-row copies whose post-BC values feed the
+            # center during later substeps, so the intersection test is
+            # widened by the halo height.
+            ty = pallas3d_tiled.tile_height
+            Hm = pallas3d_tiled.halo_height
+            starts = y0 + jnp.arange(pallas3d_tiled.n_ty) * ty
+            if pallas3d_tiled.solid_yrange is None:
+                tyflags = jnp.zeros((pallas3d_tiled.n_ty,), jnp.int32)
+            else:
+                lo, hi = pallas3d_tiled.solid_yrange
+                tyflags = ((starts - Hm <= hi)
+                           & (starts + ty + Hm > lo)).astype(jnp.int32)
 
         def n_steps(f, _):
             rb, rt = halo.ring_rows_3d(f, eq_ring=eq_ring,
                                        mesh_shape=mesh_shape, depth=H)
-            return pallas3d_tiled(f, rb, rt, flags, mask, mrb, mrt), None
+            return pallas3d_tiled(f, rb, rt, flags, mask, mrb, mrt,
+                                  tyflags), None
 
         f_local, _ = lax.scan(n_steps, f_local, None,
                               length=chunk_len // pallas3d_tiled.depth)
