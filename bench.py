@@ -55,12 +55,12 @@ def bench(nx=2048, ny=512, backend="pallas", chunk_len=280, chunks=8,
 
     def sync(arr):
         # On the remote-TPU platform block_until_ready returns immediately;
-        # a tiny device_get is the reliable fence. Fetch one corner of each
-        # addressable shard (indexing the global sharded array would need a
-        # collective).
+        # a tiny device_get is the reliable fence. Fetch one corner of every
+        # addressable shard in ONE batched device_get (indexing the global
+        # sharded array would need a collective, and serial per-shard
+        # fetches would add n_shards × relay-latency to the timed window).
         jax.block_until_ready(arr)
-        for s in arr.addressable_shards:
-            jax.device_get(s.data[0, 0, :1])
+        jax.device_get([s.data[0, 0, :1] for s in arr.addressable_shards])
 
     for _ in range(warmup):
         f = chunk(f, solid)
@@ -151,14 +151,8 @@ def main():
     args = ap.parse_args()
 
     if args.cpu_devices:
-        import os
-        flags = os.environ.get("XLA_FLAGS", "")
-        if "xla_force_host_platform_device_count" not in flags:
-            os.environ["XLA_FLAGS"] = (
-                flags + f" --xla_force_host_platform_device_count="
-                        f"{args.cpu_devices}").strip()
-        import jax
-        jax.config.update("jax_platforms", "cpu")
+        from tpulbm.utils.hostenv import force_virtual_cpu_devices
+        force_virtual_cpu_devices(args.cpu_devices)
 
     if args.sweep:
         import jax
@@ -189,11 +183,7 @@ def main():
     if args.mesh:
         my, mx = args.mesh.lower().split("x")
         mesh_shape = (int(my), int(mx))
-    run_one(args, mesh_shape, args.nx, args.ny,
-            label=None if args.mesh else
-            "MLUPS/chip, D2Q9 cylinder 2048x512 f32 Re=200"
-            if (args.nx, args.ny, args.precision) == (2048, 512, "f32")
-            else None)
+    run_one(args, mesh_shape, args.nx, args.ny)
 
 
 if __name__ == "__main__":

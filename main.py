@@ -38,15 +38,15 @@ def build_parser() -> argparse.ArgumentParser:
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
 
-    import os
+    from tpulbm.utils.hostenv import add_host_device_count_flag, \
+        use_cpu_platform
     if args.cpu_devices:
-        os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
-                                   + f" --xla_force_host_platform_device_count={args.cpu_devices}").strip()
+        add_host_device_count_flag(args.cpu_devices)
     import jax
     from tpulbm.utils.jaxcache import enable_compilation_cache
     enable_compilation_cache()
     if args.cpu:
-        jax.config.update("jax_platforms", "cpu")
+        use_cpu_platform()
     if args.distributed:
         jax.distributed.initialize()
 
@@ -57,11 +57,17 @@ def main(argv=None) -> int:
 
     params = params_from_args(args)
     if args.mesh == "auto":
-        # every decomposition runs the pallas fast path now (the x-tiled
-        # kernel stitches ppermute'd halo columns), so use the reference's
-        # surface-minimizing chooser unconditionally (LBMGrid.h:366-392)
-        params = params.replace(mesh_shape=choose_decomposition(
-            len(jax.devices()), params.nx, params.ny))
+        n_dev = len(jax.devices())
+        if (params.is_3d and params.backend == "pallas"
+                and params.ny % n_dev == 0):
+            # the 3-D pallas kernel shards y only; keep its fast path
+            params = params.replace(mesh_shape=(n_dev, 1))
+        else:
+            # any 2-D decomposition runs the pallas fast path (the x-tiled
+            # kernel stitches ppermute'd halo columns), so use the
+            # reference's surface-minimizing chooser (LBMGrid.h:366-392)
+            params = params.replace(mesh_shape=choose_decomposition(
+                n_dev, params.nx, params.ny))
 
     runner = Runner(params)
     with trace(args.profile_dir):

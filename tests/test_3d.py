@@ -187,8 +187,11 @@ def test_3d_runner_writes_vtk_frames(tmp_path):
     assert vtk[4] == "DIMENSIONS 32 16 8"
     assert vtk[7] == f"POINT_DATA {32 * 16 * 8}"
     assert vtk[8] == "VECTORS velocity double"
-    assert len(vtk[9].split()) == 3          # real uz component
-    assert not vtk[9].endswith(" 0.0")       # duct flow has nonzero uz wakes
+    assert len(vtk[9].split()) == 3          # three vector components
+    # duct flow past a sphere develops nonzero uz somewhere in the field
+    n_cells = 32 * 16 * 8
+    uz_vals = [float(l.split()[2]) for l in vtk[9:9 + n_cells]]
+    assert any(abs(v) > 1e-9 for v in uz_vals), "uz is identically zero"
     idx = vtk.index("SCALARS velocity_magnitude double")
     assert vtk[idx + 1] == "LOOKUP_TABLE default"
 

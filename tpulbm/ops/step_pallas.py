@@ -571,7 +571,8 @@ def make_local_step_pallas(problem: Problem,
     kernel.scratch_shapes = [
         pltpu.VMEM((4, Q, Ty, nxl), jnp.float32),   # f slabs (collided in place)
         pltpu.VMEM((2, Q, Ty, nxl), jnp.float32),   # output slabs
-        pltpu.VMEM((4, Ty, nxl), jnp.float32),      # mask slabs
+        (pltpu.VMEM((4, Ty, nxl), jnp.float32) if has_solid
+            else pltpu.VMEM((1, 8, 128), jnp.float32)),               # mask slabs
         pltpu.SemaphoreType.DMA((4,)),
         pltpu.SemaphoreType.DMA((2,)),
         pltpu.SemaphoreType.DMA((4,)),
@@ -786,7 +787,8 @@ def make_local_step_pallas2(problem: Problem,
         pltpu.VMEM((4, Q, Ty, nxl), jnp.float32),   # raw/A-collided slabs
         pltpu.VMEM((3, Q, Ty, nxl), jnp.float32),   # B-collided intermediates
         pltpu.VMEM((2, Q, Ty, nxl), jnp.float32),   # output slabs
-        pltpu.VMEM((4, Ty, nxl), jnp.float32),      # mask slabs
+        (pltpu.VMEM((4, Ty, nxl), jnp.float32) if has_solid
+            else pltpu.VMEM((1, 8, 128), jnp.float32)),               # mask slabs
         pltpu.VMEM((1, Q, 1, nxl), jnp.float32),    # intermediate top ring row
         pltpu.SemaphoreType.DMA((4,)),
         pltpu.SemaphoreType.DMA((2,)),
@@ -1065,7 +1067,8 @@ def make_local_step_pallasN(problem: Problem,
         + [pltpu.VMEM((3, Q, Ty, nxl), jnp.float32)
            for _ in range(N - 1)]                              # stages 1..N-1
         + [pltpu.VMEM((2, Q, Ty, nxl), jnp.float32),           # out slabs
-           pltpu.VMEM((M, Ty, nxl), jnp.float32),              # mask slabs
+           (pltpu.VMEM((M, Ty, nxl), jnp.float32) if has_solid
+            else pltpu.VMEM((1, 8, 128), jnp.float32)),                       # mask slabs
            pltpu.VMEM((N - 1, Q, N, nxl), jnp.float32),        # top ghost rows
            pltpu.SemaphoreType.DMA((4,)),
            pltpu.SemaphoreType.DMA((2,)),

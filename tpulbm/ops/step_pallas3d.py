@@ -363,7 +363,8 @@ def make_local_step_pallas3d(problem: Problem,
         scratch_shapes=[
             pltpu.VMEM((4, Q, ny, nx), jnp.float32),
             pltpu.VMEM((2, Q, ny, nx), jnp.float32),
-            pltpu.VMEM((4, ny, nx), jnp.float32),
+            (pltpu.VMEM((4, ny, nx), jnp.float32) if has_solid
+             else pltpu.VMEM((1, 8, 128), jnp.float32)),
             pltpu.SemaphoreType.DMA((4,)),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((4,)),
@@ -827,7 +828,8 @@ def make_local_step_pallas3d_tiled(problem: Problem,
         + [pltpu.VMEM((3, Q, Wy, nx), jnp.float32)
            for _ in range(N - 1)]                            # stages 1..N-1
         + [pltpu.VMEM((2, Q, Wy, nx), jnp.float32),          # out planes
-           pltpu.VMEM((M, Wy, nx), jnp.float32),             # mask planes
+           (pltpu.VMEM((M, Wy, nx), jnp.float32) if has_solid
+            else pltpu.VMEM((1, 8, 128), jnp.float32)),  # mask planes
            pltpu.SemaphoreType.DMA((4,)),
            pltpu.SemaphoreType.DMA((4,)),
            pltpu.SemaphoreType.DMA((4,)),

@@ -440,11 +440,14 @@ def make_local_step_tiled(problem: Problem, local_shape: tuple[int, ...],
         + [pltpu.VMEM((3, Q, Ty, W), jnp.float32)
            for _ in range(N - 1)]                              # stages 1..N-1
         + [pltpu.VMEM((2, Q, Ty, W), jnp.float32),             # out slabs
-           pltpu.VMEM((M, Ty, W), jnp.float32),                # mask slabs
+           (pltpu.VMEM((M, Ty, W), jnp.float32) if has_solid
+            else pltpu.VMEM((1, 8, 128), jnp.float32)),                 # mask slabs
            pltpu.VMEM((Q, N, W), jnp.float32),                 # rb tile slice
            pltpu.VMEM((Q, N, W), jnp.float32),                 # rt tile slice
-           pltpu.VMEM((N, W), jnp.float32),                    # mrb tile slice
-           pltpu.VMEM((N, W), jnp.float32),                    # mrt tile slice
+           (pltpu.VMEM((N, W), jnp.float32) if has_solid
+            else pltpu.VMEM((1, 128), jnp.float32)),  # mrb tile slice
+           (pltpu.VMEM((N, W), jnp.float32) if has_solid
+            else pltpu.VMEM((1, 128), jnp.float32)),  # mrt tile slice
            pltpu.VMEM((max(N - 1, 1), Q, N, W), jnp.float32),  # top chains
            pltpu.SemaphoreType.DMA((4,)),                      # f center
            pltpu.SemaphoreType.DMA((4,)),                      # f left

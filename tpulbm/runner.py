@@ -162,11 +162,27 @@ class Runner:
         start_step = 0
         f0 = None
         if resume and p.checkpoint_every:
-            latest = ckpt.latest(os.path.join(p.output_dir, p.checkpoint_dir))
-            if latest is not None:
-                start_step, f0 = ckpt.load(latest, p)
-                if self.verbose:
-                    print(f"  Resuming from {latest} at step {start_step}")
+            # Checkpoints are written by process 0 only; on resume, process
+            # 0 decides and BROADCASTS (step, state) so processes without a
+            # shared filesystem stay in lockstep (divergent start steps
+            # would desynchronize every subsequent collective).
+            if self.primary:
+                latest = ckpt.latest(os.path.join(p.output_dir,
+                                                  p.checkpoint_dir))
+                if latest is not None:
+                    start_step, f0 = ckpt.load(latest, p)
+                    if self.verbose:
+                        print(f"  Resuming from {latest} at step {start_step}")
+            if jax.process_count() > 1:
+                from jax.experimental import multihost_utils
+                start_step = int(multihost_utils.broadcast_one_to_all(
+                    np.int64(start_step)))
+                if start_step > 0:
+                    if f0 is None:  # non-primary: placeholder of known shape
+                        f0 = np.zeros(
+                            (problem.lattice.Q,) + problem.spatial_shape,
+                            problem.dtype)
+                    f0 = np.asarray(multihost_utils.broadcast_one_to_all(f0))
         if f0 is None:
             f0 = problem.initial_state()
 
@@ -246,8 +262,11 @@ class Runner:
                             if (vtk_window and tj > 0
                                     and tj >= p.vtk_start_step
                                     and self.primary):
-                                self._submit_frame(np.asarray(rho_k[j]),
-                                                   np.asarray(u_k[j]), tj)
+                                # np.array COPIES the per-frame slice — a
+                                # view would pin the whole K-frame window
+                                # stack in RAM while writes drain
+                                self._submit_frame(np.array(rho_k[j]),
+                                                   np.array(u_k[j]), tj)
                             if not bool(stable_k[j]):
                                 print(f"Simulation unstable at timestep {tj}")
                                 success = False

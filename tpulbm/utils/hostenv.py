@@ -1,0 +1,42 @@
+"""Virtual-device bootstrap for running the sharded paths without hardware.
+
+The fake-cluster mechanism (SURVEY §4): XLA can expose N virtual CPU
+devices via --xla_force_host_platform_device_count, which lets every
+shard_map/ppermute path run and be tested on one machine. Two subtleties
+this helper centralizes (previously copy-pasted across bench.py, main.py,
+tests/conftest.py and __graft_entry__.py):
+
+  * the flag must be in XLA_FLAGS before the CPU backend initializes;
+  * on machines whose sitecustomize registers an accelerator plugin at
+    interpreter start, JAX_PLATFORMS=cpu as an env var is TOO LATE — the
+    binding switch is jax.config.update("jax_platforms", "cpu") made after
+    importing jax but before the first device query.
+"""
+from __future__ import annotations
+
+import os
+
+
+def add_host_device_count_flag(n: int, env: dict | None = None) -> dict:
+    """Ensure --xla_force_host_platform_device_count=n is in XLA_FLAGS.
+
+    Mutates (and returns) `env`, defaulting to os.environ. No-op if some
+    forced count is already present (e.g. set by a parent process)."""
+    env = os.environ if env is None else env
+    flags = env.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        env["XLA_FLAGS"] = (
+            flags + f" --xla_force_host_platform_device_count={n}").strip()
+    return env
+
+
+def use_cpu_platform() -> None:
+    """Switch jax to the CPU platform (must run before backend init)."""
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+
+
+def force_virtual_cpu_devices(n: int) -> None:
+    """The full bootstrap: N virtual CPU devices on this process."""
+    add_host_device_count_flag(n)
+    use_cpu_platform()
