@@ -31,19 +31,21 @@ CHILD = textwrap.dedent("""
     force_virtual_cpu_devices(1)
     import jax
     jax.config.update("jax_enable_x64", True)
-    port, pid, outdir, steps, resume = (sys.argv[1], int(sys.argv[2]),
-                                        sys.argv[3], int(sys.argv[4]),
-                                        sys.argv[5] == "1")
-    jax.distributed.initialize(f"127.0.0.1:{port}", num_processes=2,
+    (port, pid, nproc, outdir, steps, resume, my, mx, backend,
+     precision) = (sys.argv[1], int(sys.argv[2]), int(sys.argv[3]),
+                   sys.argv[4], int(sys.argv[5]), sys.argv[6] == "1",
+                   int(sys.argv[7]), int(sys.argv[8]), sys.argv[9],
+                   sys.argv[10])
+    jax.distributed.initialize(f"127.0.0.1:{port}", num_processes=nproc,
                                process_id=pid)
-    assert jax.process_count() == 2, jax.process_count()
-    assert jax.device_count() == 2, jax.devices()
+    assert jax.process_count() == nproc, jax.process_count()
+    assert jax.device_count() == nproc, jax.devices()
     from tpulbm.config import SimulationParams
     from tpulbm.runner import Runner
     params = SimulationParams(nx=64, ny=32, tau=0.6, inlet_velocity=0.05,
                               num_timesteps=steps, output_frequency=20,
-                              backend="jax", precision="f64",
-                              mesh_shape=(2, 1), output_dir=outdir,
+                              backend=backend, precision=precision,
+                              mesh_shape=(my, mx), output_dir=outdir,
                               enable_vtk=True, checkpoint_every=1)
     res = Runner(params, verbose=False).run(resume=resume)
     assert res.success, "multi-host run went unstable"
@@ -56,14 +58,17 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-def _run_pair(outdirs, steps, resume):
+def _run_procs(outdirs, steps, resume, mesh=(2, 1), backend="jax",
+               precision="f64"):
+    nproc = mesh[0] * mesh[1]
     port = _free_port()
     procs = [subprocess.Popen(
-        [sys.executable, "-c", CHILD, str(port), str(pid), outdirs[pid],
-         str(steps), "1" if resume else "0"],
+        [sys.executable, "-c", CHILD, str(port), str(pid), str(nproc),
+         outdirs[pid], str(steps), "1" if resume else "0",
+         str(mesh[0]), str(mesh[1]), backend, precision],
         env=dict(os.environ), cwd=REPO,
         stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
-        for pid in (0, 1)]
+        for pid in range(nproc)]
     outputs = [p.communicate(timeout=560)[0].decode() for p in procs]
     for pid, (p, text) in enumerate(zip(procs, outputs)):
         assert p.returncode == 0, f"process {pid} failed:\n{text[-3000:]}"
@@ -73,7 +78,7 @@ def test_two_process_run_rank0_artifacts_and_resume(tmp_path):
     out0, out1 = str(tmp_path / "mh0"), str(tmp_path / "mh1")
 
     # phase A: fresh 40-step run; only process 0's dir receives artifacts
-    _run_pair((out0, out1), 40, resume=False)
+    _run_procs((out0, out1), 40, resume=False)
     assert os.path.exists(os.path.join(out0, "forces.csv"))
     assert not os.path.exists(os.path.join(out1, "forces.csv"))
     from tpulbm.utils import checkpoint as ckpt
@@ -82,7 +87,7 @@ def test_two_process_run_rank0_artifacts_and_resume(tmp_path):
 
     # phase B: resume to 80 steps; process 1 has NO checkpoint on disk, so
     # process 0 must broadcast (step, state) or the collectives desync
-    _run_pair((out0, out1), 80, resume=True)
+    _run_procs((out0, out1), 80, resume=True)
 
     # single-process reference on a (2,1) virtual mesh, uninterrupted
     from tpulbm.config import SimulationParams
@@ -107,3 +112,32 @@ def test_two_process_run_rank0_artifacts_and_resume(tmp_path):
 
     step, f = ckpt.load(ckpt.latest(os.path.join(out0, "checkpoints")))
     assert step == 80 and np.isfinite(f).all()
+
+
+def test_four_process_2d_mesh_pallas(tmp_path):
+    # 4 processes x 1 device on a (2,2) mesh running the x-tiled PALLAS
+    # kernel: halo columns AND extended corner-carrying rows cross real
+    # process boundaries over both mesh axes
+    outs = [str(tmp_path / f"p{i}") for i in range(4)]
+    _run_procs(outs, 40, resume=False, mesh=(2, 2), backend="pallas",
+               precision="f32")
+
+    from tpulbm.config import SimulationParams
+    from tpulbm.runner import Runner
+    import jax
+    ref_dir = str(tmp_path / "ref")
+    params = SimulationParams(nx=64, ny=32, tau=0.6, inlet_velocity=0.05,
+                              num_timesteps=40, output_frequency=20,
+                              backend="pallas", precision="f32",
+                              mesh_shape=(2, 2), output_dir=ref_dir,
+                              enable_vtk=True, checkpoint_every=0)
+    res = Runner(params, devices=jax.devices()[:4], verbose=False).run(
+        resume=False)
+    assert res.success
+
+    for name in ("forces.csv", "velocity_field.csv",
+                 "vtk_output/lbm_000020.vtk"):
+        got = open(os.path.join(outs[0], name), "rb").read()
+        ref = open(os.path.join(ref_dir, name), "rb").read()
+        assert got == ref, f"{name} differs between 4-process and 1-process"
+    assert not os.path.exists(os.path.join(outs[1], "forces.csv"))
