@@ -149,6 +149,28 @@ def test_3d_tiled_pallas_y_sharded_bounce_back():
     np.testing.assert_allclose(got, ref, rtol=5e-6, atol=1e-7)
 
 
+def test_3d_tiled_pallas_x_sharded():
+    # x-sharded 3-D pallas (new): halo columns ride ppermute (ring_cols_3d)
+    # and are stitched into the tile buffers; physical-x BCs fire only on
+    # the global-edge shards
+    params = _params(precision="f32")
+    ref = _run3d(params, (1, 1), "jax")
+    got = _run3d(params, (1, 2), "pallas")
+    np.testing.assert_allclose(got, ref, rtol=5e-6, atol=1e-7)
+
+
+def test_3d_tiled_pallas_2d_mesh_bounce_back():
+    # (2,2) mesh: sphere straddling BOTH shard boundaries, bounce-back +
+    # TRT; corner data crosses the mesh diagonally via the two-phase
+    # extended ring rows (ring_rows_ext_3d)
+    params = _params(ny=32, precision="f32", obstacle_bc="bounce_back",
+                     collision="trt", cylinder_x=0.5, cylinder_y=0.5,
+                     cylinder_radius=0.2)
+    ref = _run3d(params, (1, 1), "jax")
+    got = _run3d(params, (2, 2), "pallas")
+    np.testing.assert_allclose(got, ref, rtol=5e-6, atol=1e-7)
+
+
 def test_3d_inlet_piercing_solid_falls_back_to_jax():
     # solid on the inlet column: both 3-D pallas builders refuse (return
     # None) and the chunk builder must route to the jax tier, matching it

@@ -58,6 +58,10 @@ class _Cfg3d:
     # False when no solid cell touches a domain face — then the mask's only
     # consumer is the obstacle pinning, which solid-free tiles can skip)
     guard_bcs: bool = True
+    # buffer-column positions of the physical x-edge cells (the x-sharded
+    # tiled kernel centers the owned columns between halo regions)
+    xl_col: int = 0
+    xr_col: int = -1
 
 
 def _collide_planes(cfg: _Cfg3d, fw, solid):
@@ -388,9 +392,22 @@ def make_local_step_pallas3d(problem: Problem,
 def make_local_step_pallas3d_tiled(problem: Problem,
                                    local_shape: tuple[int, ...],
                                    n_sub: int = 1,
-                                   interpret: bool | None = None):
+                                   interpret: bool | None = None,
+                                   x_halo: bool = False):
     """y-tiled D3Q19 kernel with N-substep temporal blocking:
     step(f, rb, rt, flags, mask, mrb, mrt) -> f advanced n_sub steps.
+
+    x_halo=True additionally stitches x-halo columns into the tile buffers
+    (the 2-D x-tiled design, step_pallas_tiled.py, one dimension up), making
+    the kernel fully x-SHARDABLE: shards get Hx = 128 halo columns per side
+    from ring inputs rl/rr = halo.ring_cols_3d, the y-ring rows arrive
+    extended across the halo regions (halo.ring_rows_ext_3d — diagonal
+    corner data via two-phase exchange), and physical-x BCs (edge sanitize,
+    equilibrium inlet, zero-gradient outlet) fire only on shards whose
+    flags mark them at the global x edges. Each substep consumes one halo
+    column of validity per side (trapezoid tiling); only the owned center
+    columns are written back. step signature gains (rl, rr, ml, mr) and
+    flags becomes (4,) [is_bottom, is_top, is_left, is_right].
 
     Lifts the full-plane kernel's VMEM cap (ny*nx ≲ 27k cells) by tiling
     each z-plane along y — slabs are (Q, Ty + 2H, nx) with H = 8 halo rows
@@ -434,11 +451,14 @@ def make_local_step_pallas3d_tiled(problem: Problem,
     N = n_sub
     if N > H or nz < N + 1:
         return None
+    # x-halo width: 128-lane aligned on TPU; tiny in interpret mode
+    Hx = (128 if not interpret else max(2, n_sub)) if x_halo else 0
+    Wx = nx + 2 * Hx
     M = N + 2               # mask plane ring
     S = 4 + 3 * (N - 1) + 2  # f-sized plane rings (raw + stages + out)
 
     def usage(wy):
-        return (S * Q * wy * nx + (M * wy * nx if has_solid else 0)) * 4
+        return (S * Q * wy * Wx + (M * wy * Wx if has_solid else 0)) * 4
 
     tys = sorted((t for t in range(1, nyl + 1)
                   if nyl % t == 0 and (interpret or t % 8 == 0)
@@ -492,16 +512,28 @@ def make_local_step_pallas3d_tiled(problem: Problem,
         walls_y=problem.walls_y, walls_z=problem.walls_z,
         inlet_equilibrium=problem.inlet_equilibrium,
         outlet_zero_grad=problem.outlet_zero_grad,
-        nz=nz, ny=Wy, nx=nx, guard_bcs=guard3d)
-    # global-edge row positions inside the tile buffer
+        nz=nz, ny=Wy, nx=Wx, guard_bcs=guard3d,
+        xl_col=Hx, xr_col=Hx + nx - 1)
+    # global-edge row/column positions inside the tile buffer
     yb, yt = H, H + Ty - 1
+    xlc, xrc = cfg.xl_col, cfg.xr_col
 
     def kernel(flags_ref, zflags_ref, tyflags_ref, f_ref, rb_ref, rt_ref,
-               mask_ref, mrb_ref, mrt_ref, out_ref, fa, *rest):
+               *more):
+        if x_halo:
+            (rl_ref, rr_ref, mask_ref, mrb_ref, mrt_ref, ml_ref, mr_ref,
+             out_ref, fa, *rest) = more
+        else:
+            mask_ref, mrb_ref, mrt_ref, out_ref, fa, *rest = more
+            rl_ref = rr_ref = ml_ref = mr_ref = None
         gs = list(rest[:N - 1])                       # stages 1..N-1
         (ob, msl, sem_fc, sem_fb, sem_ft, sem_ob, sem_m, sem_mb,
-         sem_mt) = rest[N - 1:]
+         sem_mt) = rest[N - 1:N + 8]
+        extra = rest[N + 8:]
+        sem_fx = extra[0] if x_halo else None
+        sem_mx = extra[1] if (x_halo and has_solid) else None
         fb, ft = flags_ref[0], flags_ref[1]
+        fxl, fxr = flags_ref[2], flags_ref[3]
         tyi = pl.program_id(0)
         algn = 8 if not interpret else 1
         ya = pl.multiple_of(tyi * Ty, algn)
@@ -527,8 +559,12 @@ def make_local_step_pallas3d_tiled(problem: Problem,
         def fc_dma(z):
             return pltpu.make_async_copy(
                 f_ref.at[:, z, pl.ds(ya, Ty), :],
-                fa.at[z % 4, :, H:H + Ty, :], sem_fc.at[z % 4])
+                fa.at[z % 4, :, H:H + Ty, Hx:Hx + nx], sem_fc.at[z % 4])
 
+        # y-ring rows span the FULL buffer width: in x_halo mode the ring
+        # inputs arrive extended across the halo regions (ring_rows_ext_3d,
+        # diagonal corner data), and the inner-variant corner pieces are
+        # filled from rl/rr below.
         def fb_ring(z):
             return pltpu.make_async_copy(
                 rb_ref.at[:, z], fa.at[z % 4, :, 0:H, :], sem_fb.at[z % 4])
@@ -536,7 +572,7 @@ def make_local_step_pallas3d_tiled(problem: Problem,
         def fb_inner(z):
             return pltpu.make_async_copy(
                 f_ref.at[:, z, pl.ds(ya_b, H), :],
-                fa.at[z % 4, :, 0:H, :], sem_fb.at[z % 4])
+                fa.at[z % 4, :, 0:H, Hx:Hx + nx], sem_fb.at[z % 4])
 
         def ft_ring(z):
             return pltpu.make_async_copy(
@@ -546,12 +582,52 @@ def make_local_step_pallas3d_tiled(problem: Problem,
         def ft_inner(z):
             return pltpu.make_async_copy(
                 f_ref.at[:, z, pl.ds(ya_t, H), :],
-                fa.at[z % 4, :, H + Ty:Wy, :], sem_ft.at[z % 4])
+                fa.at[z % 4, :, H + Ty:Wy, Hx:Hx + nx], sem_ft.at[z % 4])
+
+        def x_pieces(z, src_l, src_r, tgt, slot, sems, lead):
+            """(cond, copy) pairs for the 6 x-halo pieces of plane z: halo
+            columns beside the center rows (always) and beside the y-halo
+            rows (only when those rows were NOT covered by the full-width
+            extended ring copy). Each piece has its own semaphore lane so
+            starts and waits mirror exactly. `lead` = number of leading
+            full dims (1 for the Q-carrying f arrays, 0 for masks)."""
+            nb = jnp.logical_not(at_bot)
+            nt = jnp.logical_not(at_top)
+
+            def cp(k, src, rs, re, cs, ce, rows):
+                return pltpu.make_async_copy(
+                    src.at[(slice(None),) * lead + (z, rows)],
+                    tgt.at[(slot,) + (slice(None),) * lead
+                           + (slice(rs, re), slice(cs, ce))],
+                    sems.at[k, slot])
+
+            return [
+                (None, cp(0, src_l, H, H + Ty, 0, Hx, pl.ds(ya, Ty))),
+                (None, cp(1, src_r, H, H + Ty, Hx + nx, Wx, pl.ds(ya, Ty))),
+                (nb, cp(2, src_l, 0, H, 0, Hx, pl.ds(ya_b, H))),
+                (nb, cp(3, src_r, 0, H, Hx + nx, Wx, pl.ds(ya_b, H))),
+                (nt, cp(4, src_l, H + Ty, Wy, 0, Hx, pl.ds(ya_t, H))),
+                (nt, cp(5, src_r, H + Ty, Wy, Hx + nx, Wx, pl.ds(ya_t, H))),
+            ]
+
+        def fx_pieces(z):
+            return x_pieces(z, rl_ref, rr_ref, fa, z % 4, sem_fx, 1)
+
+        def mx_pieces(z):
+            return x_pieces(z, ml_ref, mr_ref, msl, z % M, sem_mx, 0)
+
+        def _run_pieces(pieces, op):
+            for cond, copy in pieces:
+                fn = copy.start if op == "start" else copy.wait
+                if cond is None:
+                    fn()
+                else:
+                    pl.when(cond)(fn)
 
         def mc_dma(z):
             return pltpu.make_async_copy(
                 mask_ref.at[z, pl.ds(ya, Ty), :],
-                msl.at[z % M, H:H + Ty, :], sem_m.at[z % M])
+                msl.at[z % M, H:H + Ty, Hx:Hx + nx], sem_m.at[z % M])
 
         def mb_ring(z):
             return pltpu.make_async_copy(
@@ -560,7 +636,7 @@ def make_local_step_pallas3d_tiled(problem: Problem,
         def mb_inner(z):
             return pltpu.make_async_copy(
                 mask_ref.at[z, pl.ds(ya_b, H), :],
-                msl.at[z % M, 0:H, :], sem_mb.at[z % M])
+                msl.at[z % M, 0:H, Hx:Hx + nx], sem_mb.at[z % M])
 
         def mt_ring(z):
             return pltpu.make_async_copy(
@@ -569,7 +645,7 @@ def make_local_step_pallas3d_tiled(problem: Problem,
         def mt_inner(z):
             return pltpu.make_async_copy(
                 mask_ref.at[z, pl.ds(ya_t, H), :],
-                msl.at[z % M, H + Ty:Wy, :], sem_mt.at[z % M])
+                msl.at[z % M, H + Ty:Wy, Hx:Hx + nx], sem_mt.at[z % M])
 
         def mask_op(z, fn):
             if not has_solid:
@@ -585,6 +661,8 @@ def make_local_step_pallas3d_tiled(problem: Problem,
             pl.when(jnp.logical_not(at_bot))(lambda: fb_inner(z).start())
             pl.when(at_top)(lambda: ft_ring(z).start())
             pl.when(jnp.logical_not(at_top))(lambda: ft_inner(z).start())
+            if x_halo:
+                _run_pieces(fx_pieces(z), "start")
 
             def _masks():
                 mc_dma(z).start()
@@ -592,24 +670,43 @@ def make_local_step_pallas3d_tiled(problem: Problem,
                 pl.when(jnp.logical_not(at_bot))(lambda: mb_inner(z).start())
                 pl.when(at_top)(lambda: mt_ring(z).start())
                 pl.when(jnp.logical_not(at_top))(lambda: mt_inner(z).start())
+                if x_halo:
+                    _run_pieces(mx_pieces(z), "start")
 
             mask_op(z, _masks)
 
         def wait_in(z):
             fc_dma(z).wait()
-            fb_ring(z).wait()
-            ft_ring(z).wait()
+            if x_halo:
+                # ring and inner y-row variants copy different byte counts
+                # here (the inner variant's corner bytes ride the x-piece
+                # semaphores), so waits mirror the start branches exactly
+                pl.when(at_bot)(lambda: fb_ring(z).wait())
+                pl.when(jnp.logical_not(at_bot))(lambda: fb_inner(z).wait())
+                pl.when(at_top)(lambda: ft_ring(z).wait())
+                pl.when(jnp.logical_not(at_top))(lambda: ft_inner(z).wait())
+                _run_pieces(fx_pieces(z), "wait")
+            else:
+                fb_ring(z).wait()
+                ft_ring(z).wait()
 
             def _masks():
                 mc_dma(z).wait()
-                mb_ring(z).wait()
-                mt_ring(z).wait()
+                if x_halo:
+                    pl.when(at_bot)(lambda: mb_ring(z).wait())
+                    pl.when(jnp.logical_not(at_bot))(lambda: mb_inner(z).wait())
+                    pl.when(at_top)(lambda: mt_ring(z).wait())
+                    pl.when(jnp.logical_not(at_top))(lambda: mt_inner(z).wait())
+                    _run_pieces(mx_pieces(z), "wait")
+                else:
+                    mb_ring(z).wait()
+                    mt_ring(z).wait()
 
             mask_op(z, _masks)
 
         def out_dma(z):
             return pltpu.make_async_copy(
-                ob.at[z % 2, :, H:H + Ty, :],
+                ob.at[z % 2, :, H:H + Ty, Hx:Hx + nx],
                 out_ref.at[:, z, pl.ds(ya, Ty), :], sem_ob.at[z % 2])
 
         def collide_a(z):
@@ -620,36 +717,41 @@ def make_local_step_pallas3d_tiled(problem: Problem,
             for i in range(Q):
                 fa[slot, i] = fp[i]
 
-        eq_tile = [jnp.full((Wy, nx), cfg.eq_in[i], jnp.float32)
+        eq_tile = [jnp.full((Wy, Wx), cfg.eq_in[i], jnp.float32)
                    for i in range(Q)]
 
         def apply_bcs(tgt, tslot, mslot, is_z0, is_zl, solid_flag=None):
             """Per-substep BC sweep on tile tgt[tslot] (reference order:
             ghost sanitize → walls → inlet/outlet → obstacle)."""
-            # ghost sanitize — x edges every tile; y edges only on the tile
-            # holding the physical boundary row
+            # ghost sanitize — x edges only on shards at the physical x
+            # boundary (always true for full-width shards); y edges only on
+            # the tile holding the physical boundary row
             for i in range(Q):
                 cx, cy, cz = cfg.c[i]
                 if cx:
-                    xc = 0 if cx > 0 else nx - 1
+                    xc = xlc if cx > 0 else xrc
+                    fe = fxl if cx > 0 else fxr
                     if cz > 0:
                         val = jnp.where(is_z0, cfg.eq_in[i], 0.0)
                     elif cz < 0:
                         val = jnp.where(is_zl, cfg.eq_in[i], 0.0)
                     else:
                         val = jnp.float32(0.0)
-                    tgt[tslot, i, :, xc:xc + 1] = jnp.broadcast_to(
-                        val, (Wy, 1)).astype(jnp.float32)
+
+                    @pl.when(fe == 1)
+                    def _(i=i, xc=xc, val=val):
+                        tgt[tslot, i, :, xc:xc + 1] = jnp.broadcast_to(
+                            val, (Wy, 1)).astype(jnp.float32)
                 if cy > 0:
                     @pl.when(gb)
                     def _(i=i):
                         tgt[tslot, i, yb:yb + 1, :] = jnp.full(
-                            (1, nx), cfg.eq_in[i], jnp.float32)
+                            (1, Wx), cfg.eq_in[i], jnp.float32)
                 elif cy < 0:
                     @pl.when(gt)
                     def _(i=i):
                         tgt[tslot, i, yt:yt + 1, :] = jnp.full(
-                            (1, nx), cfg.eq_in[i], jnp.float32)
+                            (1, Wx), cfg.eq_in[i], jnp.float32)
 
             def fluid_rows(rs, re, cs=None, ce=None):
                 m = msl[mslot, rs:re, :]
@@ -704,23 +806,27 @@ def make_local_step_pallas3d_tiled(problem: Problem,
                                                 tgt[tslot, i])
                             tgt[tslot, i] = val
 
-            # equilibrium inlet, column 0
+            # equilibrium inlet, physical column xlc (global x = 0)
             if cfg.inlet_equilibrium:
-                for i in range(Q):
-                    val = jnp.full((Wy, 1), cfg.eq_in[i], jnp.float32)
-                    if has_solid and cfg.guard_bcs:
-                        val = jnp.where(fluid_rows(0, Wy, 0, 1), val,
-                                        tgt[tslot, i, :, 0:1])
-                    tgt[tslot, i, :, 0:1] = val
+                @pl.when(fxl == 1)
+                def _():
+                    for i in range(Q):
+                        val = jnp.full((Wy, 1), cfg.eq_in[i], jnp.float32)
+                        if has_solid and cfg.guard_bcs:
+                            val = jnp.where(fluid_rows(0, Wy, xlc, xlc + 1),
+                                            val, tgt[tslot, i, :, xlc:xlc + 1])
+                        tgt[tslot, i, :, xlc:xlc + 1] = val
 
-            # zero-gradient outlet, column nx-1
+            # zero-gradient outlet, physical column xrc (global x = nx-1)
             if cfg.outlet_zero_grad:
-                for i in range(Q):
-                    val = tgt[tslot, i, :, nx - 2:nx - 1]
-                    if has_solid and cfg.guard_bcs:
-                        val = jnp.where(fluid_rows(0, Wy, nx - 1, nx), val,
-                                        tgt[tslot, i, :, nx - 1:nx])
-                    tgt[tslot, i, :, nx - 1:nx] = val
+                @pl.when(fxr == 1)
+                def _():
+                    for i in range(Q):
+                        val = tgt[tslot, i, :, xrc - 1:xrc]
+                        if has_solid and cfg.guard_bcs:
+                            val = jnp.where(fluid_rows(0, Wy, xrc, xrc + 1),
+                                            val, tgt[tslot, i, :, xrc:xrc + 1])
+                        tgt[tslot, i, :, xrc:xrc + 1] = val
 
             # obstacle (skipped on tiles outside the solid bounding box)
             if has_solid:
@@ -763,7 +869,7 @@ def make_local_step_pallas3d_tiled(problem: Problem,
                 if cy:
                     plane = pltpu.roll(plane, cy % Wy, axis=0)
                 if cx:
-                    plane = pltpu.roll(plane, cx % nx, axis=1)
+                    plane = pltpu.roll(plane, cx % Wx, axis=1)
                 tgt[tslot, i] = plane
             apply_bcs(tgt, tslot, idx % M, is_z0, is_zl,
                       solid_flag=plane_flag(idx))
@@ -824,11 +930,11 @@ def make_local_step_pallas3d_tiled(problem: Problem,
         out_dma(nz - 1).wait()
 
     scratch_shapes = (
-        [pltpu.VMEM((4, Q, Wy, nx), jnp.float32)]            # raw/stage-0
-        + [pltpu.VMEM((3, Q, Wy, nx), jnp.float32)
+        [pltpu.VMEM((4, Q, Wy, Wx), jnp.float32)]            # raw/stage-0
+        + [pltpu.VMEM((3, Q, Wy, Wx), jnp.float32)
            for _ in range(N - 1)]                            # stages 1..N-1
-        + [pltpu.VMEM((2, Q, Wy, nx), jnp.float32),          # out planes
-           (pltpu.VMEM((M, Wy, nx), jnp.float32) if has_solid
+        + [pltpu.VMEM((2, Q, Wy, Wx), jnp.float32),          # out planes
+           (pltpu.VMEM((M, Wy, Wx), jnp.float32) if has_solid
             else pltpu.VMEM((1, 8, 128), jnp.float32)),  # mask planes
            pltpu.SemaphoreType.DMA((4,)),
            pltpu.SemaphoreType.DMA((4,)),
@@ -838,21 +944,35 @@ def make_local_step_pallas3d_tiled(problem: Problem,
            pltpu.SemaphoreType.DMA((M,)),
            pltpu.SemaphoreType.DMA((M,))]
     )
+    if x_halo:
+        scratch_shapes.append(pltpu.SemaphoreType.DMA((6, 4)))  # f x-pieces
+        if has_solid:
+            scratch_shapes.append(pltpu.SemaphoreType.DMA((6, M)))
+
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),  # flags (4,)
+        pl.BlockSpec(memory_space=pltpu.SMEM),  # zflags (nz,)
+        pl.BlockSpec(memory_space=pltpu.SMEM),  # tyflags (n_ty,)
+        pl.BlockSpec(memory_space=pl.ANY),      # f
+        pl.BlockSpec(memory_space=pl.ANY),      # rb
+        pl.BlockSpec(memory_space=pl.ANY),      # rt
+    ]
+    if x_halo:
+        in_specs += [pl.BlockSpec(memory_space=pl.ANY),  # rl
+                     pl.BlockSpec(memory_space=pl.ANY)]  # rr
+    in_specs += [
+        pl.BlockSpec(memory_space=pl.ANY),      # mask
+        pl.BlockSpec(memory_space=pl.ANY),      # mrb
+        pl.BlockSpec(memory_space=pl.ANY),      # mrt
+    ]
+    if x_halo:
+        in_specs += [pl.BlockSpec(memory_space=pl.ANY),  # ml
+                     pl.BlockSpec(memory_space=pl.ANY)]  # mr
 
     call = pl.pallas_call(
         kernel,
         grid=(n_ty,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # flags (2,)
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # zflags (nz,)
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # tyflags (n_ty,)
-            pl.BlockSpec(memory_space=pl.ANY),      # f
-            pl.BlockSpec(memory_space=pl.ANY),      # rb
-            pl.BlockSpec(memory_space=pl.ANY),      # rt
-            pl.BlockSpec(memory_space=pl.ANY),      # mask
-            pl.BlockSpec(memory_space=pl.ANY),      # mrb
-            pl.BlockSpec(memory_space=pl.ANY),      # mrt
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         out_shape=jax.ShapeDtypeStruct((Q, nz, nyl, nx), jnp.float32),
         scratch_shapes=scratch_shapes,
@@ -862,20 +982,29 @@ def make_local_step_pallas3d_tiled(problem: Problem,
     )
 
     zero_mask = np.zeros((nz, nyl, nx), np.float32)
-    zero_ring = np.zeros((nz, H, nx), np.float32)
+    zero_ring = np.zeros((nz, H, nx + 2 * Hx), np.float32)
+    zero_cols = np.zeros((nz, nyl, Hx), np.float32)
     ones_ty = np.ones((n_ty,), np.int32)
 
-    def step(f, rb, rt, flags, mask=None, mrb=None, mrt=None, tyflags=None):
+    def step(f, rb, rt, flags, mask=None, mrb=None, mrt=None, tyflags=None,
+             rl=None, rr=None, ml=None, mr=None):
         if has_solid and mask is None:
             raise ValueError("pallas3d needs the solid mask")
         mask = jnp.asarray(zero_mask) if mask is None else mask
         mrb = jnp.asarray(zero_ring) if mrb is None else mrb
         mrt = jnp.asarray(zero_ring) if mrt is None else mrt
         tyflags = jnp.asarray(ones_ty) if tyflags is None else tyflags
+        if not x_halo:
+            return call(flags, jnp.asarray(zflags_np), tyflags, f, rb, rt,
+                        mask, mrb, mrt)
+        ml = jnp.asarray(zero_cols) if ml is None else ml
+        mr = jnp.asarray(zero_cols) if mr is None else mr
         return call(flags, jnp.asarray(zflags_np), tyflags, f, rb, rt,
-                    mask, mrb, mrt)
+                    rl, rr, mask, mrb, mrt, ml, mr)
 
     step.halo_height = H
+    step.halo_width = Hx
+    step.x_halo = x_halo
     step.tile_height = Ty
     step.n_ty = n_ty
     step.depth = N

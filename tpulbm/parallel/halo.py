@@ -249,6 +249,78 @@ def ring_rows_ext(f: jnp.ndarray, rl: jnp.ndarray, rr: jnp.ndarray, *,
     return rb, rt
 
 
+def ring_cols_3d(f: jnp.ndarray, *, eq_ring: np.ndarray,
+                 mesh_shape: tuple[int, int], depth: int, H: int,
+                 periodic_x: bool,
+                 axis_names: tuple[str, str] = ("y", "x")
+                 ) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """x-halo columns for the x-sharded 3-D pallas path: (rl, rr), each
+    (Q, nz, nyl, H) raw pre-collision populations at every z plane.
+
+    Layout mirrors ring_cols: the `depth` meaningful columns sit
+    right-aligned in rl / left-aligned in rr, the rest is frozen ghost
+    equilibrium (so collision of the stitched halo region stays finite);
+    physical x edges are all-equilibrium — the kernel's per-substep edge
+    sanitize owns those columns. H is the 128-lane-aligned halo width."""
+    my, mx = mesh_shape
+    ax = axis_names[1]
+    Q, nz, nyl, nxl = f.shape
+    eq = jnp.asarray(eq_ring, f.dtype)
+    eq_block = jnp.broadcast_to(eq[:, None, None, None], (Q, nz, nyl, H))
+    if mx == 1 and not periodic_x:
+        return eq_block, eq_block
+    left_edge = f[..., 0:depth]
+    right_edge = f[..., nxl - depth:nxl]
+    if mx == 1:  # periodic single shard: wrap own edges
+        from_west, from_east = right_edge, left_edge
+    else:
+        from_west = lax.ppermute(right_edge, ax, _perm_fwd(mx, periodic_x))
+        from_east = lax.ppermute(left_edge, ax, _perm_bwd(mx, periodic_x))
+        if not periodic_x:
+            ix = lax.axis_index(ax)
+            eq_cols = jnp.broadcast_to(eq[:, None, None, None],
+                                       (Q, nz, nyl, depth))
+            from_west = jnp.where(ix > 0, from_west, eq_cols)
+            from_east = jnp.where(ix < mx - 1, from_east, eq_cols)
+    rl = eq_block.at[..., H - depth:H].set(from_west)
+    rr = eq_block.at[..., 0:depth].set(from_east)
+    return rl, rr
+
+
+def ring_rows_ext_3d(f: jnp.ndarray, rl: jnp.ndarray, rr: jnp.ndarray, *,
+                     eq_ring: np.ndarray, mesh_shape: tuple[int, int],
+                     depth: int,
+                     axis_names: tuple[str, str] = ("y", "x")
+                     ) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """y-halo rows extended across the x-halo regions for the x-sharded 3-D
+    pallas path: (rb, rt), each (Q, nz, depth, nxl + 2H) where H is
+    rl.shape[-1]. Two-phase composition (x columns first, then y rows built
+    from block+columns) fills the corner regions with diagonal-neighbor
+    data; physical y edges hold the frozen ghost equilibrium across the
+    full extended width."""
+    my = mesh_shape[0]
+    ay = axis_names[0]
+    Q, nz, nyl, nxl = f.shape
+    H = rl.shape[-1]
+    eq_rows = jnp.broadcast_to(
+        jnp.asarray(eq_ring, f.dtype)[:, None, None, None],
+        (Q, nz, depth, nxl + 2 * H))
+    if my == 1:
+        return eq_rows, eq_rows
+    ext_bottom = jnp.concatenate(
+        [rl[:, :, 0:depth, :], f[:, :, 0:depth, :], rr[:, :, 0:depth, :]],
+        axis=3)
+    ext_top = jnp.concatenate(
+        [rl[:, :, nyl - depth:, :], f[:, :, nyl - depth:, :],
+         rr[:, :, nyl - depth:, :]], axis=3)
+    from_below = lax.ppermute(ext_top, ay, _perm_fwd(my, False))
+    from_above = lax.ppermute(ext_bottom, ay, _perm_bwd(my, False))
+    iy = lax.axis_index(ay)
+    rb = jnp.where(iy > 0, from_below, eq_rows)
+    rt = jnp.where(iy < my - 1, from_above, eq_rows)
+    return rb, rt
+
+
 def ring_rows_3d(f: jnp.ndarray, *, eq_ring: np.ndarray,
                  mesh_shape: tuple[int, int], depth: int = 8,
                  axis_names: tuple[str, str] = ("y", "x")

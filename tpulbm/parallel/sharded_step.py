@@ -50,52 +50,49 @@ def make_chunk_fn(problem: Problem, mesh: Mesh, chunk_len: int,
     if backend == "pallas" and ndim == 3:
         from ..ops.step_pallas3d import (make_local_step_pallas3d,
                                          make_local_step_pallas3d_tiled)
-        if mesh_shape[1] != 1:
+        # x-sharded meshes stitch ppermute'd halo columns into the tile
+        # buffers (x_halo mode — the 2-D x-tiled design one dimension up)
+        x_sharded3d = mesh_shape[1] != 1
+        try:
+            # 2-step temporal blocking halves the HBM traffic of this
+            # DMA-bound kernel (measured +22-40%); deeper N shrinks Ty
+            # until the y-overlap waste (Wy/Ty) eats the gain, and past
+            # waste 1.5 the kernel goes VPU-bound — so N=2 with a
+            # Ty >= 4H guard is the sweet spot on v5e. TPULBM_SUBSTEPS
+            # forces a depth, TPULBM_NO_FUSED2 disables blocking.
+            if not os.environ.get("TPULBM_NO_FUSED2"):
+                forced = os.environ.get("TPULBM_SUBSTEPS")
+                cands = [int(forced)] if forced else [2]
+                for n_sub in cands:
+                    if n_sub == 1 or chunk_len % n_sub:
+                        continue
+                    stepper = make_local_step_pallas3d_tiled(
+                        problem, local_shape, n_sub, x_halo=x_sharded3d)
+                    if stepper is not None and (
+                            forced or stepper.tile_height
+                            >= 4 * stepper.halo_height):
+                        pallas3d_tiled = stepper
+                        break
+            if (pallas3d_tiled is None and mesh_shape == (1, 1)
+                    and not os.environ.get("TPULBM_FORCE_TILED")):
+                # full-plane 1-step kernel: no halo-row overhead
+                pallas3d_step = make_local_step_pallas3d(problem,
+                                                         local_shape)
+            if pallas3d_step is None and pallas3d_tiled is None:
+                # y-tiled 1-step: big planes and/or sharded meshes
+                pallas3d_tiled = make_local_step_pallas3d_tiled(
+                    problem, local_shape, 1, x_halo=x_sharded3d)
+        except ValueError as e:
             import warnings
-            warnings.warn("the 3-D pallas backend shards over y only; "
-                          "falling back to backend='jax' for x-sharded 3-D")
+            warnings.warn(f"pallas backend unavailable for this config "
+                          f"({e}); falling back to backend='jax'")
             backend = "jax"
-        else:
-            try:
-                # 2-step temporal blocking halves the HBM traffic of this
-                # DMA-bound kernel (measured +22-40%); deeper N shrinks Ty
-                # until the y-overlap waste (Wy/Ty) eats the gain, and past
-                # waste 1.5 the kernel goes VPU-bound — so N=2 with a
-                # Ty >= 4H guard is the sweet spot on v5e. TPULBM_SUBSTEPS
-                # forces a depth, TPULBM_NO_FUSED2 disables blocking.
-                if not os.environ.get("TPULBM_NO_FUSED2"):
-                    forced = os.environ.get("TPULBM_SUBSTEPS")
-                    cands = [int(forced)] if forced else [2]
-                    for n_sub in cands:
-                        if n_sub == 1 or chunk_len % n_sub:
-                            continue
-                        stepper = make_local_step_pallas3d_tiled(
-                            problem, local_shape, n_sub)
-                        if stepper is not None and (
-                                forced or stepper.tile_height
-                                >= 4 * stepper.halo_height):
-                            pallas3d_tiled = stepper
-                            break
-                if (pallas3d_tiled is None and mesh_shape == (1, 1)
-                        and not os.environ.get("TPULBM_FORCE_TILED")):
-                    # full-plane 1-step kernel: no halo-row overhead
-                    pallas3d_step = make_local_step_pallas3d(problem,
-                                                             local_shape)
-                if pallas3d_step is None and pallas3d_tiled is None:
-                    # y-tiled 1-step: big planes and/or y-sharded meshes
-                    pallas3d_tiled = make_local_step_pallas3d_tiled(
-                        problem, local_shape, 1)
-            except ValueError as e:
-                import warnings
-                warnings.warn(f"pallas backend unavailable for this config "
-                              f"({e}); falling back to backend='jax'")
-                backend = "jax"
-            if (backend == "pallas" and pallas3d_step is None
-                    and pallas3d_tiled is None):
-                import warnings
-                warnings.warn("no 3-D pallas tile fits the VMEM budget; "
-                              "falling back to backend='jax'")
-                backend = "jax"
+        if (backend == "pallas" and pallas3d_step is None
+                and pallas3d_tiled is None):
+            import warnings
+            warnings.warn("no 3-D pallas tile fits the VMEM budget; "
+                          "falling back to backend='jax'")
+            backend = "jax"
     if backend == "pallas" and ndim == 2:
         from ..ops.step_pallas import (make_local_step_pallas,
                                        make_local_step_pallas2)
@@ -218,18 +215,43 @@ def make_chunk_fn(problem: Problem, mesh: Mesh, chunk_len: int,
 
     def body_pallas3d_tiled(f_local, solid_local):
         iy = lax.axis_index("y")
-        nyl3 = local_shape[-2]
+        ix = lax.axis_index("x")
+        nyl3, nxl3 = local_shape[-2], local_shape[-1]
         y0 = iy * nyl3
+        x0 = ix * nxl3
         flags = jnp.stack([(y0 == 0),
-                           (y0 + nyl3 == problem.params.ny)]).astype(jnp.int32)
+                           (y0 + nyl3 == problem.params.ny),
+                           (x0 == 0),
+                           (x0 + nxl3 == problem.params.nx)]).astype(jnp.int32)
         H = pallas3d_tiled.halo_height
-        mask = mrb = mrt = tyflags = None
+        N3 = pallas3d_tiled.depth
+        Hx3 = pallas3d_tiled.halo_width
+        x_halo3 = pallas3d_tiled.x_halo
+
+        def rings_for(arr, ring):
+            """(rl, rr, rb, rt) halo inputs for one (Q, nz, nyl, nxl) array;
+            rl/rr are None in the full-width (y-only) mode."""
+            if x_halo3:
+                rl, rr = halo.ring_cols_3d(arr, eq_ring=ring,
+                                           mesh_shape=mesh_shape, depth=N3,
+                                           H=Hx3,
+                                           periodic_x=problem.periodic_x)
+                rb, rt = halo.ring_rows_ext_3d(arr, rl, rr, eq_ring=ring,
+                                               mesh_shape=mesh_shape,
+                                               depth=H)
+                return rl, rr, rb, rt
+            rb, rt = halo.ring_rows_3d(arr, eq_ring=ring,
+                                       mesh_shape=mesh_shape, depth=H)
+            return None, None, rb, rt
+
+        mask = mrb = mrt = ml = mr = tyflags = None
         if has_solid:
             mask = solid_local.astype(jnp.float32)
             zr = np.zeros(1, np.float32)
-            mrb4, mrt4 = halo.ring_rows_3d(mask[None], eq_ring=zr,
-                                           mesh_shape=mesh_shape, depth=H)
+            ml4, mr4, mrb4, mrt4 = rings_for(mask[None], zr)
             mrb, mrt = mrb4[0], mrt4[0]
+            if x_halo3:
+                ml, mr = ml4[0], mr4[0]
             # per-tile solid flags from the (traced) shard y-offset against
             # the static solid y-range (the z range is baked in the kernel).
             # Tiles carry H halo-row copies whose post-BC values feed the
@@ -246,10 +268,9 @@ def make_chunk_fn(problem: Problem, mesh: Mesh, chunk_len: int,
                            & (starts + ty + Hm > lo)).astype(jnp.int32)
 
         def n_steps(f, _):
-            rb, rt = halo.ring_rows_3d(f, eq_ring=eq_ring,
-                                       mesh_shape=mesh_shape, depth=H)
+            rl, rr, rb, rt = rings_for(f, eq_ring)
             return pallas3d_tiled(f, rb, rt, flags, mask, mrb, mrt,
-                                  tyflags), None
+                                  tyflags, rl, rr, ml, mr), None
 
         f_local, _ = lax.scan(n_steps, f_local, None,
                               length=chunk_len // pallas3d_tiled.depth)
