@@ -94,6 +94,34 @@ def test_native_writer_matches_python(tmp_path):
     assert nat_csv == py_csv
 
 
+def test_binary_vtk_matches_ascii_values(tmp_path):
+    rng = np.random.default_rng(1)
+    ny, nx = 8, 12
+    ux = rng.standard_normal((ny, nx)) * 0.1
+    uy = rng.standard_normal((ny, nx)) * 0.1
+    rho = 1.0 + rng.standard_normal((ny, nx)) * 0.01
+    params = SimulationParams(nx=nx, ny=ny)
+
+    io_mod.write_vtk_timestep(ux, uy, rho, params, 3, str(tmp_path),
+                              fmt="binary")
+    raw = open(tmp_path / "vtk_output" / "lbm_000003.vtk", "rb").read()
+    head, _, body = raw.partition(b"VECTORS velocity double\n")
+    assert b"BINARY\n" in head
+    assert f"DIMENSIONS {nx} {ny} 1".encode() in head
+    n = nx * ny
+    vec = np.frombuffer(body[:n * 3 * 8], dtype=">f8").reshape(n, 3)
+    np.testing.assert_array_equal(vec[:, 0], ux.ravel())
+    np.testing.assert_array_equal(vec[:, 1], uy.ravel())
+    np.testing.assert_array_equal(vec[:, 2], 0.0)
+    rest = body[n * 3 * 8:]
+    _, _, rest = rest.partition(b"LOOKUP_TABLE default\n")
+    mag = np.frombuffer(rest[:n * 8], dtype=">f8")
+    np.testing.assert_array_equal(mag, np.sqrt(ux * ux + uy * uy).ravel())
+    _, _, rest = rest.partition(b"LOOKUP_TABLE default\n")
+    dens = np.frombuffer(rest[:n * 8], dtype=">f8")
+    np.testing.assert_array_equal(dens, rho.ravel())
+
+
 def test_checkpoint_resume_reproduces_run(tmp_path):
     # uninterrupted run
     p_full = tiny_params(tmp_path / "full", num_timesteps=80,

@@ -59,6 +59,7 @@ class SimulationParams:
     checkpoint_dir: str = "checkpoints"
     output_dir: str = "."
     enable_vtk: bool = True
+    vtk_format: str = "ascii"        # "ascii" (reference byte parity) | "binary" (4x smaller)
 
     # ---- derived quantities (parity with LBMConfig.h:53-65) ----
     def nu(self) -> float:
@@ -186,6 +187,10 @@ def add_cli_args(parser: argparse.ArgumentParser) -> None:
     parser.add_argument("--output-dir", type=str, default=None)
     parser.add_argument("--checkpoint-dir", type=str, default=None)
     parser.add_argument("--no-vtk", action="store_true")
+    parser.add_argument("--vtk-format", choices=["ascii", "binary"],
+                        default=None,
+                        help="legacy VTK encoding: ascii is byte-compatible "
+                             "with the reference; binary is ~4x smaller/faster")
 
 
 def params_from_args(args: argparse.Namespace) -> SimulationParams:
@@ -202,7 +207,7 @@ def params_from_args(args: argparse.Namespace) -> SimulationParams:
                   "cylinder_radius", "nx", "ny", "nz", "num_timesteps",
                   "output_frequency", "vtk_start_step", "checkpoint_every",
                   "problem", "precision", "backend", "output_dir",
-                  "checkpoint_dir"):
+                  "checkpoint_dir", "vtk_format"):
         val = getattr(args, field, None)
         if val is not None:
             overrides[field] = val

@@ -141,7 +141,7 @@ class Runner:
         uz = u[2] if p.is_3d else None
         self._io_futures.append(self._io_pool.submit(
             io_mod.write_vtk_timestep, u[0], u[1], rho, p, t,
-            p.output_dir, uz))
+            p.output_dir, uz, p.vtk_format))
         pending = []
         for fut in self._io_futures:
             if fut.done():
@@ -393,7 +393,7 @@ class Runner:
                 # final ParaView-loadable STRUCTURED_POINTS frame (nz > 1)
                 io_mod.write_vtk_timestep(u[0], u[1], rho, p,
                                           p.num_timesteps, p.output_dir,
-                                          uz=u[2])
+                                          uz=u[2], fmt=p.vtk_format)
             if self.verbose:
                 print("Files written: fields3d.npz"
                       + (", vtk_output/ (final frame)" if p.enable_vtk

@@ -25,7 +25,7 @@ _PAT = re.compile(r"ckpt_(\d+)\.npz$")
 _RUNTIME_FIELDS = frozenset({
     "num_timesteps", "output_frequency", "vtk_start_step", "backend",
     "mesh_shape", "checkpoint_every", "checkpoint_dir", "output_dir",
-    "enable_vtk",
+    "enable_vtk", "vtk_format",
 })
 
 
