@@ -32,10 +32,10 @@ CHILD = textwrap.dedent("""
     import jax
     jax.config.update("jax_enable_x64", True)
     (port, pid, nproc, outdir, steps, resume, my, mx, backend,
-     precision) = (sys.argv[1], int(sys.argv[2]), int(sys.argv[3]),
-                   sys.argv[4], int(sys.argv[5]), sys.argv[6] == "1",
-                   int(sys.argv[7]), int(sys.argv[8]), sys.argv[9],
-                   sys.argv[10])
+     precision, freq) = (sys.argv[1], int(sys.argv[2]), int(sys.argv[3]),
+                         sys.argv[4], int(sys.argv[5]), sys.argv[6] == "1",
+                         int(sys.argv[7]), int(sys.argv[8]), sys.argv[9],
+                         sys.argv[10], int(sys.argv[11]))
     jax.distributed.initialize(f"127.0.0.1:{port}", num_processes=nproc,
                                process_id=pid)
     assert jax.process_count() == nproc, jax.process_count()
@@ -43,7 +43,7 @@ CHILD = textwrap.dedent("""
     from tpulbm.config import SimulationParams
     from tpulbm.runner import Runner
     params = SimulationParams(nx=64, ny=32, tau=0.6, inlet_velocity=0.05,
-                              num_timesteps=steps, output_frequency=20,
+                              num_timesteps=steps, output_frequency=freq,
                               backend=backend, precision=precision,
                               mesh_shape=(my, mx), output_dir=outdir,
                               enable_vtk=True, checkpoint_every=1)
@@ -59,17 +59,28 @@ def _free_port() -> int:
 
 
 def _run_procs(outdirs, steps, resume, mesh=(2, 1), backend="jax",
-               precision="f64"):
+               precision="f64", timeout=1800, freq=20):
+    # N interpret-mode processes time-share this VM's single core; the bound
+    # is generous wall-clock headroom, not an expected duration.
     nproc = mesh[0] * mesh[1]
     port = _free_port()
     procs = [subprocess.Popen(
         [sys.executable, "-c", CHILD, str(port), str(pid), str(nproc),
          outdirs[pid], str(steps), "1" if resume else "0",
-         str(mesh[0]), str(mesh[1]), backend, precision],
+         str(mesh[0]), str(mesh[1]), backend, precision, str(freq)],
         env=dict(os.environ), cwd=REPO,
         stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
         for pid in range(nproc)]
-    outputs = [p.communicate(timeout=560)[0].decode() for p in procs]
+    outputs = []
+    try:
+        for p in procs:
+            outputs.append(p.communicate(timeout=timeout)[0].decode())
+    except subprocess.TimeoutExpired:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+                p.communicate()
+        raise
     for pid, (p, text) in enumerate(zip(procs, outputs)):
         assert p.returncode == 0, f"process {pid} failed:\n{text[-3000:]}"
 
@@ -119,15 +130,15 @@ def test_four_process_2d_mesh_pallas(tmp_path):
     # kernel: halo columns AND extended corner-carrying rows cross real
     # process boundaries over both mesh axes
     outs = [str(tmp_path / f"p{i}") for i in range(4)]
-    _run_procs(outs, 40, resume=False, mesh=(2, 2), backend="pallas",
-               precision="f32")
+    _run_procs(outs, 20, resume=False, mesh=(2, 2), backend="pallas",
+               precision="f32", freq=10)
 
     from tpulbm.config import SimulationParams
     from tpulbm.runner import Runner
     import jax
     ref_dir = str(tmp_path / "ref")
     params = SimulationParams(nx=64, ny=32, tau=0.6, inlet_velocity=0.05,
-                              num_timesteps=40, output_frequency=20,
+                              num_timesteps=20, output_frequency=10,
                               backend="pallas", precision="f32",
                               mesh_shape=(2, 2), output_dir=ref_dir,
                               enable_vtk=True, checkpoint_every=0)
@@ -136,7 +147,7 @@ def test_four_process_2d_mesh_pallas(tmp_path):
     assert res.success
 
     for name in ("forces.csv", "velocity_field.csv",
-                 "vtk_output/lbm_000020.vtk"):
+                 "vtk_output/lbm_000010.vtk"):
         got = open(os.path.join(outs[0], name), "rb").read()
         ref = open(os.path.join(ref_dir, name), "rb").read()
         assert got == ref, f"{name} differs between 4-process and 1-process"

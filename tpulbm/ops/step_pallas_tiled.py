@@ -277,8 +277,14 @@ def make_local_step_tiled(problem: Problem, local_shape: tuple[int, ...],
 
         eq_row = [jnp.full((1, W), cfg.eq_in[i], jnp.float32)
                   for i in range(Q)]
-        mrb_rows = {r: mrbs[N + r:N + r + 1, :] for r in range(-N, 0)}
-        mrt_rows = {r: mrts[r - 1:r, :] for r in range(1, N + 1)}
+        # Solid-free problems get dummy (1, 128) mask scratch; never slice it
+        # (ghost-chain consumers take None and skip the mask entirely).
+        if has_solid:
+            mrb_rows = {r: mrbs[N + r:N + r + 1, :] for r in range(-N, 0)}
+            mrt_rows = {r: mrts[r - 1:r, :] for r in range(1, N + 1)}
+        else:
+            mrb_rows = {r: None for r in range(-N, 0)}
+            mrt_rows = {r: None for r in range(1, N + 1)}
 
         def collide_row_vals(planes, mask_row):
             solid = (mask_row > 0.5) if bounce_back else None
