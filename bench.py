@@ -12,6 +12,10 @@ independently timed windows (default 3): the remote-TPU relay adds
 50-400 ms of per-fetch latency variance between sessions, and a single
 window under-reports by 20-30% when it lands on a slow fetch.
 
+`--nz N` benches the D3Q19 sphere-in-duct problem instead (3-D is a
+capability the 2-D-only reference lacks; same JSON contract, cells =
+nx*ny*nz).
+
 Scaling modes (BASELINE config 4; the reference only scales via
 `mpirun -np N`, README.md:110-112):
   --mesh MYxMX          run on an explicit device mesh
@@ -30,7 +34,7 @@ import time
 
 def bench(nx=2048, ny=512, backend="pallas", chunk_len=280, chunks=8,
           warmup=2, precision="f32", mesh_shape=(1, 1), verbose=False,
-          reynolds=200.0, repeats=3):
+          reynolds=200.0, repeats=3, nz=0):
     import jax
     import numpy as np
 
@@ -40,18 +44,26 @@ def bench(nx=2048, ny=512, backend="pallas", chunk_len=280, chunks=8,
     from tpulbm.config import SimulationParams, tau_for_reynolds
     from tpulbm.models import make_problem
     from tpulbm.parallel.mesh import make_mesh
-    from tpulbm.parallel.sharded_step import make_chunk_fn, shard_state
+    from tpulbm.parallel.sharded_step import (make_chunk_fn,
+                                              shard_initial_state)
 
-    # the driver metric is at Re=200 (the re200 preset's stable parameters)
-    params = SimulationParams(nx=nx, ny=ny, precision=precision,
-                              backend=backend, mesh_shape=mesh_shape,
-                              inlet_velocity=0.05,
-                              tau=tau_for_reynolds(reynolds, 0.05, ny))
+    if nz:
+        # D3Q19 sphere-in-duct at the stable stock parameters (tau=0.6)
+        params = SimulationParams(nx=nx, ny=ny, nz=nz, problem="cylinder3d",
+                                  precision=precision, backend=backend,
+                                  mesh_shape=mesh_shape,
+                                  inlet_velocity=0.05)
+    else:
+        # the driver metric is at Re=200 (the re200 preset's stable params)
+        params = SimulationParams(nx=nx, ny=ny, precision=precision,
+                                  backend=backend, mesh_shape=mesh_shape,
+                                  inlet_velocity=0.05,
+                                  tau=tau_for_reynolds(reynolds, 0.05, ny))
     problem = make_problem(params)
     n_dev = mesh_shape[0] * mesh_shape[1]
     mesh = make_mesh(mesh_shape, devices=jax.devices()[:n_dev])
     chunk = make_chunk_fn(problem, mesh, chunk_len, backend=backend)
-    f, solid = shard_state(mesh, problem.initial_state(), problem.solid)
+    f, solid = shard_initial_state(problem, mesh)
 
     def sync(arr):
         # On the remote-TPU platform block_until_ready returns immediately;
@@ -67,6 +79,7 @@ def bench(nx=2048, ny=512, backend="pallas", chunk_len=280, chunks=8,
     sync(f)
 
     steps = chunks * chunk_len
+    cells = nx * ny * (nz if nz else 1)
     best_dt = float("inf")
     for r in range(max(1, repeats)):
         t0 = time.perf_counter()
@@ -76,13 +89,18 @@ def bench(nx=2048, ny=512, backend="pallas", chunk_len=280, chunks=8,
         dt = time.perf_counter() - t0
         if verbose:
             print(f"# window {r}: {steps} steps in {dt:.3f}s "
-                  f"({nx * ny * steps / dt / 1e6:.0f} MLUPS)", file=sys.stderr)
+                  f"({cells * steps / dt / 1e6:.0f} MLUPS)", file=sys.stderr)
         best_dt = min(best_dt, dt)
 
-    assert bool(np.isfinite(np.asarray(jax.device_get(f))).all()), "unstable"
-    mlups = nx * ny * steps / best_dt / 1e6
+    # stability check as an on-device reduction — fetching the full f array
+    # costs minutes at 3-D sizes over the remote-TPU relay
+    import jax.numpy as jnp
+    finite = jax.jit(lambda a: jnp.isfinite(a).all())(f)
+    assert bool(jax.device_get(finite)), "unstable"
+    mlups = cells * steps / best_dt / 1e6
     if verbose:
-        print(f"# {backend} {nx}x{ny} {precision} mesh {mesh_shape}: best "
+        grid = f"{nx}x{ny}" + (f"x{nz}" if nz else "")
+        print(f"# {backend} {grid} {precision} mesh {mesh_shape}: best "
               f"{steps} steps in {best_dt:.3f}s → {mlups:.0f} MLUPS",
               file=sys.stderr)
     return mlups, best_dt, steps
@@ -90,31 +108,31 @@ def bench(nx=2048, ny=512, backend="pallas", chunk_len=280, chunks=8,
 
 def run_one(args, mesh_shape, nx, ny, label=None):
     backend = args.backend
+    nz = getattr(args, "nz", 0)
+    kw = dict(nx=nx, ny=ny, nz=nz, chunk_len=args.chunk_len,
+              chunks=args.chunks, precision=args.precision,
+              verbose=args.verbose, mesh_shape=mesh_shape,
+              repeats=args.repeats)
     try:
-        mlups, dt, steps = bench(nx=nx, ny=ny, backend=backend,
-                                 chunk_len=args.chunk_len, chunks=args.chunks,
-                                 precision=args.precision, verbose=args.verbose,
-                                 mesh_shape=mesh_shape, repeats=args.repeats)
+        mlups, dt, steps = bench(backend=backend, **kw)
     except Exception as e:  # pallas unavailable → honest fallback, flagged
         if backend != "jax":
             print(f"# pallas backend failed ({type(e).__name__}: {e}); "
                   f"falling back to jax", file=sys.stderr)
             backend = "jax"
-            mlups, dt, steps = bench(nx=nx, ny=ny, backend=backend,
-                                     chunk_len=args.chunk_len,
-                                     chunks=args.chunks,
-                                     precision=args.precision,
-                                     verbose=args.verbose,
-                                     mesh_shape=mesh_shape,
-                                     repeats=args.repeats)
+            mlups, dt, steps = bench(backend=backend, **kw)
         else:
             raise
 
     n_dev = mesh_shape[0] * mesh_shape[1]
     baseline = 5000.0
+    grid = f"{nx}x{ny}" + (f"x{nz}" if nz else "")
+    default_label = (f"MLUPS/chip, D3Q19 sphere {grid} {args.precision}"
+                     if nz else
+                     f"MLUPS/chip, D2Q9 cylinder {grid} "
+                     f"{args.precision} Re=200")
     rec = {
-        "metric": label or f"MLUPS/chip, D2Q9 cylinder {nx}x{ny} "
-                           f"{args.precision} Re=200",
+        "metric": label or default_label,
         "value": round(mlups / n_dev, 1),
         "unit": "MLUPS",
         "vs_baseline": round(mlups / n_dev / baseline, 4),
@@ -126,7 +144,7 @@ def run_one(args, mesh_shape, nx, ny, label=None):
     if n_dev > 1 or args.mesh or args.sweep:
         rec["mesh"] = f"{mesh_shape[0]}x{mesh_shape[1]}"
         rec["total_mlups"] = round(mlups, 1)
-        rec["grid"] = f"{nx}x{ny}"
+        rec["grid"] = grid
     print(json.dumps(rec))
 
 
@@ -135,6 +153,8 @@ def main():
     ap.add_argument("--backend", default="pallas", choices=["pallas", "jax"])
     ap.add_argument("--nx", type=int, default=2048)
     ap.add_argument("--ny", type=int, default=512)
+    ap.add_argument("--nz", type=int, default=0,
+                    help="nz > 0 benches the D3Q19 sphere-in-duct problem")
     ap.add_argument("--chunks", type=int, default=8)
     ap.add_argument("--chunk-len", type=int, default=280)
     ap.add_argument("--precision", default="f32")

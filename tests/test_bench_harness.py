@@ -44,6 +44,14 @@ def test_weak_sweep_grid_grows_with_devices():
     assert [r["grid"] for r in recs] == ["128x64", "128x128", "128x256"]
 
 
+def test_3d_mode():
+    recs = _run_bench("--nz", "16", "--nx", "64", "--ny", "32")
+    assert len(recs) == 1
+    r = recs[0]
+    assert "D3Q19" in r["metric"] and "64x32x16" in r["metric"]
+    assert r["value"] > 0
+
+
 def test_explicit_mesh():
     recs = _run_bench("--mesh", "2x2")
     assert len(recs) == 1 and recs[0]["mesh"] == "2x2"
