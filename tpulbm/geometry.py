@@ -20,7 +20,8 @@ def cylinder_mask(params: SimulationParams) -> np.ndarray:
     """
     cx, cy = params.get_cylinder_x(), params.get_cylinder_y()
     r = params.get_cylinder_radius_cells()
-    yy, xx = np.mgrid[0:params.ny, 0:params.nx]
+    # open grids: (ny,1) + (1,nx) broadcast — no full-size index temporaries
+    yy, xx = np.ogrid[0:params.ny, 0:params.nx]
     dx = xx.astype(np.float64) - cx
     dy = yy.astype(np.float64) - cy
     return (dx * dx + dy * dy) <= float(r) * float(r)
@@ -35,7 +36,9 @@ def sphere_mask(params: SimulationParams) -> np.ndarray:
     cx, cy = params.get_cylinder_x(), params.get_cylinder_y()
     cz = params.nz // 2
     r = params.get_cylinder_radius_cells()
-    zz, yy, xx = np.mgrid[0:params.nz, 0:params.ny, 0:params.nx]
+    # open grids: three 1-D axes broadcast at the final add — at 256³,
+    # np.mgrid's three full int64 index cubes took ~a minute on a slow host
+    zz, yy, xx = np.ogrid[0:params.nz, 0:params.ny, 0:params.nx]
     d2 = ((xx - cx).astype(np.float64) ** 2 + (yy - cy).astype(np.float64) ** 2
           + (zz - cz).astype(np.float64) ** 2)
     return d2 <= float(r) * float(r)

@@ -448,12 +448,50 @@ def make_super_chunk_fn(problem: Problem, mesh: Mesh, interval_len: int,
     return jax.jit(fn, donate_argnums=(0,))
 
 
+def shard_mask(mesh: Mesh, mask):
+    """Place a (…, ny, nx) mask/field with the canonical ('y','x') sharding."""
+    spec = P(*((None,) * (mask.ndim - 2) + ("y", "x")))
+    return jax.device_put(mask, NamedSharding(mesh, spec))
+
+
 def shard_state(mesh: Mesh, f, solid=None):
     """Place global arrays with the canonical ('y','x') sharding."""
     ndim = f.ndim - 1
     spec_f = P(*((None,) + (None,) * (ndim - 2) + ("y", "x")))
-    spec_m = P(*((None,) * (ndim - 2) + ("y", "x")))
     f = jax.device_put(f, NamedSharding(mesh, spec_f))
     if solid is not None:
-        solid = jax.device_put(solid, NamedSharding(mesh, spec_m))
+        solid = shard_mask(mesh, solid)
+    return f, solid
+
+
+def shard_initial_state(problem: Problem, mesh: Mesh):
+    """Sharded (f, solid) with f BUILT ON DEVICE — numerically identical to
+    shard_state(mesh, problem.initial_state(), problem.solid), but only the
+    Q-free solid mask crosses host→device. The Q-sized f (1.3 GB at 256³)
+    is a broadcast + select the TPU materializes directly into each shard;
+    over a slow host link this turns minutes of transfer into milliseconds.
+    """
+    from .. import physics
+
+    ndim = len(problem.spatial_shape)
+    spec_f = P(*((None,) + (None,) * (ndim - 2) + ("y", "x")))
+    feq = problem.ghost_ring_values()                       # (Q,) host
+    shape = (problem.lattice.Q,) + problem.spatial_shape
+    bshape = (problem.lattice.Q,) + (1,) * ndim
+
+    solid = None
+    if problem.solid is not None:
+        solid = shard_mask(mesh, problem.solid)
+        rest = physics.rest_equilibrium(problem.lattice, problem.dtype)
+
+        def build(s):
+            f = jnp.broadcast_to(jnp.asarray(feq).reshape(bshape), shape)
+            return jnp.where(s[None], jnp.asarray(rest).reshape(bshape), f)
+
+        f = jax.jit(build, out_shardings=NamedSharding(mesh, spec_f))(solid)
+    else:
+        def build():
+            return jnp.broadcast_to(jnp.asarray(feq).reshape(bshape), shape)
+
+        f = jax.jit(build, out_shardings=NamedSharding(mesh, spec_f))()
     return f, solid

@@ -31,6 +31,7 @@ from .ops import diagnostics, forces as forces_mod
 from .parallel import multihost
 from .parallel.mesh import make_mesh
 from .parallel.sharded_step import (make_chunk_fn, make_super_chunk_fn,
+                                    shard_initial_state, shard_mask,
                                     shard_state)
 
 # output intervals batched per host round trip when no VTK is needed
@@ -183,12 +184,17 @@ class Runner:
                             (problem.lattice.Q,) + problem.spatial_shape,
                             problem.dtype)
                     f0 = np.asarray(multihost_utils.broadcast_one_to_all(f0))
-        if f0 is None:
-            f0 = problem.initial_state()
-
         solid = problem.solid if problem.solid is not None else \
             np.zeros(problem.spatial_shape, bool)
-        f, solid_dev = shard_state(self.mesh, f0, solid)
+        if f0 is None:
+            # fresh start: build f on device (only the Q-free solid mask is
+            # transferred — the Q-sized f costs minutes over a slow host
+            # link at 3-D sizes)
+            f, solid_dev = shard_initial_state(problem, self.mesh)
+            if solid_dev is None:  # solid-free problem: keep a zeros mask
+                solid_dev = shard_mask(self.mesh, solid)
+        else:
+            f, solid_dev = shard_state(self.mesh, f0, solid)
 
         force_writer = None
         forces_path = None
