@@ -129,6 +129,16 @@ def test_3d_tiled_pallas_matches_jax():
     np.testing.assert_allclose(got, ref, rtol=5e-6, atol=1e-7)
 
 
+def test_3d_tiled_pallas_3step_blocking():
+    # N=3 temporal blocking (the preferred depth when chunk_len divides):
+    # 6 steps per chunk = two 3-step cascades, vs the jax oracle
+    params = _params(precision="f32")
+    ref = _run3d(params, (1, 1), "jax", chunk_len=6)
+    got = _run3d(params, (1, 1), "pallas", chunk_len=6,
+                 env={"TPULBM_SUBSTEPS": "3", "TPULBM_FORCE_TILED": "1"})
+    np.testing.assert_allclose(got, ref, rtol=5e-6, atol=1e-7)
+
+
 def test_3d_tiled_pallas_y_sharded():
     # y-sharded 3-D pallas: halo rows ride ppermute (ring_rows_3d)
     params = _params(ny=32, precision="f32")

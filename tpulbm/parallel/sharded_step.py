@@ -54,15 +54,16 @@ def make_chunk_fn(problem: Problem, mesh: Mesh, chunk_len: int,
         # buffers (x_halo mode — the 2-D x-tiled design one dimension up)
         x_sharded3d = mesh_shape[1] != 1
         try:
-            # 2-step temporal blocking halves the HBM traffic of this
-            # DMA-bound kernel (measured +22-40%); deeper N shrinks Ty
-            # until the y-overlap waste (Wy/Ty) eats the gain, and past
-            # waste 1.5 the kernel goes VPU-bound — so N=2 with a
-            # Ty >= 4H guard is the sweet spot on v5e. TPULBM_SUBSTEPS
+            # Temporal blocking cuts the HBM traffic of this DMA-bound
+            # kernel by ~1/N; deeper N shrinks Ty until the y-overlap
+            # waste (Wy/Ty) eats the gain and the kernel goes VPU-bound.
+            # Measured at 256³ on v5e: N=2 2,361 / N=3 2,452 / N=4 1,596
+            # MLUPS — so prefer N=3 when the chunk length divides, N=2
+            # otherwise, both under a Ty >= 4H guard. TPULBM_SUBSTEPS
             # forces a depth, TPULBM_NO_FUSED2 disables blocking.
             if not os.environ.get("TPULBM_NO_FUSED2"):
                 forced = os.environ.get("TPULBM_SUBSTEPS")
-                cands = [int(forced)] if forced else [2]
+                cands = [int(forced)] if forced else [3, 2]
                 for n_sub in cands:
                     if n_sub == 1 or chunk_len % n_sub:
                         continue
