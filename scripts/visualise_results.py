@@ -22,16 +22,74 @@ def load_field(path: str, ny: int, nx: int) -> dict:
     return {name: data[name].reshape(ny, nx) for name in data.dtype.names}
 
 
+def load_field_3d(path: str, axis: str, index: int | None):
+    """Mid-plane (or given-index) slice of a 3-D run's fields3d.npz as the
+    2-D field dict the panels expect, plus (params, slice_label).
+
+    axis 'z' → (ny, nx) slice of (ux, uy); 'y' → (nz, nx) of (ux, uz);
+    'x' → (nz, ny) of (uy, uz). In-plane coordinates keep lattice units.
+    """
+    import json
+
+    with np.load(path) as d:
+        params = json.loads(bytes(d["params"]).decode()) if "params" in d \
+            else {}
+        ax_i = {"z": 0, "y": 1, "x": 2}[axis]
+        n_ax = d["rho"].shape[ax_i]
+        k = n_ax // 2 if index is None else index
+        sel = tuple(k if i == ax_i else slice(None) for i in range(3))
+        rho = d["rho"][sel]
+        u_in_plane = {
+            "z": ("ux", "uy"), "y": ("ux", "uz"), "x": ("uy", "uz"),
+        }[axis]
+        u1 = d[u_in_plane[0]][sel]
+        u2 = d[u_in_plane[1]][sel]
+    n2, n1 = rho.shape
+    yy, xx = np.mgrid[0:n2, 0:n1].astype(float)
+    mag = np.sqrt(u1 * u1 + u2 * u2)
+    field = {"x": xx, "y": yy, "ux": u1, "uy": u2,
+             "velocity_magnitude": mag, "rho": rho}
+    return field, params, f"{axis}={k}"
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--dir", default=".", help="directory with the CSVs")
     ap.add_argument("--out", default=None, help="output PNG path")
+    ap.add_argument("--slice", choices=["z", "y", "x"], default="z",
+                    help="slicing axis for 3-D runs (fields3d.npz)")
+    ap.add_argument("--slice-index", type=int, default=None,
+                    help="slice position for 3-D runs (default: mid-plane)")
     args = ap.parse_args()
 
+    slice_label = None
+    npz = os.path.join(args.dir, "fields3d.npz")
     try:
-        params = read_params_csv(os.path.join(args.dir, "simulation_params.csv"))
-        nx, ny = int(params["nx"]), int(params["ny"])
-        field = load_field(os.path.join(args.dir, "velocity_field.csv"), ny, nx)
+        if os.path.exists(npz):
+            field, p3, slice_label = load_field_3d(npz, args.slice,
+                                                   args.slice_index)
+            ny, nx = field["rho"].shape
+            # overlay circle: the slicing plane's cut through the sphere
+            nx3, ny3, nz3 = (int(p3.get(k, 0)) for k in ("nx", "ny", "nz"))
+            cx = int(p3.get("cylinder_x", 0.2) * nx3)
+            cy = int(p3.get("cylinder_y", 0.5) * ny3)
+            cz = nz3 // 2
+            r = int(p3.get("cylinder_radius", 0.05) * ny3)
+            centers = {"z": ((cx, cy), cz), "y": ((cx, cz), cy),
+                       "x": ((cy, cz), cx)}[args.slice]
+            k = {"z": nz3, "y": ny3, "x": nx3}[args.slice] // 2 \
+                if args.slice_index is None else args.slice_index
+            d2 = r * r - (k - centers[1]) ** 2
+            params = {"nx": nx, "ny": ny,
+                      "cylinder_x": centers[0][0], "cylinder_y": centers[0][1],
+                      "cylinder_radius": int(np.sqrt(d2)) if d2 > 0 else 0,
+                      "reynolds_number": float("nan")}
+        else:
+            params = read_params_csv(os.path.join(args.dir,
+                                                  "simulation_params.csv"))
+            nx, ny = int(params["nx"]), int(params["ny"])
+            field = load_field(os.path.join(args.dir, "velocity_field.csv"),
+                               ny, nx)
     except OSError as e:
         print(f"Error loading data: {e}. Run the solver first.", file=sys.stderr)
         return 1
@@ -56,8 +114,9 @@ def main() -> int:
             ax.add_artist(plt.Circle(cyl[:2], cyl[2], color="black", zorder=10))
 
     fig, axes = plt.subplots(2, 2, figsize=(18, 10))
-    fig.suptitle(f"LBM Cylinder Flow Analysis (Re ≈ {re:.1f})",
-                 fontsize=20, fontweight="bold")
+    title = (f"LBM Sphere Flow Analysis (slice {slice_label})" if slice_label
+             else f"LBM Cylinder Flow Analysis (Re ≈ {re:.1f})")
+    fig.suptitle(title, fontsize=20, fontweight="bold")
 
     ax = axes[0, 0]
     cf = ax.contourf(x, y, mag, levels=100, cmap="viridis")

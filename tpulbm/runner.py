@@ -394,7 +394,8 @@ class Runner:
                       "forces.csv")
         else:
             np.savez(os.path.join(p.output_dir, "fields3d.npz"),
-                     rho=rho, ux=u[0], uy=u[1], uz=u[2])
+                     rho=rho, ux=u[0], uy=u[1], uz=u[2],
+                     params=np.frombuffer(p.to_json().encode(), np.uint8))
             if p.enable_vtk:
                 # final ParaView-loadable STRUCTURED_POINTS frame (nz > 1)
                 io_mod.write_vtk_timestep(u[0], u[1], rho, p,
