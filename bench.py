@@ -182,20 +182,20 @@ def main():
         while d <= n_avail:
             counts.append(d)
             d *= 2
+        lattice = "D3Q19" if args.nz else "D2Q9"
         for n in counts:
             mesh_shape = (n, 1)
             if args.sweep == "weak":
                 nx, ny = args.nx, args.ny * n
-                label = (f"weak scaling {n} dev, D2Q9 {nx}x{ny} "
-                         f"{args.precision}")
             else:
                 nx, ny = args.nx, args.ny
                 if ny % n:
                     print(f"# skipping n={n}: ny={ny} not divisible",
                           file=sys.stderr)
                     continue
-                label = (f"strong scaling {n} dev, D2Q9 {nx}x{ny} "
-                         f"{args.precision}")
+            grid = f"{nx}x{ny}" + (f"x{args.nz}" if args.nz else "")
+            label = (f"{args.sweep} scaling {n} dev, {lattice} {grid} "
+                     f"{args.precision}")
             run_one(args, mesh_shape, nx, ny, label=label)
         return
 

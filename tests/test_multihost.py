@@ -20,6 +20,7 @@ import sys
 import textwrap
 
 import numpy as np
+import pytest
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
@@ -123,6 +124,19 @@ def test_two_process_run_rank0_artifacts_and_resume(tmp_path):
 
     step, f = ckpt.load(ckpt.latest(os.path.join(out0, "checkpoints")))
     assert step == 80 and np.isfinite(f).all()
+
+
+def test_corrupt_checkpoint_fails_cleanly_on_all_processes(tmp_path):
+    # a bad checkpoint on process 0 must raise EVERYWHERE (the (step,
+    # failed) broadcast), not wedge peers inside broadcast_one_to_all
+    out0, out1 = str(tmp_path / "c0"), str(tmp_path / "c1")
+    _run_procs((out0, out1), 40, resume=False)
+    from tpulbm.utils import checkpoint as ckpt
+    latest = ckpt.latest(os.path.join(out0, "checkpoints"))
+    with open(latest, "wb") as fh:
+        fh.write(b"not an npz")
+    with pytest.raises(AssertionError, match="failed"):
+        _run_procs((out0, out1), 80, resume=True, timeout=420)
 
 
 def test_four_process_2d_mesh_pallas(tmp_path):

@@ -136,6 +136,10 @@ def make_local_step_pallas3d(problem: Problem,
         raise ValueError("pallas3d requires a 3-D lattice")
     if problem.dtype != np.float32:
         raise ValueError("pallas backend is f32; use backend='jax' for f64")
+    if problem.periodic_x:
+        raise ValueError("the 3-D pallas kernels pin the physical x edges "
+                         "every substep (non-periodic duct flow); "
+                         "periodic_x needs backend='jax'")
     nz, ny, nx = local_shape
     Q = lat.Q
     if interpret is None:
@@ -438,6 +442,10 @@ def make_local_step_pallas3d_tiled(problem: Problem,
         raise ValueError("pallas3d requires a 3-D lattice")
     if problem.dtype != np.float32:
         raise ValueError("pallas backend is f32; use backend='jax' for 3-D f64")
+    if problem.periodic_x:
+        raise ValueError("the 3-D pallas kernels pin the physical x edges "
+                         "every substep (non-periodic duct flow); "
+                         "periodic_x needs backend='jax'")
     nz, nyl, nx = local_shape
     Q = lat.Q
     if interpret is None:

@@ -145,27 +145,35 @@ def refresh_ring(fpad, **kw):
     return (refresh_ring_3d if fpad.ndim == 4 else refresh_ring_2d)(fpad, **kw)
 
 
+def _eq_block(eq_ring, dtype, shape):
+    """(Q,) frozen ghost equilibrium broadcast to `shape` (rank-generic)."""
+    eq = jnp.asarray(eq_ring, dtype)
+    return jnp.broadcast_to(eq.reshape((shape[0],) + (1,) * (len(shape) - 1)),
+                            shape)
+
+
 def ring_rows(f: jnp.ndarray, *, eq_ring: np.ndarray,
               mesh_shape: tuple[int, int], depth: int = 1,
               axis_names: tuple[str, str] = ("y", "x")
               ) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """y-halo rows for the unpadded-state (pallas) path: (rb, rt) each
-    (Q, depth, nxl) — the rows below the local block (neighbor-below's last
-    `depth` rows) and above (neighbor-above's first `depth` rows); frozen
-    ghost equilibrium at physical y edges. depth=2 feeds the fused two-step
-    kernel. mesh_x must be 1 (the pallas backend shards y only; x-direction
-    halos are lane rolls inside the kernel)."""
+    """y-halo rows for the unpadded-state (pallas) path: (rb, rt), each
+    (Q, ..., depth, nx) — the neighbor shard's edge rows (at every z plane
+    in 3-D); frozen ghost equilibrium at physical y edges. Rank-generic
+    over (Q, nyl, nxl) and (Q, nz, nyl, nxl): rows/columns are always the
+    last two axes. depth=2 feeds the fused two-step 2-D kernel; the 3-D
+    kernels use the sublane-aligned halo height (8). mesh_x must be 1
+    (full-width kernels do x pulls as lane rolls; x-sharded meshes use
+    ring_cols + ring_rows_ext instead)."""
     my, mx = mesh_shape
     if mx != 1:
         raise ValueError("ring_rows requires mesh_x == 1")
     ay = axis_names[0]
-    Q, nyl, nxl = f.shape
-    eq_rows = jnp.broadcast_to(
-        jnp.asarray(eq_ring, f.dtype)[:, None, None], (Q, depth, nxl))
+    nyl = f.shape[-2]
+    eq_rows = _eq_block(eq_ring, f.dtype, f.shape[:-2] + (depth, f.shape[-1]))
     if my == 1:
         return eq_rows, eq_rows
-    top_edge = f[:, nyl - depth:nyl, :]
-    bottom_edge = f[:, 0:depth, :]
+    top_edge = f[..., nyl - depth:nyl, :]
+    bottom_edge = f[..., 0:depth, :]
     from_below = lax.ppermute(top_edge, ay, _perm_fwd(my, False))
     from_above = lax.ppermute(bottom_edge, ay, _perm_bwd(my, False))
     iy = lax.axis_index(ay)
@@ -179,8 +187,9 @@ def ring_cols(f: jnp.ndarray, *, eq_ring: np.ndarray,
               periodic_x: bool,
               axis_names: tuple[str, str] = ("y", "x")
               ) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """x-halo columns for the x-tiled pallas path: (rl, rr), each
-    (Q, nyl, H) raw pre-collision populations.
+    """x-halo columns for the x-tiled pallas kernels: (rl, rr), each
+    (Q, ..., nyl, H) raw pre-collision populations (rank-generic: a leading
+    nz axis rides along untouched).
 
     Only `depth` columns are meaningful — right-aligned in rl
     (rl[..., H-depth:] = left neighbor's last columns) and left-aligned in
@@ -193,80 +202,8 @@ def ring_cols(f: jnp.ndarray, *, eq_ring: np.ndarray,
     multiples of 128."""
     my, mx = mesh_shape
     ax = axis_names[1]
-    Q, nyl, nxl = f.shape
-    eq = jnp.asarray(eq_ring, f.dtype)
-    eq_block = jnp.broadcast_to(eq[:, None, None], (Q, nyl, H))
-    if mx == 1 and not periodic_x:
-        return eq_block, eq_block
-    left_edge = f[:, :, 0:depth]
-    right_edge = f[:, :, nxl - depth:nxl]
-    if mx == 1:  # periodic single shard: wrap own edges
-        from_west, from_east = right_edge, left_edge
-    else:
-        from_west = lax.ppermute(right_edge, ax, _perm_fwd(mx, periodic_x))
-        from_east = lax.ppermute(left_edge, ax, _perm_bwd(mx, periodic_x))
-        if not periodic_x:
-            ix = lax.axis_index(ax)
-            eq_cols = jnp.broadcast_to(eq[:, None, None], (Q, nyl, depth))
-            from_west = jnp.where(ix > 0, from_west, eq_cols)
-            from_east = jnp.where(ix < mx - 1, from_east, eq_cols)
-    rl = eq_block.at[:, :, H - depth:H].set(from_west)
-    rr = eq_block.at[:, :, 0:depth].set(from_east)
-    return rl, rr
-
-
-def ring_rows_ext(f: jnp.ndarray, rl: jnp.ndarray, rr: jnp.ndarray, *,
-                  eq_ring: np.ndarray, mesh_shape: tuple[int, int],
-                  depth: int,
-                  axis_names: tuple[str, str] = ("y", "x")
-                  ) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """y-halo rows extended across the x-halo regions: (rb, rt), each
-    (Q, depth, nxl + 2H) where H = rl.shape[-1].
-
-    Two-phase composition (x columns first via ring_cols, then y rows built
-    from block+columns) fills the corner regions with diagonal-neighbor data
-    — the fix for the reference's never-exchanged corner ghosts (SURVEY §5
-    deviation #1). Physical y edges hold the frozen ghost equilibrium across
-    the full extended width."""
-    my = mesh_shape[0]
-    ay = axis_names[0]
-    Q, nyl, nxl = f.shape
-    H = rl.shape[-1]
-    eq_rows = jnp.broadcast_to(
-        jnp.asarray(eq_ring, f.dtype)[:, None, None], (Q, depth, nxl + 2 * H))
-    if my == 1:
-        return eq_rows, eq_rows
-    ext_bottom = jnp.concatenate(
-        [rl[:, 0:depth, :], f[:, 0:depth, :], rr[:, 0:depth, :]], axis=2)
-    ext_top = jnp.concatenate(
-        [rl[:, nyl - depth:, :], f[:, nyl - depth:, :], rr[:, nyl - depth:, :]],
-        axis=2)
-    from_below = lax.ppermute(ext_top, ay, _perm_fwd(my, False))
-    from_above = lax.ppermute(ext_bottom, ay, _perm_bwd(my, False))
-    iy = lax.axis_index(ay)
-    rb = jnp.where(iy > 0, from_below, eq_rows)
-    rt = jnp.where(iy < my - 1, from_above, eq_rows)
-    return rb, rt
-
-
-def ring_cols_3d(f: jnp.ndarray, *, eq_ring: np.ndarray,
-                 mesh_shape: tuple[int, int], depth: int, H: int,
-                 periodic_x: bool,
-                 axis_names: tuple[str, str] = ("y", "x")
-                 ) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """x-halo columns for the x-sharded 3-D pallas path: (rl, rr), each
-    (Q, nz, nyl, H) raw pre-collision populations at every z plane.
-
-    Layout mirrors ring_cols: the `depth` meaningful columns sit
-    right-aligned in rl / left-aligned in rr, the rest is frozen ghost
-    equilibrium (so collision of the stitched halo region stays finite);
-    physical x edges are all-equilibrium — the kernel's per-substep edge
-    sanitize owns those columns. H is the 128-lane-aligned halo width."""
-    my, mx = mesh_shape
-    ax = axis_names[1]
-    Q, nz, nyl, nxl = f.shape
-    eq = jnp.asarray(eq_ring, f.dtype)
-    eq_block = jnp.broadcast_to(eq[:, None, None, None], (Q, nz, nyl, H))
+    nxl = f.shape[-1]
+    eq_block = _eq_block(eq_ring, f.dtype, f.shape[:-1] + (H,))
     if mx == 1 and not periodic_x:
         return eq_block, eq_block
     left_edge = f[..., 0:depth]
@@ -278,8 +215,7 @@ def ring_cols_3d(f: jnp.ndarray, *, eq_ring: np.ndarray,
         from_east = lax.ppermute(left_edge, ax, _perm_bwd(mx, periodic_x))
         if not periodic_x:
             ix = lax.axis_index(ax)
-            eq_cols = jnp.broadcast_to(eq[:, None, None, None],
-                                       (Q, nz, nyl, depth))
+            eq_cols = _eq_block(eq_ring, f.dtype, f.shape[:-1] + (depth,))
             from_west = jnp.where(ix > 0, from_west, eq_cols)
             from_east = jnp.where(ix < mx - 1, from_east, eq_cols)
     rl = eq_block.at[..., H - depth:H].set(from_west)
@@ -287,32 +223,33 @@ def ring_cols_3d(f: jnp.ndarray, *, eq_ring: np.ndarray,
     return rl, rr
 
 
-def ring_rows_ext_3d(f: jnp.ndarray, rl: jnp.ndarray, rr: jnp.ndarray, *,
-                     eq_ring: np.ndarray, mesh_shape: tuple[int, int],
-                     depth: int,
-                     axis_names: tuple[str, str] = ("y", "x")
-                     ) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """y-halo rows extended across the x-halo regions for the x-sharded 3-D
-    pallas path: (rb, rt), each (Q, nz, depth, nxl + 2H) where H is
-    rl.shape[-1]. Two-phase composition (x columns first, then y rows built
-    from block+columns) fills the corner regions with diagonal-neighbor
-    data; physical y edges hold the frozen ghost equilibrium across the
-    full extended width."""
+def ring_rows_ext(f: jnp.ndarray, rl: jnp.ndarray, rr: jnp.ndarray, *,
+                  eq_ring: np.ndarray, mesh_shape: tuple[int, int],
+                  depth: int,
+                  axis_names: tuple[str, str] = ("y", "x")
+                  ) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """y-halo rows extended across the x-halo regions: (rb, rt), each
+    (Q, ..., depth, nxl + 2H) where H = rl.shape[-1] (rank-generic).
+
+    Two-phase composition (x columns first via ring_cols, then y rows built
+    from block+columns) fills the corner regions with diagonal-neighbor data
+    — the fix for the reference's never-exchanged corner ghosts (SURVEY §5
+    deviation #1). Physical y edges hold the frozen ghost equilibrium across
+    the full extended width."""
     my = mesh_shape[0]
     ay = axis_names[0]
-    Q, nz, nyl, nxl = f.shape
+    nyl = f.shape[-2]
     H = rl.shape[-1]
-    eq_rows = jnp.broadcast_to(
-        jnp.asarray(eq_ring, f.dtype)[:, None, None, None],
-        (Q, nz, depth, nxl + 2 * H))
+    eq_rows = _eq_block(eq_ring, f.dtype,
+                        f.shape[:-2] + (depth, f.shape[-1] + 2 * H))
     if my == 1:
         return eq_rows, eq_rows
     ext_bottom = jnp.concatenate(
-        [rl[:, :, 0:depth, :], f[:, :, 0:depth, :], rr[:, :, 0:depth, :]],
-        axis=3)
+        [rl[..., 0:depth, :], f[..., 0:depth, :], rr[..., 0:depth, :]],
+        axis=-1)
     ext_top = jnp.concatenate(
-        [rl[:, :, nyl - depth:, :], f[:, :, nyl - depth:, :],
-         rr[:, :, nyl - depth:, :]], axis=3)
+        [rl[..., nyl - depth:, :], f[..., nyl - depth:, :],
+         rr[..., nyl - depth:, :]], axis=-1)
     from_below = lax.ppermute(ext_top, ay, _perm_fwd(my, False))
     from_above = lax.ppermute(ext_bottom, ay, _perm_bwd(my, False))
     iy = lax.axis_index(ay)
@@ -321,35 +258,12 @@ def ring_rows_ext_3d(f: jnp.ndarray, rl: jnp.ndarray, rr: jnp.ndarray, *,
     return rb, rt
 
 
-def ring_rows_3d(f: jnp.ndarray, *, eq_ring: np.ndarray,
-                 mesh_shape: tuple[int, int], depth: int = 8,
-                 axis_names: tuple[str, str] = ("y", "x")
-                 ) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """y-halo rows for the y-tiled 3-D pallas path: (rb, rt), each
-    (Q, nz, depth, nx) — the neighbor shard's edge rows at every z plane;
-    frozen ghost equilibrium at physical y edges (3-D ghost semantics:
-    y/z out-of-domain pulls read the frozen initial equilibrium). depth is
-    the sublane-aligned halo height (8); only the row adjacent to the block
-    is consumed per step, the rest is fill. mesh_x must be 1 (3-D pallas
-    shards y only; x pulls are lane rolls in the kernel)."""
-    my, mx = mesh_shape
-    if mx != 1:
-        raise ValueError("ring_rows_3d requires mesh_x == 1")
-    ay = axis_names[0]
-    Q, nz, nyl, nx = f.shape
-    eq_rows = jnp.broadcast_to(
-        jnp.asarray(eq_ring, f.dtype)[:, None, None, None],
-        (Q, nz, depth, nx))
-    if my == 1:
-        return eq_rows, eq_rows
-    top_edge = f[:, :, nyl - depth:nyl, :]
-    bottom_edge = f[:, :, 0:depth, :]
-    from_below = lax.ppermute(top_edge, ay, _perm_fwd(my, False))
-    from_above = lax.ppermute(bottom_edge, ay, _perm_bwd(my, False))
-    iy = lax.axis_index(ay)
-    rb = jnp.where(iy > 0, from_below, eq_rows)
-    rt = jnp.where(iy < my - 1, from_above, eq_rows)
-    return rb, rt
+# The 3-D kernels take the same ring shapes one rank up; the implementations
+# above are rank-generic, so these are pure aliases (kept for call-site
+# clarity in sharded_step).
+ring_rows_3d = ring_rows
+ring_cols_3d = ring_cols
+ring_rows_ext_3d = ring_rows_ext
 
 
 def make_padded(f_local: jnp.ndarray, eq_ring: np.ndarray) -> jnp.ndarray:

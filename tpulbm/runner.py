@@ -167,23 +167,37 @@ class Runner:
             # 0 decides and BROADCASTS (step, state) so processes without a
             # shared filesystem stay in lockstep (divergent start steps
             # would desynchronize every subsequent collective).
+            load_err = None
             if self.primary:
                 latest = ckpt.latest(os.path.join(p.output_dir,
                                                   p.checkpoint_dir))
                 if latest is not None:
-                    start_step, f0 = ckpt.load(latest, p)
-                    if self.verbose:
+                    try:
+                        start_step, f0 = ckpt.load(latest, p)
+                    except Exception as e:  # defer: peers must hear of it
+                        load_err = f"{type(e).__name__}: {e}"
+                    if self.verbose and load_err is None:
                         print(f"  Resuming from {latest} at step {start_step}")
             if jax.process_count() > 1:
                 from jax.experimental import multihost_utils
-                start_step = int(multihost_utils.broadcast_one_to_all(
-                    np.int64(start_step)))
+                # process 0's load runs before any collective; broadcast a
+                # (step, failed) pair so a bad checkpoint raises everywhere
+                # instead of wedging peers inside broadcast_one_to_all
+                start_step, failed = (int(v) for v in
+                                      multihost_utils.broadcast_one_to_all(
+                    np.array([start_step, load_err is not None], np.int64)))
+                if failed:
+                    raise RuntimeError(
+                        "checkpoint load failed on process 0"
+                        + (f" ({load_err})" if load_err else ""))
                 if start_step > 0:
                     if f0 is None:  # non-primary: placeholder of known shape
                         f0 = np.zeros(
                             (problem.lattice.Q,) + problem.spatial_shape,
                             problem.dtype)
                     f0 = np.asarray(multihost_utils.broadcast_one_to_all(f0))
+            elif load_err is not None:
+                raise RuntimeError(f"checkpoint load failed ({load_err})")
         solid = problem.solid if problem.solid is not None else \
             np.zeros(problem.spatial_shape, bool)
         if f0 is None:
@@ -238,8 +252,12 @@ class Runner:
                     # formatting on the writer thread — no per-frame device
                     # stall (the reference serializes gather+format+write
                     # every frame, LBMSolver.h:269-362).
+                    # fields are materialized+gathered only when the window
+                    # actually contains a frame: the last frame of this
+                    # window lands at t + (K-1)*freq
                     vtk_window = (p.enable_vtk
-                                  and t + _SUPER_K * freq > p.vtk_start_step)
+                                  and t + (_SUPER_K - 1) * freq
+                                  >= p.vtk_start_step)
                     if t % freq == 0 and t + _SUPER_K * freq <= t_fields:
                         if vtk_window not in self._super:
                             self._super[vtk_window] = make_super_chunk_fn(

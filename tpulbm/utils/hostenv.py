@@ -15,16 +15,23 @@ tests/conftest.py and __graft_entry__.py):
 from __future__ import annotations
 
 import os
+import re
 
 
 def add_host_device_count_flag(n: int, env: dict | None = None) -> dict:
     """Ensure --xla_force_host_platform_device_count=n is in XLA_FLAGS.
 
-    Mutates (and returns) `env`, defaulting to os.environ. No-op if some
-    forced count is already present (e.g. set by a parent process)."""
+    Mutates (and returns) `env`, defaulting to os.environ. A count already
+    present with a DIFFERENT value (e.g. inherited from a parent shell) is
+    replaced — silently keeping it would hand the caller the wrong number
+    of devices and fail later with an opaque mesh error."""
     env = os.environ if env is None else env
     flags = env.get("XLA_FLAGS", "")
-    if "xla_force_host_platform_device_count" not in flags:
+    pat = r"--xla_force_host_platform_device_count=\d+"
+    if re.search(pat, flags):
+        env["XLA_FLAGS"] = re.sub(
+            pat, f"--xla_force_host_platform_device_count={n}", flags)
+    else:
         env["XLA_FLAGS"] = (
             flags + f" --xla_force_host_platform_device_count={n}").strip()
     return env
