@@ -115,3 +115,70 @@ def test_momentum_exchange_no_wrap_at_nonperiodic_edges():
     # west neighbor: 2*(+1)*(2-1) = 2
     np.testing.assert_allclose(force[0], 2.0, atol=1e-12)
     np.testing.assert_allclose(force[1], 0.0, atol=1e-12)
+
+
+def test_zou_he_clean_corners_enforce_no_slip():
+    # the opt-in Zou & He (1997) corner closure: after the BC chain the four
+    # wall∩inlet/outlet cells must carry u = v = 0 exactly, with the inlet
+    # corners' density matching the adjacent inlet node and the outlet
+    # corners pinned to rho_out = 1
+    from tpulbm.config import SimulationParams
+    from tpulbm.models import make_problem
+    from tpulbm.ops import boundaries
+
+    params = SimulationParams(nx=32, ny=16, tau=0.6, inlet_velocity=0.05,
+                              cylinder_radius=0.0, zou_he_corners="clean")
+    problem = make_problem(params)
+    rng = np.random.default_rng(3)
+    planes = [jnp.asarray(0.1 + 0.05 * rng.random((16, 32))) for _ in range(9)]
+    yy, xx = np.ogrid[0:16, 0:32]
+    coords = {"yy": yy, "xx": xx, "ny": 16, "nx": 32, "solid": None}
+    planes = boundaries.apply_all(problem, planes, coords)
+    f = np.stack([np.asarray(p) for p in planes])
+
+    c = problem.lattice.c
+    for (y, x) in ((0, 0), (0, 31), (15, 0), (15, 31)):
+        rho = f[:, y, x].sum()
+        ux = (c[:, 0] * f[:, y, x]).sum()
+        uy = (c[:, 1] * f[:, y, x]).sum()
+        np.testing.assert_allclose([ux, uy], 0.0, atol=1e-12)
+        if x == 31:  # outlet corners: fixed density
+            np.testing.assert_allclose(rho, 1.0, atol=1e-12)
+        else:        # inlet corners: density of the adjacent inlet node
+            yn = 1 if y == 0 else 14
+            np.testing.assert_allclose(rho, f[:, yn, 0].sum(), atol=1e-12)
+
+
+def test_clean_corners_run_is_stable_and_matches_away_from_corners():
+    # a short cylinder run with the clean-corner mode: routes to the jax
+    # tier (pallas declines), stays stable, and only corner-adjacent cells
+    # differ from the reference-corner run
+    import warnings
+
+    import jax
+
+    from tpulbm.config import SimulationParams
+    from tpulbm.models import make_problem
+    from tpulbm.parallel.mesh import make_mesh
+    from tpulbm.parallel.sharded_step import make_chunk_fn, shard_state
+
+    def run(corners):
+        params = SimulationParams(nx=64, ny=32, tau=0.6, inlet_velocity=0.05,
+                                  precision="f64", zou_he_corners=corners)
+        problem = make_problem(params)
+        mesh = make_mesh((1, 1), devices=jax.devices()[:1])
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            chunk = make_chunk_fn(problem, mesh, 4, backend="pallas")
+        f, solid = shard_state(mesh, problem.initial_state(), problem.solid)
+        f = chunk(f, solid)
+        return np.asarray(jax.device_get(f))
+
+    ref = run("reference")
+    got = run("clean")
+    assert np.isfinite(got).all()
+    # interior far from the corners is identical after 4 steps: the closure
+    # rewrites only the 4 corner cells, whose influence spreads 1 cell/step
+    interior = (slice(None), slice(8, 24), slice(8, 56))
+    np.testing.assert_allclose(got[interior], ref[interior], rtol=0, atol=0)
+    assert not np.allclose(got, ref)  # ...but the corners do change

@@ -60,6 +60,11 @@ class SimulationParams:
     output_dir: str = "."
     enable_vtk: bool = True
     vtk_format: str = "ascii"        # "ascii" (reference byte parity) | "binary" (4x smaller)
+    # Zou-He corner treatment at the 4 wall-inlet/outlet cells:
+    # "reference" composes the sequential edge updates exactly as the
+    # reference does; "clean" applies the Zou & He (1997) corner-node
+    # closure (u = v = 0, density residual split) — jax backend only
+    zou_he_corners: str = "reference"
 
     # ---- derived quantities (parity with LBMConfig.h:53-65) ----
     def nu(self) -> float:
@@ -187,6 +192,9 @@ def add_cli_args(parser: argparse.ArgumentParser) -> None:
     parser.add_argument("--output-dir", type=str, default=None)
     parser.add_argument("--checkpoint-dir", type=str, default=None)
     parser.add_argument("--no-vtk", action="store_true")
+    parser.add_argument("--zou-he-corners",
+                        choices=["reference", "clean"], default=None,
+                        help="corner-cell treatment (clean = Zou-He 1997 corner closure; jax backend)")
     parser.add_argument("--vtk-format", choices=["ascii", "binary"],
                         default=None,
                         help="legacy VTK encoding: ascii is byte-compatible "
@@ -207,7 +215,7 @@ def params_from_args(args: argparse.Namespace) -> SimulationParams:
                   "cylinder_radius", "nx", "ny", "nz", "num_timesteps",
                   "output_frequency", "vtk_start_step", "checkpoint_every",
                   "problem", "precision", "backend", "output_dir",
-                  "checkpoint_dir", "vtk_format"):
+                  "checkpoint_dir", "vtk_format", "zou_he_corners"):
         val = getattr(args, field, None)
         if val is not None:
             overrides[field] = val

@@ -39,6 +39,7 @@ class Problem:
     body_force: tuple[float, ...] = ()
     obstacle_bc: str = "equilibrium"  # see ops/step_jax.py for semantics
     collision: str = "bgk"            # "bgk" | "trt" (physics.collide_trt)
+    clean_corners: bool = False       # Zou-He corner closure (2-D; opt-in)
     trt_magic: float = 3.0 / 16.0
 
     @property

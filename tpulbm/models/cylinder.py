@@ -28,4 +28,5 @@ def make_problem(params: SimulationParams) -> Problem:
         obstacle_bc=params.obstacle_bc,
         collision=params.collision,
         trt_magic=params.trt_magic,
+        clean_corners=params.zou_he_corners == "clean",
     )

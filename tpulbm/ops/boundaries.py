@@ -98,6 +98,46 @@ def apply_zero_gradient_outlet(lat: Lattice, planes: list, outlet_mask, solid) -
         planes[i] = jnp.where(m, shifted, planes[i])
 
 
+def apply_zou_he_corners(planes: list, yy, xx, ny: int, nx: int,
+                         solid) -> None:
+    """Optional clean corner closure (Zou & He 1997 corner nodes) at the
+    four wall∩inlet/outlet cells — an opt-in alternative to the reference's
+    emergent corner chain (PARITY.md; config zou_he_corners="clean").
+
+    Each corner enforces u = v = 0: the three wall-tangential unknowns
+    bounce back, the remaining diagonal pair splits the density residual
+    equally. rho* is the adjacent inlet-column node's density at the inlet
+    corners (post-inlet-update) and the outlet's fixed rho = 1 at the
+    outlet corners. No reference analog — the reference leaves corners to
+    whatever the sequential edge updates compose to (LBMSolver.h:150-263).
+    """
+    p = planes
+    rho = sum(p)
+    # adjacent node one row into the domain on the same column
+    rho_above = jnp.roll(rho, -1, axis=-2)   # value at y+1
+    rho_below = jnp.roll(rho, 1, axis=-2)    # value at y-1
+
+    def set_corner(mask, assigns, pair, rho_star):
+        m = _not_solid(mask, solid)
+        known = sum(p[i] for i in ([0] + [src for _, src in assigns]))
+        resid = 0.5 * (rho_star - p[0]) - (known - p[0])
+        for dst, src in assigns:
+            planes[dst] = jnp.where(m, p[src], planes[dst])
+        for i in pair:
+            planes[i] = jnp.where(m, resid, planes[i])
+
+    bl = (yy == 0) & (xx == 0)
+    br = (yy == 0) & (xx == nx - 1)
+    tl = (yy == ny - 1) & (xx == 0)
+    tr = (yy == ny - 1) & (xx == nx - 1)
+    # (dst <- src) bounce-backs; the leftover diagonal pair gets the residual
+    one = jnp.asarray(1.0, rho.dtype)  # outlet corners: fixed rho_out = 1
+    set_corner(bl, [(1, 3), (2, 4), (5, 7)], (6, 8), rho_above)
+    set_corner(br, [(3, 1), (2, 4), (6, 8)], (5, 7), one)
+    set_corner(tl, [(1, 3), (4, 2), (8, 6)], (5, 7), rho_below)
+    set_corner(tr, [(3, 1), (4, 2), (7, 5)], (6, 8), one)
+
+
 def apply_obstacle(lat: Lattice, planes: list, solid, mode: str,
                    rest: np.ndarray) -> None:
     """Obstacle treatment at solid cells, applied after all edge BCs.
@@ -161,6 +201,8 @@ def apply_all(problem: Problem, planes: list, coords: dict) -> list:
         apply_zou_he_outlet(planes, xx == nx - 1, solid)
     if problem.outlet_zero_grad:
         apply_zero_gradient_outlet(lat, planes, xx == nx - 1, solid)
+    if getattr(problem, "clean_corners", False) and lat.D == 2:
+        apply_zou_he_corners(planes, yy, xx, ny, nx, solid)
     from .. import physics
     apply_obstacle(lat, planes, solid, problem.obstacle_bc,
                    physics.rest_equilibrium(lat))
