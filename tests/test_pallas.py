@@ -208,3 +208,18 @@ def test_pallasN_poiseuille_periodic(monkeypatch):
     ref = _run(problem, (1, 1), "jax", n_chunks=2, chunk_len=6)
     for k, (r, g) in enumerate(zip(ref, got)):
         np.testing.assert_allclose(g, r, rtol=5e-6, atol=1e-7)
+
+
+def test_pallas_clean_corners_matches_jax():
+    # the in-kernel Zou & He (1997) corner closure vs the jax-tier
+    # implementation (ops/boundaries.apply_zou_he_corners)
+    _compare(SimulationParams(nx=128, ny=64, tau=0.6, inlet_velocity=0.05,
+                              precision="f32", zou_he_corners="clean"))
+
+
+def test_pallas_clean_corners_sharded():
+    # corner slabs live on different shards; the closure must fire only on
+    # the shard owning each physical wall row
+    _compare(SimulationParams(nx=128, ny=64, tau=0.6, inlet_velocity=0.05,
+                              precision="f32", zou_he_corners="clean"),
+             mesh_shape=(2, 1))

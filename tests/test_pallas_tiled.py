@@ -161,3 +161,12 @@ def test_tiled_guard_bcs_solid_touching_outlet():
     assert problem.solid[:, -1].any()
     _compare(params, (1, 2), {"TPULBM_SUBSTEPS": "2"}, chunk_len=6,
              n_chunks=2)
+
+
+def test_tiled_clean_corners_2d_mesh():
+    # the in-kernel Zou & He corner closure on the x-tiled kernel over a
+    # (2,2) mesh: each corner lives on a different shard AND a different
+    # x-tile; the closure must fire only where (is_bottom/top, flt/frt)
+    # coincide
+    _compare(CYL.replace(zou_he_corners="clean"), (2, 2), {},
+             chunk_len=6, n_chunks=3)

@@ -150,9 +150,9 @@ def test_zou_he_clean_corners_enforce_no_slip():
 
 
 def test_clean_corners_run_is_stable_and_matches_away_from_corners():
-    # a short cylinder run with the clean-corner mode: routes to the jax
-    # tier (pallas declines), stays stable, and only corner-adjacent cells
-    # differ from the reference-corner run
+    # a short f64 cylinder run with the clean-corner mode (f64 routes to
+    # the jax tier): stays stable, and only corner-adjacent cells differ
+    # from the reference-corner run
     import warnings
 
     import jax

@@ -63,7 +63,7 @@ class SimulationParams:
     # Zou-He corner treatment at the 4 wall-inlet/outlet cells:
     # "reference" composes the sequential edge updates exactly as the
     # reference does; "clean" applies the Zou & He (1997) corner-node
-    # closure (u = v = 0, density residual split) — jax backend only
+    # closure (u = v = 0, density residual split) on every backend
     zou_he_corners: str = "reference"
 
     # ---- derived quantities (parity with LBMConfig.h:53-65) ----
@@ -194,7 +194,7 @@ def add_cli_args(parser: argparse.ArgumentParser) -> None:
     parser.add_argument("--no-vtk", action="store_true")
     parser.add_argument("--zou-he-corners",
                         choices=["reference", "clean"], default=None,
-                        help="corner-cell treatment (clean = Zou-He 1997 corner closure; jax backend)")
+                        help="corner-cell treatment (clean = Zou-He 1997 corner closure)")
     parser.add_argument("--vtk-format", choices=["ascii", "binary"],
                         default=None,
                         help="legacy VTK encoding: ascii is byte-compatible "

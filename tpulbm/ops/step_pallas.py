@@ -69,6 +69,7 @@ class _Cfg:
     guard_bcs: bool     # solid cells touch a BC region → strips need the mask
     slab_skip: bool     # obstacle handling may be skipped on solid-free slabs
     walls_y: bool
+    clean_corners: bool
     inlet_zou_he: bool
     outlet_zou_he: bool
     periodic_x: bool
@@ -257,6 +258,47 @@ def _apply_bcs(cfg: _Cfg, ref, slot, msl, mslot, is_bottom, is_top, fl, fr,
                     val = jnp.where(mrow(0, Ty, xc, xc + 1) < 0.5, val, pr[i])
                 ref[slot, i, :, xc:xc + 1] = val
 
+    # Optional Zou & He (1997) corner closure at the 4 wall∩inlet/outlet
+    # cells (semantics: ops/boundaries.apply_zou_he_corners) — only on the
+    # slab owning the physical wall row of a physical-x-edge shard
+    if cfg.clean_corners:
+        def _corner(row, nrow, xc, assigns, pair, use_neighbor_rho):
+            vals = [ref[slot, i, row:row + 1, xc:xc + 1] for i in range(Q)]
+            if use_neighbor_rho:   # adjacent inlet-column node's density
+                rho_star = sum(ref[slot, i, nrow:nrow + 1, xc:xc + 1]
+                               for i in range(Q))
+            else:                  # outlet corners: fixed rho_out = 1
+                rho_star = jnp.full((1, 1), 1.0, jnp.float32)
+            resid = (0.5 * (rho_star - vals[0])
+                     - sum(vals[src] for _, src in assigns))
+            new = {dst: vals[src] for dst, src in assigns}
+            for i in pair:
+                new[i] = resid
+            if cfg.has_solid and cfg.guard_bcs:  # solid corner: leave as-is
+                fluid = mrow(row, row + 1, xc, xc + 1) < 0.5
+                for i in new:
+                    new[i] = jnp.where(fluid, new[i], vals[i])
+            for i, v in new.items():
+                ref[slot, i, row:row + 1, xc:xc + 1] = v
+
+        @pl.when(jnp.logical_and(is_bottom, fl == 1))
+        def _bl():
+            _corner(0, 1, xl, [(1, 3), (2, 4), (5, 7)], (6, 8), True)
+
+        @pl.when(jnp.logical_and(is_bottom, fr == 1))
+        def _br():
+            _corner(0, 1, xr, [(3, 1), (2, 4), (6, 8)], (5, 7), False)
+
+        @pl.when(jnp.logical_and(is_top, fl == 1))
+        def _tl():
+            _corner(Ty - 1, Ty - 2, xl, [(1, 3), (4, 2), (8, 6)], (5, 7),
+                    True)
+
+        @pl.when(jnp.logical_and(is_top, fr == 1))
+        def _tr():
+            _corner(Ty - 1, Ty - 2, xr, [(3, 1), (4, 2), (7, 5)], (6, 8),
+                    False)
+
     # obstacle (semantics: ops/boundaries.apply_obstacle); skipped entirely
     # on slabs the (static) solid mask does not touch
     if cfg.has_solid:
@@ -376,6 +418,7 @@ def _physics_cfg_fields(problem: Problem) -> dict:
         src=src, has_solid=has_solid,
         bounce_back=bounce_back,
         guard_bcs=guard_bcs, slab_skip=slab_skip,
+        clean_corners=bool(getattr(problem, 'clean_corners', False)),
         walls_y=problem.walls_y,
         inlet_zou_he=problem.inlet_zou_he,
         outlet_zou_he=problem.outlet_zou_he,

@@ -111,11 +111,6 @@ def make_chunk_fn(problem: Problem, mesh: Mesh, chunk_len: int,
             # (on real TPUs) a 128-lane-aligned local width
             from ..ops.step_pallas import _physics_cfg_fields
             _physics_cfg_fields(problem)  # raises for D≠2 / f64
-            if getattr(problem, "clean_corners", False):
-                raise ValueError(
-                    "zou_he_corners='clean' is a validation-grade mode "
-                    "served by the jax tier (the in-kernel BC strips "
-                    "implement the reference corner chain)")
             if (jax.default_backend() != "cpu"
                     and local_shape[-1] % 128 != 0):
                 raise ValueError(
