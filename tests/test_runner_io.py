@@ -244,3 +244,27 @@ def test_super_chunk_path_matches_interval_path(tmp_path):
         ba = open(tmp_path / "super" / "vtk_output" / name, "rb").read()
         bb = open(tmp_path / "plain" / "vtk_output" / name, "rb").read()
         assert ba == bb, name
+
+
+def test_binary_vtk_3d_frame(tmp_path):
+    # nz > 1 binary frame: same legacy sections, big-endian doubles, uz in
+    # the vector block (ascii 3-D parity is covered by the writer itself)
+    rng = np.random.default_rng(5)
+    nz, ny, nx = 4, 6, 8
+    ux, uy, uz = (rng.standard_normal((nz, ny, nx)) * 0.1 for _ in range(3))
+    rho = 1.0 + rng.standard_normal((nz, ny, nx)) * 0.01
+    params = SimulationParams(nx=nx, ny=ny, nz=nz, problem="cylinder3d")
+
+    io_mod.write_vtk_timestep(ux, uy, rho, params, 7, str(tmp_path),
+                              uz=uz, fmt="binary")
+    raw = open(tmp_path / "vtk_output" / "lbm_000007.vtk", "rb").read()
+    head, _, body = raw.partition(b"VECTORS velocity double\n")
+    assert f"DIMENSIONS {nx} {ny} {nz}".encode() in head
+    n = nx * ny * nz
+    vec = np.frombuffer(body[:n * 3 * 8], dtype=">f8").reshape(n, 3)
+    np.testing.assert_array_equal(vec[:, 0], ux.ravel())
+    np.testing.assert_array_equal(vec[:, 2], uz.ravel())
+    _, _, rest = body[n * 3 * 8:].partition(b"LOOKUP_TABLE default\n")
+    mag = np.frombuffer(rest[:n * 8], dtype=">f8")
+    np.testing.assert_allclose(
+        mag, np.sqrt(ux * ux + uy * uy + uz * uz).ravel(), rtol=0, atol=0)
