@@ -60,12 +60,20 @@ def main() -> int:
                     help="slicing axis for 3-D runs (fields3d.npz)")
     ap.add_argument("--slice-index", type=int, default=None,
                     help="slice position for 3-D runs (default: mid-plane)")
+    ap.add_argument("--force-2d", action="store_true",
+                    help="ignore fields3d.npz even if present")
     args = ap.parse_args()
 
     slice_label = None
     npz = os.path.join(args.dir, "fields3d.npz")
+    csv = os.path.join(args.dir, "velocity_field.csv")
+    # A directory reused for a later 2-D run still holds the old 3-D npz;
+    # prefer whichever artifact is newer so stale data never wins silently.
+    use_3d = (not args.force_2d and os.path.exists(npz)
+              and (not os.path.exists(csv)
+                   or os.path.getmtime(npz) >= os.path.getmtime(csv)))
     try:
-        if os.path.exists(npz):
+        if use_3d:
             field, p3, slice_label = load_field_3d(npz, args.slice,
                                                    args.slice_index)
             ny, nx = field["rho"].shape

@@ -139,6 +139,25 @@ def test_3d_tiled_pallas_3step_blocking():
     np.testing.assert_allclose(got, ref, rtol=5e-6, atol=1e-7)
 
 
+def test_3d_tiled_pallas_mixed_depth_blocking():
+    # chunk_len=7 has no single blocking depth; the cadence-aware plan runs
+    # a depth-3 segment (1 iter) + a depth-2 tail (2 iters) — vs the oracle
+    params = _params(precision="f32")
+    ref = _run3d(params, (1, 1), "jax", chunk_len=7)
+    got = _run3d(params, (1, 1), "pallas", chunk_len=7,
+                 env={"TPULBM_FORCE_TILED": "1"})
+    np.testing.assert_allclose(got, ref, rtol=5e-6, atol=1e-7)
+
+
+def test_3d_tiled_pallas_mixed_depth_sharded():
+    # mixed plan [(3,1),(2,1)] on a (2,2) mesh: per-segment halo rings with
+    # different depths, x-halo columns + extended corner rows
+    params = _params(ny=32, precision="f32")
+    ref = _run3d(params, (1, 1), "jax", chunk_len=5, n_chunks=2)
+    got = _run3d(params, (2, 2), "pallas", chunk_len=5, n_chunks=2)
+    np.testing.assert_allclose(got, ref, rtol=5e-6, atol=1e-7)
+
+
 def test_3d_tiled_pallas_y_sharded():
     # y-sharded 3-D pallas: halo rows ride ppermute (ring_rows_3d)
     params = _params(ny=32, precision="f32")

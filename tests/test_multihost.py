@@ -9,9 +9,11 @@ byte-identical to the same run executed in one process (the two-phase halo
 exchange is exact, so sharded == single in f64).
 
 Each process gets its OWN output directory — simulating hosts without a
-shared filesystem — which also exercises the resume path: only process 0
-has checkpoints on disk, so it must broadcast (step, state) or the
-processes would desynchronize their collectives.
+shared filesystem — which also exercises the per-shard checkpoint path:
+every process persists only its addressable shards plus a manifest, and on
+resume process 0 broadcasts only (step, kind) while each process restores
+its own shards locally (a divergent decision would desynchronize every
+subsequent collective).
 """
 import os
 import socket
@@ -89,16 +91,23 @@ def _run_procs(outdirs, steps, resume, mesh=(2, 1), backend="jax",
 def test_two_process_run_rank0_artifacts_and_resume(tmp_path):
     out0, out1 = str(tmp_path / "mh0"), str(tmp_path / "mh1")
 
-    # phase A: fresh 40-step run; only process 0's dir receives artifacts
+    # phase A: fresh 40-step run; only process 0's dir receives result
+    # artifacts, but checkpoints are PER-SHARD: each process persists its
+    # own addressable shards + a (derivable, identical) manifest — the
+    # global f is never materialized on any host
     _run_procs((out0, out1), 40, resume=False)
     assert os.path.exists(os.path.join(out0, "forces.csv"))
     assert not os.path.exists(os.path.join(out1, "forces.csv"))
     from tpulbm.utils import checkpoint as ckpt
-    assert ckpt.latest(os.path.join(out0, "checkpoints")) is not None
-    assert ckpt.latest(os.path.join(out1, "checkpoints")) is None
+    l0 = ckpt.latest(os.path.join(out0, "checkpoints"))
+    l1 = ckpt.latest(os.path.join(out1, "checkpoints"))
+    assert l0 is not None and os.path.isdir(l0)
+    assert l1 is not None and os.path.isdir(l1)
+    assert sorted(os.listdir(l0)) == ["manifest.json", "proc_00000.npz"]
+    assert sorted(os.listdir(l1)) == ["manifest.json", "proc_00001.npz"]
 
-    # phase B: resume to 80 steps; process 1 has NO checkpoint on disk, so
-    # process 0 must broadcast (step, state) or the collectives desync
+    # phase B: resume to 80 steps; each process restores its own shards
+    # from its own filesystem (process 0 broadcasts only (step, kind))
     _run_procs((out0, out1), 80, resume=True)
 
     # single-process reference on a (2,1) virtual mesh, uninterrupted
@@ -122,8 +131,22 @@ def test_two_process_run_rank0_artifacts_and_resume(tmp_path):
         ref = open(os.path.join(ref_dir, name), "rb").read()
         assert got == ref, f"{name} differs between 2-process and 1-process"
 
-    step, f = ckpt.load(ckpt.latest(os.path.join(out0, "checkpoints")))
-    assert step == 80 and np.isfinite(f).all()
+    # the final checkpoints: manifest step == 80, the two processes' shard
+    # files jointly cover the manifest's key→file map, and every shard is
+    # finite
+    import json
+    covered = set()
+    for out, proc in ((out0, "proc_00000.npz"), (out1, "proc_00001.npz")):
+        latest = ckpt.latest(os.path.join(out, "checkpoints"))
+        with open(os.path.join(latest, "manifest.json")) as fh:
+            manifest = json.load(fh)
+        assert manifest["step"] == 80
+        with np.load(os.path.join(latest, proc)) as d:
+            for key in d.files:
+                assert manifest["files"][key] == proc
+                assert np.isfinite(d[key]).all()
+                covered.add(key)
+    assert covered == set(manifest["files"])
 
 
 def test_corrupt_checkpoint_fails_cleanly_on_all_processes(tmp_path):
@@ -133,8 +156,8 @@ def test_corrupt_checkpoint_fails_cleanly_on_all_processes(tmp_path):
     _run_procs((out0, out1), 40, resume=False)
     from tpulbm.utils import checkpoint as ckpt
     latest = ckpt.latest(os.path.join(out0, "checkpoints"))
-    with open(latest, "wb") as fh:
-        fh.write(b"not an npz")
+    with open(os.path.join(latest, "manifest.json"), "w") as fh:
+        fh.write("not a manifest")
     with pytest.raises(AssertionError, match="failed"):
         _run_procs((out0, out1), 80, resume=True, timeout=420)
 

@@ -21,10 +21,11 @@ from tpulbm.runner import Runner
 
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 DRIVER = os.path.join(ROOT, "validation", "build", "ref_driver")
+DUMP_F = os.path.join(ROOT, "validation", "build", "ref_dump_f")
 
 
-def _ensure_driver():
-    if os.path.exists(DRIVER):
+def _ensure_driver(path=DRIVER):
+    if os.path.exists(path):
         return True
     build = os.path.join(ROOT, "validation", "build.sh")
     try:
@@ -32,7 +33,7 @@ def _ensure_driver():
                        timeout=300)
     except Exception:
         return False
-    return os.path.exists(DRIVER)
+    return os.path.exists(path)
 
 
 @pytest.mark.slow
@@ -78,3 +79,44 @@ def test_matches_compiled_reference(tmp_path):
     for col in ("ux", "uy", "rho"):
         np.testing.assert_allclose(our_v[col], ref_v[col], rtol=1e-7,
                                    atol=2e-8, err_msg=col)
+
+
+def test_raw_f_state_matches_compiled_reference(tmp_path):
+    """PARITY.md's strongest claim, as a gate: the raw post-BC f populations
+    match the -ffast-math f64 binary (validation/ref_dump_f.cpp) to ~1e-15
+    after 60 full steps of the complete pipeline (collision → streaming →
+    walls → Zou-He inlet/outlet → obstacle; reference LBMSolver.h:48-76)."""
+    if not _ensure_driver(DUMP_F):
+        pytest.skip("ref_dump_f could not be built (no g++ / headers)")
+
+    tau, u, nx, ny, steps = 0.6, 0.05, 256, 64, 60
+    out_bin = tmp_path / "ref_f.bin"
+    r = subprocess.run([DUMP_F, str(tau), str(u), str(nx), str(ny),
+                        str(steps), str(out_bin)],
+                       cwd=tmp_path, capture_output=True, text=True,
+                       timeout=600)
+    assert "OK" in r.stdout, r.stdout + r.stderr
+    ref_f = np.fromfile(out_bin, dtype=np.float64).reshape(9, ny, nx)
+
+    import jax
+    from tpulbm.models import make_problem
+    from tpulbm.ops.step_jax import make_step_rolled
+
+    params = SimulationParams(nx=nx, ny=ny, tau=tau, inlet_velocity=u,
+                              num_timesteps=steps, precision="f64",
+                              backend="jax")
+    problem = make_problem(params)
+    step = jax.jit(make_step_rolled(problem))
+    f = np.asarray(problem.initial_state())
+    fj = f
+    for _ in range(steps):
+        fj = step(fj)
+    our_f = np.asarray(fj)
+
+    # Solid cells: the reference's stored populations there are dynamically
+    # dead (collision skips solids, LBMSolver.h:91) while ours hold rest
+    # equilibrium by construction — compare fluid cells only (same
+    # documented deviation as the NumPy oracle test).
+    fluid = ~problem.solid
+    err = np.abs(our_f[:, fluid] - ref_f[:, fluid]).max()
+    assert err < 5e-15, f"max |Δf| over fluid cells after {steps} steps: {err}"

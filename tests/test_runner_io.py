@@ -147,6 +147,49 @@ def test_checkpoint_resume_reproduces_run(tmp_path):
     assert steps == ["0", "20", "40", "60"]
 
 
+def test_checkpoint_sharded_resume_on_mesh(tmp_path):
+    # multi-device runs write per-shard checkpoint directories (one .npz of
+    # addressable shards per process + manifest.json) and resume by
+    # device_put-ing each shard straight back — the global f is never
+    # materialized on the host (VERDICT r2 #4)
+    mesh_shape = (2, 4)
+    p_full = tiny_params(tmp_path / "full", num_timesteps=80,
+                         enable_vtk=False, precision="f64",
+                         mesh_shape=mesh_shape)
+    Runner(p_full, verbose=False).run()
+    full_vf = open(tmp_path / "full" / "velocity_field.csv").read()
+
+    p_half = tiny_params(tmp_path / "resumed", num_timesteps=40,
+                         enable_vtk=False, precision="f64",
+                         checkpoint_every=1, mesh_shape=mesh_shape)
+    Runner(p_half, verbose=False).run()
+    latest = ckpt.latest(str(tmp_path / "resumed" / "checkpoints"))
+    assert latest is not None and os.path.isdir(latest)
+    assert os.path.exists(os.path.join(latest, "manifest.json"))
+    assert os.path.exists(os.path.join(latest, "proc_00000.npz"))
+    # 8 shards recorded, all in this single process's file
+    import json
+    with open(os.path.join(latest, "manifest.json")) as fh:
+        manifest = json.load(fh)
+    assert len(manifest["files"]) == 8
+    with np.load(os.path.join(latest, "proc_00000.npz")) as d:
+        assert len(d.files) == 8
+        assert d[d.files[0]].shape == (9, 32 // 2, 64 // 4)
+
+    result = Runner(p_half.replace(num_timesteps=80),
+                    verbose=False).run(resume=True)
+    assert result.final_step == 80
+    assert open(tmp_path / "resumed" / "velocity_field.csv").read() == full_vf
+
+    # an incompatible restore mesh is rejected with a clear error (re-query
+    # latest: the resumed run's saves pruned the step-40 checkpoint)
+    from tpulbm.parallel.mesh import make_mesh
+    from jax.sharding import PartitionSpec as P
+    latest = ckpt.latest(str(tmp_path / "resumed" / "checkpoints"))
+    with pytest.raises(ValueError, match="incompatible mesh"):
+        ckpt.load_sharded(latest, make_mesh((8, 1)), P(None, "y", "x"))
+
+
 def test_checkpoint_rejects_mismatched_params(tmp_path):
     p = tiny_params(tmp_path, checkpoint_every=1, enable_vtk=False)
     Runner(p, verbose=False).run()

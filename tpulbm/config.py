@@ -232,4 +232,19 @@ def params_from_args(args: argparse.Namespace) -> SimulationParams:
     if args.mesh and args.mesh != "auto":
         my, mx = args.mesh.lower().split("x")
         params = params.replace(mesh_shape=(int(my), int(mx)))
+    validate_params(params)
     return params
+
+
+def validate_params(params: SimulationParams) -> None:
+    """Reject option combinations that would silently no-op.
+
+    The Zou-He corner closure is only implemented for the 2-D cylinder
+    problem (models/cylinder.py wires it into Problem.clean_corners;
+    boundaries.apply_all additionally gates on lattice D == 2) — accepting
+    the explicit opt-in for poiseuille/cylinder3d and doing nothing would
+    be a silent lie."""
+    if params.zou_he_corners == "clean" and params.problem != "cylinder":
+        raise ValueError(
+            f"--zou-he-corners clean is only implemented for the 2-D "
+            f"cylinder problem, not {params.problem!r}")

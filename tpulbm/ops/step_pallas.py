@@ -456,6 +456,14 @@ def _build_cfg(problem: Problem, local_shape, interpret, substeps=1) -> _Cfg:
                 f"local ny must have a multiple-of-8 divisor small enough")
         Ty = max(valid)
 
+    # The top clean-corner closure reads the inlet-neighbor density from
+    # slab row Ty-2; a degenerate 1-row slab (possible only in interpret
+    # mode, where Ty need not be a multiple of 8) would slice an empty
+    # [-1:0] window and compute a wrong rho*.
+    if fields["clean_corners"] and Ty < 2:
+        raise ValueError(
+            f"zou_he_corners='clean' needs slab height Ty >= 2, got {Ty}")
+
     return _Cfg(**fields, Ty=Ty, nxl=nxl, n_ty=nyl // Ty,
                 xl_col=0, xr_col=nxl - 1)
 

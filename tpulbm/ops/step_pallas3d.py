@@ -468,12 +468,21 @@ def make_local_step_pallas3d_tiled(problem: Problem,
     def usage(wy):
         return (S * Q * wy * Wx + (M * wy * Wx if has_solid else 0)) * 4
 
-    tys = sorted((t for t in range(1, nyl + 1)
-                  if nyl % t == 0 and (interpret or t % 8 == 0)
-                  and usage(t + 2 * H) <= _VMEM_BUDGET), reverse=True)
-    if not tys:
-        return None
-    Ty = tys[0]
+    ty_env = os.environ.get("TPULBM_PALLAS3D_TY")
+    if ty_env:
+        # experimentation override: bypasses the VMEM-budget search (Mosaic
+        # itself still rejects genuinely over-budget tiles)
+        Ty = int(ty_env)
+        if nyl % Ty or (not interpret and Ty % 8):
+            raise ValueError(f"TPULBM_PALLAS3D_TY={Ty} must divide "
+                             f"nyl={nyl} (and be a multiple of 8 on TPU)")
+    else:
+        tys = sorted((t for t in range(1, nyl + 1)
+                      if nyl % t == 0 and (interpret or t % 8 == 0)
+                      and usage(t + 2 * H) <= _VMEM_BUDGET), reverse=True)
+        if not tys:
+            return None
+        Ty = tys[0]
     Wy = Ty + 2 * H
     n_ty = nyl // Ty
 

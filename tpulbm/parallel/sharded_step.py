@@ -29,6 +29,26 @@ from . import halo
 from .mesh import local_block_shape
 
 
+def _blocking_split(chunk_len: int, n_sub: int):
+    """Factor chunk_len into [(depth, iters), ...] segments led by depth
+    n_sub with a shallower tail, so temporal blocking engages at ANY output
+    cadence — e.g. the production default of 140 steps/interval becomes
+    46×3 + 1×2 instead of silently dropping to depth 2 (140 % 3 != 0).
+    Returns None when n_sub cannot lead (chunk too short)."""
+    if n_sub == 3:
+        k2 = (0, 2, 1)[chunk_len % 3]
+        k3 = (chunk_len - 2 * k2) // 3
+        if k3 < 1:
+            return None
+        return [(3, k3)] + ([(2, k2)] if k2 else [])
+    if n_sub == 2:
+        k2, k1 = divmod(chunk_len, 2)
+        if k2 < 1:
+            return None
+        return [(2, k2)] + ([(1, k1)] if k1 else [])
+    return [(n_sub, chunk_len // n_sub)] if chunk_len % n_sub == 0 else None
+
+
 def make_chunk_fn(problem: Problem, mesh: Mesh, chunk_len: int,
                   backend: str = "jax", _raw: bool = False):
     """Build a jitted fn(f, solid) -> f advanced by chunk_len steps.
@@ -46,7 +66,7 @@ def make_chunk_fn(problem: Problem, mesh: Mesh, chunk_len: int,
     has_solid = problem.solid is not None
 
     pallas3d_step = None
-    pallas3d_tiled = None
+    pallas3d_plan = None   # [(stepper, n_iters), ...] mixed blocking depths
     if backend == "pallas" and ndim == 3:
         from ..ops.step_pallas3d import (make_local_step_pallas3d,
                                          make_local_step_pallas3d_tiled)
@@ -58,38 +78,53 @@ def make_chunk_fn(problem: Problem, mesh: Mesh, chunk_len: int,
             # kernel by ~1/N; deeper N shrinks Ty until the y-overlap
             # waste (Wy/Ty) eats the gain and the kernel goes VPU-bound.
             # Measured at 256³ on v5e: N=2 2,361 / N=3 2,452 / N=4 1,596
-            # MLUPS — so prefer N=3 when the chunk length divides, N=2
-            # otherwise, both under a Ty >= 4H guard. TPULBM_SUBSTEPS
-            # forces a depth, TPULBM_NO_FUSED2 disables blocking.
+            # MLUPS — so prefer N=3, with a depth-2 (or depth-1) tail
+            # segment when the chunk length doesn't divide
+            # (_blocking_split), both under a Ty >= 4H guard.
+            # TPULBM_SUBSTEPS forces a depth, TPULBM_NO_FUSED2 disables
+            # blocking.
             if not os.environ.get("TPULBM_NO_FUSED2"):
                 forced = os.environ.get("TPULBM_SUBSTEPS")
-                cands = [int(forced)] if forced else [3, 2]
-                for n_sub in cands:
-                    if n_sub == 1 or chunk_len % n_sub:
-                        continue
-                    stepper = make_local_step_pallas3d_tiled(
-                        problem, local_shape, n_sub, x_halo=x_sharded3d)
-                    if stepper is not None and (
-                            forced or stepper.tile_height
-                            >= 4 * stepper.halo_height):
-                        pallas3d_tiled = stepper
+                if forced:
+                    n = int(forced)
+                    splits = ([_blocking_split(chunk_len, n)]
+                              if n > 1 and chunk_len % n == 0 else [])
+                else:
+                    splits = [s for s in
+                              (_blocking_split(chunk_len, n) for n in (3, 2))
+                              if s is not None]
+                for split in splits:
+                    steppers: dict | None = {}
+                    for depth, _ in split:
+                        st = make_local_step_pallas3d_tiled(
+                            problem, local_shape, depth, x_halo=x_sharded3d)
+                        if st is None or not (
+                                forced or depth == 1
+                                or st.tile_height >= 4 * st.halo_height):
+                            steppers = None
+                            break
+                        steppers[depth] = st
+                    if steppers:
+                        pallas3d_plan = [(steppers[d], k) for d, k in split]
                         break
-            if (pallas3d_tiled is None and mesh_shape == (1, 1)
+            if (pallas3d_plan is None and mesh_shape == (1, 1)
                     and not os.environ.get("TPULBM_FORCE_TILED")):
                 # full-plane 1-step kernel: no halo-row overhead
                 pallas3d_step = make_local_step_pallas3d(problem,
                                                          local_shape)
-            if pallas3d_step is None and pallas3d_tiled is None:
+            if pallas3d_step is None and pallas3d_plan is None:
                 # y-tiled 1-step: big planes and/or sharded meshes
-                pallas3d_tiled = make_local_step_pallas3d_tiled(
+                st = make_local_step_pallas3d_tiled(
                     problem, local_shape, 1, x_halo=x_sharded3d)
+                if st is not None:
+                    pallas3d_plan = [(st, chunk_len)]
         except ValueError as e:
             import warnings
             warnings.warn(f"pallas backend unavailable for this config "
                           f"({e}); falling back to backend='jax'")
             backend = "jax"
         if (backend == "pallas" and pallas3d_step is None
-                and pallas3d_tiled is None):
+                and pallas3d_plan is None):
             import warnings
             warnings.warn("no 3-D pallas tile fits the VMEM budget; "
                           "falling back to backend='jax'")
@@ -224,57 +259,64 @@ def make_chunk_fn(problem: Problem, mesh: Mesh, chunk_len: int,
                            (y0 + nyl3 == problem.params.ny),
                            (x0 == 0),
                            (x0 + nxl3 == problem.params.nx)]).astype(jnp.int32)
-        H = pallas3d_tiled.halo_height
-        N3 = pallas3d_tiled.depth
-        Hx3 = pallas3d_tiled.halo_width
-        x_halo3 = pallas3d_tiled.x_halo
 
-        def rings_for(arr, ring):
-            """(rl, rr, rb, rt) halo inputs for one (Q, nz, nyl, nxl) array;
-            rl/rr are None in the full-width (y-only) mode."""
-            if x_halo3:
-                rl, rr = halo.ring_cols_3d(arr, eq_ring=ring,
-                                           mesh_shape=mesh_shape, depth=N3,
-                                           H=Hx3,
-                                           periodic_x=problem.periodic_x)
-                rb, rt = halo.ring_rows_ext_3d(arr, rl, rr, eq_ring=ring,
+        def run_segment(f_local, stepper, n_iters):
+            """Scan one blocking-depth segment (its halo depths / tile
+            heights / mask rings are per-stepper — interpret mode shrinks H
+            with the depth, so segments cannot share ring buffers)."""
+            H = stepper.halo_height
+            N3 = stepper.depth
+            Hx3 = stepper.halo_width
+            x_halo3 = stepper.x_halo
+
+            def rings_for(arr, ring):
+                """(rl, rr, rb, rt) halo inputs for one (Q, nz, nyl, nxl)
+                array; rl/rr are None in the full-width (y-only) mode."""
+                if x_halo3:
+                    rl, rr = halo.ring_cols_3d(arr, eq_ring=ring,
                                                mesh_shape=mesh_shape,
-                                               depth=H)
-                return rl, rr, rb, rt
-            rb, rt = halo.ring_rows_3d(arr, eq_ring=ring,
-                                       mesh_shape=mesh_shape, depth=H)
-            return None, None, rb, rt
+                                               depth=N3, H=Hx3,
+                                               periodic_x=problem.periodic_x)
+                    rb, rt = halo.ring_rows_ext_3d(arr, rl, rr, eq_ring=ring,
+                                                   mesh_shape=mesh_shape,
+                                                   depth=H)
+                    return rl, rr, rb, rt
+                rb, rt = halo.ring_rows_3d(arr, eq_ring=ring,
+                                           mesh_shape=mesh_shape, depth=H)
+                return None, None, rb, rt
 
-        mask = mrb = mrt = ml = mr = tyflags = None
-        if has_solid:
-            mask = solid_local.astype(jnp.float32)
-            zr = np.zeros(1, np.float32)
-            ml4, mr4, mrb4, mrt4 = rings_for(mask[None], zr)
-            mrb, mrt = mrb4[0], mrt4[0]
-            if x_halo3:
-                ml, mr = ml4[0], mr4[0]
-            # per-tile solid flags from the (traced) shard y-offset against
-            # the static solid y-range (the z range is baked in the kernel).
-            # Tiles carry H halo-row copies whose post-BC values feed the
-            # center during later substeps, so the intersection test is
-            # widened by the halo height.
-            ty = pallas3d_tiled.tile_height
-            Hm = pallas3d_tiled.halo_height
-            starts = y0 + jnp.arange(pallas3d_tiled.n_ty) * ty
-            if pallas3d_tiled.solid_yrange is None:
-                tyflags = jnp.zeros((pallas3d_tiled.n_ty,), jnp.int32)
-            else:
-                lo, hi = pallas3d_tiled.solid_yrange
-                tyflags = ((starts - Hm <= hi)
-                           & (starts + ty + Hm > lo)).astype(jnp.int32)
+            mask = mrb = mrt = ml = mr = tyflags = None
+            if has_solid:
+                mask = solid_local.astype(jnp.float32)
+                zr = np.zeros(1, np.float32)
+                ml4, mr4, mrb4, mrt4 = rings_for(mask[None], zr)
+                mrb, mrt = mrb4[0], mrt4[0]
+                if x_halo3:
+                    ml, mr = ml4[0], mr4[0]
+                # per-tile solid flags from the (traced) shard y-offset
+                # against the static solid y-range (the z range is baked in
+                # the kernel). Tiles carry H halo-row copies whose post-BC
+                # values feed the center during later substeps, so the
+                # intersection test is widened by the halo height.
+                ty = stepper.tile_height
+                starts = y0 + jnp.arange(stepper.n_ty) * ty
+                if stepper.solid_yrange is None:
+                    tyflags = jnp.zeros((stepper.n_ty,), jnp.int32)
+                else:
+                    lo, hi = stepper.solid_yrange
+                    tyflags = ((starts - H <= hi)
+                               & (starts + ty + H > lo)).astype(jnp.int32)
 
-        def n_steps(f, _):
-            rl, rr, rb, rt = rings_for(f, eq_ring)
-            return pallas3d_tiled(f, rb, rt, flags, mask, mrb, mrt,
-                                  tyflags, rl, rr, ml, mr), None
+            def n_steps(f, _):
+                rl, rr, rb, rt = rings_for(f, eq_ring)
+                return stepper(f, rb, rt, flags, mask, mrb, mrt,
+                               tyflags, rl, rr, ml, mr), None
 
-        f_local, _ = lax.scan(n_steps, f_local, None,
-                              length=chunk_len // pallas3d_tiled.depth)
+            f_local, _ = lax.scan(n_steps, f_local, None, length=n_iters)
+            return f_local
+
+        for stepper, n_iters in pallas3d_plan:
+            f_local = run_segment(f_local, stepper, n_iters)
         return f_local
 
     # static row bounding box of the solid mask, for per-slab obstacle skip
@@ -391,6 +433,9 @@ def make_chunk_fn(problem: Problem, mesh: Mesh, chunk_len: int,
         if ndim == 3:
             body = (body_pallas3d if pallas3d_step is not None
                     else body_pallas3d_tiled)
+            if pallas3d_step is None:
+                assert sum(st.depth * k for st, k in pallas3d_plan) \
+                    == chunk_len
         elif pallas_tiled is not None:
             body = body_pallas_tiled
         else:

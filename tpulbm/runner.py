@@ -154,6 +154,17 @@ class Runner:
         while len(self._io_futures) > self._max_pending:
             self._io_futures.pop(0).result()
 
+    def _save_ckpt(self, ckpt_dir: str, t: int, f) -> None:
+        """Multi-device runs write per-shard files (every process
+        participates; O(local) host RAM — the global f is never
+        materialized); single-device runs keep the one-.npz format."""
+        if self.mesh.devices.size > 1:
+            ckpt.save_sharded(ckpt_dir, t, f, self.params)
+        else:
+            f_host = multihost.fetch_global(f)
+            if self.primary:
+                ckpt.save(ckpt_dir, t, f_host, self.params)
+
     def run(self, resume: bool = True) -> RunResult:
         p = self.params
         problem = self.problem
@@ -161,19 +172,29 @@ class Runner:
 
         t0_wall = time.perf_counter()
         start_step = 0
-        f0 = None
+        f0 = None        # host f (single-.npz checkpoint format)
+        f_dev = None     # device-resident sharded f (per-shard format)
+        ndim = len(problem.spatial_shape)
         if resume and p.checkpoint_every:
-            # Checkpoints are written by process 0 only; on resume, process
-            # 0 decides and BROADCASTS (step, state) so processes without a
-            # shared filesystem stay in lockstep (divergent start steps
-            # would desynchronize every subsequent collective).
+            # On resume, process 0 decides and BROADCASTS (step, kind) so
+            # processes without a shared filesystem stay in lockstep
+            # (divergent start steps would desynchronize every subsequent
+            # collective). kind: 0 = fresh, 1 = single .npz (state is
+            # broadcast), 2 = per-shard directory (each process loads only
+            # its own shards — no broadcast of the Q-sized state).
             load_err = None
+            kind = 0
             if self.primary:
                 latest = ckpt.latest(os.path.join(p.output_dir,
                                                   p.checkpoint_dir))
                 if latest is not None:
                     try:
-                        start_step, f0 = ckpt.load(latest, p)
+                        if os.path.isdir(latest):
+                            start_step = ckpt.check_manifest(latest, p)
+                            kind = 2
+                        else:
+                            start_step, f0 = ckpt.load(latest, p)
+                            kind = 1
                     except Exception as e:  # defer: peers must hear of it
                         load_err = f"{type(e).__name__}: {e}"
                     if self.verbose and load_err is None:
@@ -181,16 +202,18 @@ class Runner:
             if jax.process_count() > 1:
                 from jax.experimental import multihost_utils
                 # process 0's load runs before any collective; broadcast a
-                # (step, failed) pair so a bad checkpoint raises everywhere
-                # instead of wedging peers inside broadcast_one_to_all
-                start_step, failed = (int(v) for v in
-                                      multihost_utils.broadcast_one_to_all(
-                    np.array([start_step, load_err is not None], np.int64)))
+                # (step, failed, kind) triple so a bad checkpoint raises
+                # everywhere instead of wedging peers inside
+                # broadcast_one_to_all
+                start_step, failed, kind = (
+                    int(v) for v in multihost_utils.broadcast_one_to_all(
+                        np.array([start_step, load_err is not None, kind],
+                                 np.int64)))
                 if failed:
                     raise RuntimeError(
                         "checkpoint load failed on process 0"
                         + (f" ({load_err})" if load_err else ""))
-                if start_step > 0:
+                if kind == 1 and start_step > 0:
                     if f0 is None:  # non-primary: placeholder of known shape
                         f0 = np.zeros(
                             (problem.lattice.Q,) + problem.spatial_shape,
@@ -198,9 +221,21 @@ class Runner:
                     f0 = np.asarray(multihost_utils.broadcast_one_to_all(f0))
             elif load_err is not None:
                 raise RuntimeError(f"checkpoint load failed ({load_err})")
+            if kind == 2:
+                from jax.sharding import PartitionSpec as P
+                path = os.path.join(p.output_dir, p.checkpoint_dir,
+                                    f"ckpt_{start_step:09d}")
+                spec = P(*((None,) + (None,) * (ndim - 2) + ("y", "x")))
+                # params were validated on process 0 (check_manifest +
+                # broadcast); per-process re-checks could raise on only
+                # some processes and desynchronize the collectives
+                _, f_dev = ckpt.load_sharded(path, self.mesh, spec)
         solid = problem.solid if problem.solid is not None else \
             np.zeros(problem.spatial_shape, bool)
-        if f0 is None:
+        if f_dev is not None:
+            f = f_dev
+            solid_dev = shard_mask(self.mesh, solid)
+        elif f0 is None:
             # fresh start: build f on device (only the Q-free solid mask is
             # transferred — the Q-sized f costs minutes over a slow host
             # link at 3-D sizes)
@@ -302,9 +337,7 @@ class Runner:
                         chunks_done += _SUPER_K
                         if (p.checkpoint_every and
                                 chunks_done - last_ckpt >= p.checkpoint_every):
-                            f_host = multihost.fetch_global(f)
-                            if self.primary:
-                                ckpt.save(ckpt_dir, t, f_host, p)
+                            self._save_ckpt(ckpt_dir, t, f)
                             last_ckpt = chunks_done
                         continue
 
@@ -351,9 +384,7 @@ class Runner:
 
                     if (p.checkpoint_every and
                             chunks_done - last_ckpt >= p.checkpoint_every):
-                        f_host = multihost.fetch_global(f)
-                        if self.primary:
-                            ckpt.save(ckpt_dir, t, f_host, p)
+                        self._save_ckpt(ckpt_dir, t, f)
                         last_ckpt = chunks_done
 
                 # final fence + stability check of the end state

@@ -27,8 +27,14 @@ def add_host_device_count_flag(n: int, env: dict | None = None) -> dict:
     of devices and fail later with an opaque mesh error."""
     env = os.environ if env is None else env
     flags = env.get("XLA_FLAGS", "")
-    pat = r"--xla_force_host_platform_device_count=\d+"
-    if re.search(pat, flags):
+    pat = r"--xla_force_host_platform_device_count=(\d+)"
+    m = re.search(pat, flags)
+    if m:
+        if int(m.group(1)) != n:
+            import warnings
+            warnings.warn(
+                f"replacing inherited --xla_force_host_platform_device_count="
+                f"{m.group(1)} with {n}", stacklevel=2)
         env["XLA_FLAGS"] = re.sub(
             pat, f"--xla_force_host_platform_device_count={n}", flags)
     else:

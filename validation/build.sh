@@ -9,3 +9,7 @@ g++ -O3 -march=native -funroll-loops -ffast-math -fopenmp -std=c++20 \
     -I mpi_stub -I /root/reference/include \
     ref_driver.cpp -o build/ref_driver
 echo "built validation/build/ref_driver"
+g++ -O3 -march=native -funroll-loops -ffast-math -fopenmp -std=c++20 \
+    -I mpi_stub -I /root/reference/include \
+    ref_dump_f.cpp -o build/ref_dump_f
+echo "built validation/build/ref_dump_f"
