@@ -112,7 +112,7 @@ def run_one(args, mesh_shape, nx, ny, label=None):
     kw = dict(nx=nx, ny=ny, nz=nz, chunk_len=args.chunk_len,
               chunks=args.chunks, precision=args.precision,
               verbose=args.verbose, mesh_shape=mesh_shape,
-              repeats=args.repeats)
+              repeats=args.repeats, reynolds=args.reynolds)
     try:
         mlups, dt, steps = bench(backend=backend, **kw)
     except Exception as e:  # pallas unavailable → honest fallback, flagged
@@ -130,7 +130,7 @@ def run_one(args, mesh_shape, nx, ny, label=None):
     default_label = (f"MLUPS/chip, D3Q19 sphere {grid} {args.precision}"
                      if nz else
                      f"MLUPS/chip, D2Q9 cylinder {grid} "
-                     f"{args.precision} Re=200")
+                     f"{args.precision} Re={args.reynolds:g}")
     rec = {
         "metric": label or default_label,
         "value": round(mlups / n_dev, 1),
@@ -161,6 +161,10 @@ def main():
     ap.add_argument("--chunks", type=int, default=8)
     ap.add_argument("--chunk-len", type=int, default=280)
     ap.add_argument("--precision", default="f32")
+    ap.add_argument("--reynolds", type=float, default=200.0,
+                    help="2-D Reynolds number (tau via tau_for_reynolds); "
+                         "lower it on small grids where Re=200 BGK is "
+                         "unstable (e.g. ny=400 → use 100)")
     ap.add_argument("--repeats", type=int, default=3,
                     help="timed windows; the best is reported")
     ap.add_argument("--mesh", type=str, default=None,

@@ -158,6 +158,21 @@ def test_3d_tiled_pallas_mixed_depth_sharded():
     np.testing.assert_allclose(got, ref, rtol=5e-6, atol=1e-7)
 
 
+def test_3d_tiled_pallas_3slot_raw_ring():
+    # RS=3 raw plane ring (chosen on hardware when it unlocks a larger
+    # tile; the prefetch moves after the deepest stage) — forced here on
+    # the blocking cascade and on an x-sharded mesh
+    params = _params(precision="f32")
+    ref = _run3d(params, (1, 1), "jax", chunk_len=6)
+    got = _run3d(params, (1, 1), "pallas", chunk_len=6,
+                 env={"TPULBM_PALLAS3D_RS": "3", "TPULBM_FORCE_TILED": "1"})
+    np.testing.assert_allclose(got, ref, rtol=5e-6, atol=1e-7)
+    ref2 = _run3d(params, (1, 1), "jax", chunk_len=2)
+    got2 = _run3d(params, (1, 2), "pallas", chunk_len=2,
+                  env={"TPULBM_PALLAS3D_RS": "3"})
+    np.testing.assert_allclose(got2, ref2, rtol=5e-6, atol=1e-7)
+
+
 def test_3d_tiled_pallas_y_sharded():
     # y-sharded 3-D pallas: halo rows ride ppermute (ring_rows_3d)
     params = _params(ny=32, precision="f32")

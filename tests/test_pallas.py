@@ -65,6 +65,43 @@ def test_pallas_bounce_back_mode():
              mesh_shape=(2, 1))
 
 
+def test_pallas_lane_padding_matches_jax(monkeypatch):
+    # unaligned local widths run the full-width kernels via lane padding:
+    # dead eq-pinned trailing columns, physical right edge interior to the
+    # buffer (TPULBM_FORCE_PAD simulates the TPU-only 128-lane rule in
+    # interpret mode); 1-step kernel (chunk_len=5 defeats blocking)
+    monkeypatch.setenv("TPULBM_FORCE_PAD", "24")
+    _compare(SimulationParams(nx=104, ny=64, tau=0.6, inlet_velocity=0.05,
+                              precision="f32"))
+
+
+def test_pallas_lane_padding_blocked_sharded(monkeypatch):
+    # lane padding + temporal blocking (N-step ghost-row chains go through
+    # _bc_row_values' dead-lane pin) + y-sharding, in one run
+    monkeypatch.setenv("TPULBM_FORCE_PAD", "24")
+    _compare(SimulationParams(nx=104, ny=64, tau=0.6, inlet_velocity=0.05,
+                              precision="f32"), mesh_shape=(2, 1),
+             chunk_len=4)
+
+
+def test_pallas_halo_overlap_split_matches_jax(monkeypatch):
+    # TPULBM_HALO_OVERLAP: interior/edge kernel split (the interior call
+    # has no data dependency on the ppermute'd rings, so XLA can overlap
+    # the halo exchange with it); must be numerically identical to the
+    # monolithic path on a sharded mesh, obstacle included
+    monkeypatch.setenv("TPULBM_HALO_OVERLAP", "1")
+    monkeypatch.setenv("TPULBM_PALLAS_TY", "8")  # several slabs per shard
+    _compare(SimulationParams(nx=128, ny=64, tau=0.6, inlet_velocity=0.05,
+                              precision="f32"), mesh_shape=(2, 1))
+
+
+def test_pallas_halo_overlap_single_device_bounce_back(monkeypatch):
+    monkeypatch.setenv("TPULBM_HALO_OVERLAP", "1")
+    monkeypatch.setenv("TPULBM_PALLAS_TY", "8")
+    _compare(SimulationParams(nx=128, ny=64, tau=0.6, inlet_velocity=0.05,
+                              precision="f32", obstacle_bc="bounce_back"))
+
+
 def _compare2(params, mesh_shape=(1, 1), ty=8, monkeypatch=None, **kw):
     """Force several slabs so the fused two-step kernel actually engages
     (it falls back to the 1-step kernel when n_ty < 3)."""

@@ -49,7 +49,9 @@ from jax.experimental.pallas import tpu as pltpu
 from ..models.base import Problem
 
 # VMEM budget for slab/output/mask buffers (bytes); v5e has ~16 MiB total.
-_VMEM_BUDGET = 13 * 1024 * 1024
+# TPULBM_VMEM_MB overrides for experiments on parts with more VMEM.
+_VMEM_BUDGET = int(float(os.environ.get("TPULBM_VMEM_MB", "13"))
+                   * 1024 * 1024)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -81,6 +83,12 @@ class _Cfg:
     # (step_pallas_tiled.py) centers the owned columns between halo regions.
     xl_col: int = 0
     xr_col: int = -1    # resolved to nxl-1 in _build_cfg
+    # Dead lane-padding columns after xr_col (full-width kernels on grids
+    # whose nx is not a multiple of 128): pinned to the frozen ghost
+    # equilibrium every substep so they never form NaNs and never leak into
+    # owned columns (the xr edge sanitize already zeroes every westward
+    # pull, exactly as at a physical domain edge).
+    pad_x: int = 0
 
 
 def _collide_rows(cfg: _Cfg, fw, solid_rows):
@@ -317,6 +325,13 @@ def _apply_bcs(cfg: _Cfg, ref, slot, msl, mslot, is_bottom, is_top, fl, fr,
         else:
             pl.when(solid_flag)(_obstacle)
 
+    # dead lane-padding columns: re-pin to the frozen equilibrium (a BGK
+    # fixed point) so the next substep's collide of this slab stays finite
+    if cfg.pad_x:
+        for i in range(Q):
+            ref[slot, i, :, nxl - cfg.pad_x:nxl] = jnp.full(
+                (Ty, cfg.pad_x), eq_in[i], jnp.float32)
+
 
 def _bc_row_values(cfg: _Cfg, planes, mask_row, fl, fr):
     """Value-level BC application for a single intermediate ring row
@@ -370,6 +385,10 @@ def _bc_row_values(cfg: _Cfg, planes, mask_row, fl, fr):
         else:
             for i in range(Q):
                 planes[i] = jnp.where(solid, jnp.float32(cfg.w[i]), planes[i])
+    if cfg.pad_x:  # dead lane-padding columns: see _apply_bcs
+        for i in range(Q):
+            planes[i] = jnp.where(col > xr, jnp.float32(cfg.eq_in[i]),
+                                  planes[i])
     return planes
 
 
@@ -426,7 +445,11 @@ def _physics_cfg_fields(problem: Problem) -> dict:
     )
 
 
-def _build_cfg(problem: Problem, local_shape, interpret, substeps=1) -> _Cfg:
+def _build_cfg(problem: Problem, local_shape, interpret, substeps=1,
+               pad_x=0) -> _Cfg:
+    """local_shape is the (possibly lane-padded) slab-buffer shape; pad_x of
+    its trailing columns are dead padding (the physical right edge sits at
+    column nxl - 1 - pad_x)."""
     fields = _physics_cfg_fields(problem)
     nyl, nxl = local_shape
     if not interpret and nxl % 128 != 0:
@@ -465,7 +488,7 @@ def _build_cfg(problem: Problem, local_shape, interpret, substeps=1) -> _Cfg:
             f"zou_he_corners='clean' needs slab height Ty >= 2, got {Ty}")
 
     return _Cfg(**fields, Ty=Ty, nxl=nxl, n_ty=nyl // Ty,
-                xl_col=0, xr_col=nxl - 1)
+                xl_col=0, xr_col=nxl - 1 - pad_x, pad_x=pad_x)
 
 
 def _wrap_call(cfg: _Cfg, kernel, nyl, depth, interpret, has_solid):
@@ -510,17 +533,20 @@ def _wrap_call(cfg: _Cfg, kernel, nyl, depth, interpret, has_solid):
 
 def make_local_step_pallas(problem: Problem,
                            local_shape: tuple[int, ...],
-                           interpret: bool | None = None):
+                           interpret: bool | None = None,
+                           pad_x: int = 0):
     """Single-step kernel: step(f, rb, rt, flags, mask, mrb, mrt) -> f_new.
 
     f: (Q, nyl, nxl); rb/rt: (Q, 1, nxl) ring rows (parallel/halo.ring_rows);
     flags: (4,) int32 [is_bottom, is_top, is_left, is_right]; mask*: f32
-    solid masks or None. Verified equivalent to the jax tier by
-    tests/test_pallas.py.
+    solid masks or None. pad_x > 0: the trailing pad_x columns of the
+    (lane-padded) inputs are dead padding. Verified equivalent to the jax
+    tier by tests/test_pallas.py.
     """
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
-    cfg = _build_cfg(problem, local_shape, interpret, substeps=1)
+    cfg = _build_cfg(problem, local_shape, interpret, substeps=1,
+                     pad_x=pad_x)
     nyl = local_shape[0]
     Q, Ty, nxl, n_ty = cfg.Q, cfg.Ty, cfg.nxl, cfg.n_ty
     has_solid = cfg.has_solid
@@ -631,9 +657,195 @@ def make_local_step_pallas(problem: Problem,
     return _wrap_call(cfg, kernel, nyl, 1, interpret, has_solid)
 
 
+def make_local_step_pallas_ranged(problem: Problem,
+                                  local_shape: tuple[int, ...],
+                                  interpret: bool | None = None,
+                                  pad_x: int = 0):
+    """Slab-range variant of the 1-step kernel, for halo-overlap mode
+    (TPULBM_HALO_OVERLAP): step(f, rb, rt, flags, bounds, out_init, mask,
+    mrb, mrt, sflags) processes only slabs [bounds[0], bounds[1]) of the
+    full-height block, writing their rows of the full-height output.
+
+    The chunk builder splits each timestep into an INTERIOR call (slabs
+    1..n_ty-2; its "ring" rows are local raw rows of f, so it has no data
+    dependency on the ppermute) plus two EDGE calls (slab 0 / slab n_ty-1,
+    consuming the ppermute'd rings, writing into the interior call's output
+    via input/output aliasing) — XLA can then overlap the halo exchange
+    with the interior kernel. Numerics are identical to the monolithic
+    kernel: slab-boundary "ring" rows are raw rows collided in-kernel,
+    exactly like the monolithic kernel's neighbor-slab rows (collision is
+    pointwise). Single-chip this trades two extra kernel launches per step
+    for the overlap, so it is flag-gated, not the default.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    cfg = _build_cfg(problem, local_shape, interpret, substeps=1,
+                     pad_x=pad_x)
+    nyl = local_shape[0]
+    Q, Ty, nxl, n_ty = cfg.Q, cfg.Ty, cfg.nxl, cfg.n_ty
+    has_solid = cfg.has_solid
+
+    def kernel(flags_ref, bounds_ref, sflags_ref, f_ref, rb_ref, rt_ref,
+               mask_ref, mrb_ref, mrt_ref, out_init_ref, out_ref,
+               fsl, ob, msl, sem_f, sem_ob, sem_m):
+        del out_init_ref  # aliased storage for out_ref; never read
+        fb, ft, fl, fr = (flags_ref[k] for k in range(4))
+        t_lo, t_hi = bounds_ref[0], bounds_ref[1]
+
+        def f_dma(t):
+            return pltpu.make_async_copy(
+                f_ref.at[:, pl.ds(t * Ty, Ty), :], fsl.at[t % 4],
+                sem_f.at[t % 4])
+
+        def m_dma(t):
+            return pltpu.make_async_copy(
+                mask_ref.at[pl.ds(t * Ty, Ty), :], msl.at[t % 4],
+                sem_m.at[t % 4])
+
+        def out_dma(t):
+            return pltpu.make_async_copy(
+                ob.at[t % 2], out_ref.at[:, pl.ds(t * Ty, Ty), :],
+                sem_ob.at[t % 2])
+
+        def mask_op(t, fn):
+            if not has_solid:
+                return
+            if cfg.slab_skip:
+                pl.when(sflags_ref[t] == 1)(fn)
+            else:
+                fn()
+
+        def start_in(t):
+            f_dma(t).start()
+            mask_op(t, lambda: m_dma(t).start())
+
+        def wait_in(t):
+            f_dma(t).wait()
+            mask_op(t, lambda: m_dma(t).wait())
+
+        def slab_flag(t):
+            return (sflags_ref[t] == 1) if cfg.slab_skip else None
+
+        def collide_slab(slot):
+            fw = [fsl[slot, i] for i in range(Q)]
+            solid_rows = (msl[slot] > 0.5) if cfg.bounce_back else None
+            fp = _collide_rows(cfg, fw, solid_rows)
+            for i in range(Q):
+                fsl[slot, i] = fp[i]
+
+        rb_fp = _collide_rows(cfg, [rb_ref[i] for i in range(Q)],
+                              (mrb_ref[...] > 0.5) if cfg.bounce_back
+                              else None)
+        rt_fp = _collide_rows(cfg, [rt_ref[i] for i in range(Q)],
+                              (mrt_ref[...] > 0.5) if cfg.bounce_back
+                              else None)
+
+        start_in(t_lo)
+
+        @pl.when(t_lo + 1 < t_hi)
+        def _():
+            start_in(t_lo + 1)
+        wait_in(t_lo)
+        # dynamic slot: t_lo is traced — collide via the same helper with a
+        # traced slot index is fine (refs index with traced values)
+        collide_slab(t_lo % 4)
+
+        def loop(t, carry):
+            @pl.when(t + 1 < t_hi)
+            def _():
+                wait_in(t + 1)
+                collide_slab((t + 1) % 4)
+
+            @pl.when(t + 2 < t_hi)
+            def _():
+                start_in(t + 2)
+
+            oslot = t % 2
+
+            @pl.when(t >= t_lo + 2)
+            def _():
+                out_dma(t - 2).wait()
+
+            cur_slot = t % 4
+            for i in range(Q):
+                below = jnp.where(t == t_lo, rb_fp[i],
+                                  fsl[(t - 1) % 4, i, Ty - 1:Ty, :])
+                above = jnp.where(t == t_hi - 1, rt_fp[i],
+                                  fsl[(t + 1) % 4, i, 0:1, :])
+                ob[oslot, i] = _stream_rows(cfg, i, fsl[cur_slot, i],
+                                            below, above)
+
+            _apply_bcs(cfg, ob, oslot, msl if has_solid else None, cur_slot,
+                       jnp.logical_and(t == 0, fb == 1),
+                       jnp.logical_and(t == n_ty - 1, ft == 1), fl, fr,
+                       solid_flag=slab_flag(t))
+
+            out_dma(t).start()
+            return carry
+
+        lax.fori_loop(t_lo, t_hi, loop, 0, unroll=False)
+
+        @pl.when(t_hi - 2 >= t_lo)
+        def _():
+            out_dma(t_hi - 2).wait()
+        out_dma(t_hi - 1).wait()
+
+    call = pl.pallas_call(
+        kernel,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # flags (4,)
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # bounds (2,)
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # sflags (n_ty,)
+            pl.BlockSpec(memory_space=pl.ANY),      # f
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # rb
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # rt
+            pl.BlockSpec(memory_space=pl.ANY),      # mask
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # mrb
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # mrt
+            pl.BlockSpec(memory_space=pl.ANY),      # out_init (aliased)
+        ],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        out_shape=jax.ShapeDtypeStruct((Q, nyl, nxl), jnp.float32),
+        input_output_aliases={9: 0},
+        scratch_shapes=[
+            pltpu.VMEM((4, Q, Ty, nxl), jnp.float32),
+            pltpu.VMEM((2, Q, Ty, nxl), jnp.float32),
+            (pltpu.VMEM((4, Ty, nxl), jnp.float32) if has_solid
+             else pltpu.VMEM((1, 8, 128), jnp.float32)),
+            pltpu.SemaphoreType.DMA((4,)),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((4,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_BUDGET + 3 * 1024 * 1024),
+        interpret=interpret,
+    )
+
+    zero_mask = np.zeros((nyl, nxl), np.float32)
+    zero_ring = np.zeros((1, nxl), np.float32)
+    ones_sflags = np.ones((cfg.n_ty,), np.int32)
+
+    def step(f, rb, rt, flags, bounds, out_init, mask=None, mrb=None,
+             mrt=None, sflags=None):
+        if has_solid and mask is None:
+            raise ValueError("pallas backend needs the solid mask")
+        mask = jnp.asarray(zero_mask) if mask is None else mask
+        mrb = jnp.asarray(zero_ring) if mrb is None else mrb
+        mrt = jnp.asarray(zero_ring) if mrt is None else mrt
+        sflags = jnp.asarray(ones_sflags) if sflags is None else sflags
+        return call(flags, bounds, sflags, f, rb, rt, mask, mrb, mrt,
+                    out_init)
+
+    step.tile_height = cfg.Ty
+    step.n_ty = cfg.n_ty
+    step.slab_skip = cfg.slab_skip
+    return step
+
+
 def make_local_step_pallas2(problem: Problem,
                             local_shape: tuple[int, ...],
-                            interpret: bool | None = None):
+                            interpret: bool | None = None,
+                            pad_x: int = 0):
     """Two-step fused kernel: step2(f, rb2, rt2, flags, mask, mrb2, mrt2)
     advances TWO timesteps per HBM round trip (temporal blocking).
 
@@ -647,7 +859,8 @@ def make_local_step_pallas2(problem: Problem,
     """
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
-    cfg = _build_cfg(problem, local_shape, interpret, substeps=2)
+    cfg = _build_cfg(problem, local_shape, interpret, substeps=2,
+                     pad_x=pad_x)
     nyl = local_shape[0]
     Q, Ty, nxl, n_ty = cfg.Q, cfg.Ty, cfg.nxl, cfg.n_ty
     has_solid = cfg.has_solid
@@ -852,7 +1065,8 @@ def make_local_step_pallas2(problem: Problem,
 def make_local_step_pallasN(problem: Problem,
                             local_shape: tuple[int, ...],
                             n_sub: int,
-                            interpret: bool | None = None):
+                            interpret: bool | None = None,
+                            pad_x: int = 0):
     """N-substep fused kernel: advances n_sub timesteps per HBM round trip.
 
     Generalizes the 2-step kernel to a cascade of N collide-stream stages
@@ -872,7 +1086,8 @@ def make_local_step_pallasN(problem: Problem,
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     try:
-        cfg = _build_cfg(problem, local_shape, interpret, substeps=n_sub)
+        cfg = _build_cfg(problem, local_shape, interpret, substeps=n_sub,
+                         pad_x=pad_x)
     except ValueError:
         return None
     nyl = local_shape[0]

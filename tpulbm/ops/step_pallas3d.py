@@ -32,7 +32,9 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..models.base import Problem
 
-_VMEM_BUDGET = 13 * 1024 * 1024
+# TPULBM_VMEM_MB overrides for experiments on parts with more VMEM.
+_VMEM_BUDGET = int(float(os.environ.get("TPULBM_VMEM_MB", "13"))
+                   * 1024 * 1024)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -83,10 +85,11 @@ def _collide_planes(cfg: _Cfg3d, fw, solid):
     inv_rho = 1.0 / rho
     u = [m * inv_rho for m in mom]
     base = 1.0 - 1.5 * (u[0] * u[0] + u[1] * u[1] + u[2] * u[2])
-    out = []
+    out = [None] * Q
     if cfg.omega_minus is not None:
         hp, hm = 0.5 * cfg.inv_tau, 0.5 * cfg.omega_minus
-    for i in range(Q):
+
+    def cu_of(i):
         cx, cy, cz = cfg.c[i]
         cu = None
         for d, cd in enumerate((cx, cy, cz)):
@@ -94,8 +97,19 @@ def _collide_planes(cfg: _Cfg3d, fw, solid):
                 continue
             term = u[d] if cd > 0 else -u[d]
             cu = term if cu is None else cu + term
-        wr = cfg.w[i] * rho
-        if cfg.omega_minus is not None:  # TRT
+        return cu
+
+    def finish(i, fp):
+        if cfg.src is not None and cfg.src[i]:
+            fp = fp + cfg.src[i]
+        if cfg.bounce_back:
+            fp = jnp.where(solid, fw[i], fp)
+        return fp
+
+    if cfg.omega_minus is not None:  # TRT (already pair-structured)
+        for i in range(Q):
+            cu = cu_of(i)
+            wr = cfg.w[i] * rho
             f_o = fw[cfg.opp[i]]
             if cu is not None:
                 even_dev = (fw[i] + f_o) - 2.0 * wr * (base + 4.5 * cu * cu)
@@ -103,17 +117,30 @@ def _collide_planes(cfg: _Cfg3d, fw, solid):
                 fp = fw[i] - hp * even_dev - hm * odd_dev
             else:
                 fp = fw[i] - cfg.inv_tau * (fw[i] - wr * base)
-        else:  # BGK
-            if cu is not None:
-                feq = wr * (base + 3.0 * cu + 4.5 * cu * cu)
-            else:
-                feq = wr * base
-            fp = fw[i] - cfg.inv_tau * (fw[i] - feq)
-        if cfg.src is not None and cfg.src[i]:
-            fp = fp + cfg.src[i]
-        if cfg.bounce_back:
-            fp = jnp.where(solid, fw[i], fp)
-        out.append(fp)
+            out[i] = finish(i, fp)
+        return out
+
+    # BGK via ±direction pairs: feq_{±i} = s ± d with s = w rho (base +
+    # 4.5 cu²), d = 3 w rho cu — shares the cu²/base work per pair, ~25%
+    # fewer VPU ops than the direct form. This kernel family is
+    # compute-bound (unlike the DMA-bound 2-D kernels, where the same
+    # rewrite was measured perf-neutral and rejected for breaking bitwise
+    # gates); the 3-D equivalence tests use rtol=5e-6, far above the
+    # last-ulp rounding difference, and there is no C++ parity constraint
+    # in 3-D (the reference is strictly 2-D).
+    for i in range(Q):
+        if out[i] is not None:
+            continue
+        j = cfg.opp[i]
+        cu = cu_of(i)
+        wr = cfg.w[i] * rho
+        if cu is None:           # rest population (its own opposite)
+            out[i] = finish(i, fw[i] - cfg.inv_tau * (fw[i] - wr * base))
+            continue
+        s = wr * (base + 4.5 * (cu * cu))
+        d = (3.0 * wr) * cu
+        out[i] = finish(i, fw[i] - cfg.inv_tau * (fw[i] - (s + d)))
+        out[j] = finish(j, fw[j] - cfg.inv_tau * (fw[j] - (s - d)))
     return out
 
 
@@ -242,15 +269,30 @@ def make_local_step_pallas3d(problem: Problem,
                 if cz == 0:
                     plane = fa[cur, i]
                 elif cz > 0:
-                    plane = jnp.where(z == 0, eq_plane[i], fa[(z - 1) % 4, i])
+                    plane = fa[(z - 1) % 4, i]
                 else:
-                    plane = jnp.where(z == nz - 1, eq_plane[i],
-                                      fa[(z + 1) % 4, i])
+                    plane = fa[(z + 1) % 4, i]
                 if cy:
                     plane = pltpu.roll(plane, cy % ny, axis=0)
                 if cx:
                     plane = pltpu.roll(plane, cx % nx, axis=1)
                 ob[oslot, i] = plane
+
+            # z-edge ghost planes are UNIFORM eq (roll-invariant): fix them
+            # up under a scalar branch on the 2 edge planes instead of a
+            # per-element select on every plane (the unconditional pull
+            # above may read a stale ring slot there — fully overwritten)
+            @pl.when(z == 0)
+            def _():
+                for i in range(Q):
+                    if cfg.c[i][2] > 0:
+                        ob[oslot, i] = eq_plane[i]
+
+            @pl.when(z == nz - 1)
+            def _():
+                for i in range(Q):
+                    if cfg.c[i][2] < 0:
+                        ob[oslot, i] = eq_plane[i]
 
             # ---- ghost sanitize (see module docstring) ----
             for i in range(Q):
@@ -463,11 +505,20 @@ def make_local_step_pallas3d_tiled(problem: Problem,
     Hx = (128 if not interpret else max(2, n_sub)) if x_halo else 0
     Wx = nx + 2 * Hx
     M = N + 2               # mask plane ring
-    S = 4 + 3 * (N - 1) + 2  # f-sized plane rings (raw + stages + out)
 
-    def usage(wy):
+    def usage(wy, rs):
+        # f-sized plane rings: rs raw slots + 3-slot stage rings + 2 out
+        S = rs + 3 * (N - 1) + 2
         return (S * Q * wy * Wx + (M * wy * Wx if has_solid else 0)) * 4
 
+    # Raw-ring slots: 4 gives 2-plane DMA prefetch depth; 3 trims one
+    # f-sized plane buffer (1.5 MB at 256³/Ty=64), starting the next
+    # plane's DMA only after stage 1 consumes its oldest slot. MEASURED at
+    # 256³ on v5e (scoped-vmem hard limit 16.00 MB): the larger tile RS=3
+    # unlocks LOSES — N=2/Ty=64/RS=3 = 2,172 MLUPS vs N=2/Ty=32/RS=4 =
+    # 2,361 (wider live ranges out-cost the smaller overlap fraction) — so
+    # the auto-pick stays RS=4-first-by-Ty; TPULBM_PALLAS3D_RS=3 keeps the
+    # variant reachable for experiments.
     ty_env = os.environ.get("TPULBM_PALLAS3D_TY")
     if ty_env:
         # experimentation override: bypasses the VMEM-budget search (Mosaic
@@ -476,13 +527,18 @@ def make_local_step_pallas3d_tiled(problem: Problem,
         if nyl % Ty or (not interpret and Ty % 8):
             raise ValueError(f"TPULBM_PALLAS3D_TY={Ty} must divide "
                              f"nyl={nyl} (and be a multiple of 8 on TPU)")
+        RS = 4 if usage(Ty + 2 * H, 4) <= _VMEM_BUDGET else 3
     else:
         tys = sorted((t for t in range(1, nyl + 1)
                       if nyl % t == 0 and (interpret or t % 8 == 0)
-                      and usage(t + 2 * H) <= _VMEM_BUDGET), reverse=True)
+                      and usage(t + 2 * H, 4) <= _VMEM_BUDGET), reverse=True)
         if not tys:
             return None
-        Ty = tys[0]
+        Ty, RS = tys[0], 4
+    rs_env = os.environ.get("TPULBM_PALLAS3D_RS")
+    if rs_env:  # test/experiment override of the raw-ring slot count
+        RS = int(rs_env)
+        assert RS in (3, 4), RS
     Wy = Ty + 2 * H
     n_ty = nyl // Ty
 
@@ -571,12 +627,12 @@ def make_local_step_pallas3d_tiled(problem: Problem,
 
         def stage_ref(k):
             """(ref, n_slots) for stage-k planes (stage 0 = collided raw)."""
-            return (fa, 4) if k == 0 else (gs[k - 1], 3)
+            return (fa, RS) if k == 0 else (gs[k - 1], 3)
 
         def fc_dma(z):
             return pltpu.make_async_copy(
                 f_ref.at[:, z, pl.ds(ya, Ty), :],
-                fa.at[z % 4, :, H:H + Ty, Hx:Hx + nx], sem_fc.at[z % 4])
+                fa.at[z % RS, :, H:H + Ty, Hx:Hx + nx], sem_fc.at[z % RS])
 
         # y-ring rows span the FULL buffer width: in x_halo mode the ring
         # inputs arrive extended across the halo regions (ring_rows_ext_3d,
@@ -584,22 +640,22 @@ def make_local_step_pallas3d_tiled(problem: Problem,
         # filled from rl/rr below.
         def fb_ring(z):
             return pltpu.make_async_copy(
-                rb_ref.at[:, z], fa.at[z % 4, :, 0:H, :], sem_fb.at[z % 4])
+                rb_ref.at[:, z], fa.at[z % RS, :, 0:H, :], sem_fb.at[z % RS])
 
         def fb_inner(z):
             return pltpu.make_async_copy(
                 f_ref.at[:, z, pl.ds(ya_b, H), :],
-                fa.at[z % 4, :, 0:H, Hx:Hx + nx], sem_fb.at[z % 4])
+                fa.at[z % RS, :, 0:H, Hx:Hx + nx], sem_fb.at[z % RS])
 
         def ft_ring(z):
             return pltpu.make_async_copy(
-                rt_ref.at[:, z], fa.at[z % 4, :, H + Ty:Wy, :],
-                sem_ft.at[z % 4])
+                rt_ref.at[:, z], fa.at[z % RS, :, H + Ty:Wy, :],
+                sem_ft.at[z % RS])
 
         def ft_inner(z):
             return pltpu.make_async_copy(
                 f_ref.at[:, z, pl.ds(ya_t, H), :],
-                fa.at[z % 4, :, H + Ty:Wy, Hx:Hx + nx], sem_ft.at[z % 4])
+                fa.at[z % RS, :, H + Ty:Wy, Hx:Hx + nx], sem_ft.at[z % RS])
 
         def x_pieces(z, src_l, src_r, tgt, slot, sems, lead):
             """(cond, copy) pairs for the 6 x-halo pieces of plane z: halo
@@ -628,7 +684,7 @@ def make_local_step_pallas3d_tiled(problem: Problem,
             ]
 
         def fx_pieces(z):
-            return x_pieces(z, rl_ref, rr_ref, fa, z % 4, sem_fx, 1)
+            return x_pieces(z, rl_ref, rr_ref, fa, z % RS, sem_fx, 1)
 
         def mx_pieces(z):
             return x_pieces(z, ml_ref, mr_ref, msl, z % M, sem_mx, 0)
@@ -727,7 +783,7 @@ def make_local_step_pallas3d_tiled(problem: Problem,
                 out_ref.at[:, z, pl.ds(ya, Ty), :], sem_ob.at[z % 2])
 
         def collide_a(z):
-            slot = z % 4
+            slot = z % RS
             fw = [fa[slot, i] for i in range(Q)]
             solid = (msl[z % M] > 0.5) if cfg.bounce_back else None
             fp = _collide_planes(cfg, fw, solid)
@@ -876,18 +932,33 @@ def make_local_step_pallas3d_tiled(problem: Problem,
                 if cz == 0:
                     plane = srcref[idx % m_src, i]
                 elif cz > 0:
-                    plane = (eq_tile[i] if below_eq is True else
-                             jnp.where(is_z0, eq_tile[i],
-                                       srcref[(idx - 1) % m_src, i]))
+                    plane = (eq_tile[i] if below_eq is True
+                             else srcref[(idx - 1) % m_src, i])
                 else:
-                    plane = (eq_tile[i] if above_eq is True else
-                             jnp.where(is_zl, eq_tile[i],
-                                       srcref[(idx + 1) % m_src, i]))
+                    plane = (eq_tile[i] if above_eq is True
+                             else srcref[(idx + 1) % m_src, i])
                 if cy:
                     plane = pltpu.roll(plane, cy % Wy, axis=0)
                 if cx:
                     plane = pltpu.roll(plane, cx % Wx, axis=1)
                 tgt[tslot, i] = plane
+            # z-edge ghost planes are UNIFORM eq (roll-invariant), so fix
+            # them up under a scalar branch taken on 2 of nz planes instead
+            # of a per-element select on every interior plane. The
+            # unconditional pull above may read a stale/uninitialized ring
+            # slot at the edges — pure data, fully overwritten here.
+            if below_eq is not True:
+                @pl.when(is_z0)
+                def _():
+                    for i in range(Q):
+                        if cfg.c[i][2] > 0:
+                            tgt[tslot, i] = eq_tile[i]
+            if above_eq is not True:
+                @pl.when(is_zl)
+                def _():
+                    for i in range(Q):
+                        if cfg.c[i][2] < 0:
+                            tgt[tslot, i] = eq_tile[i]
             apply_bcs(tgt, tslot, idx % M, is_z0, is_zl,
                       solid_flag=plane_flag(idx))
             if collide_after:
@@ -919,9 +990,11 @@ def make_local_step_pallas3d_tiled(problem: Problem,
                 wait_in(z + N)
                 collide_a(z + N)
 
-            @pl.when(z + N + 1 < nz)
-            def _():
-                start_in(z + N + 1)
+            if RS == 4:
+                # 2-plane prefetch: slot (z+N+1) % 4 is already free here
+                @pl.when(z + N + 1 < nz)
+                def _():
+                    start_in(z + N + 1)
 
             for k in range(1, N):
                 idx = z + (N - k)
@@ -938,31 +1011,39 @@ def make_local_step_pallas3d_tiled(problem: Problem,
 
             make_stage_plane(N, z, z == 0, z == nz - 1, below_eq=False,
                              above_eq=False, collide_after=False)
+            if RS == 3:
+                # 3-slot raw ring: slot (z+N+1) % 3 holds raw plane z+N-2,
+                # consumed by the deepest stage above — start its
+                # replacement DMA only now (1-plane prefetch)
+                @pl.when(z + N + 1 < nz)
+                def _():
+                    start_in(z + N + 1)
             out_dma(z).start()
             return carry
 
-        lax.fori_loop(0, nz, loop, 0, unroll=False)
+        lax.fori_loop(0, nz, loop, 0,
+                      unroll=int(os.environ.get("TPULBM_UNROLL", "1")))
         if nz >= 2:
             out_dma(nz - 2).wait()
         out_dma(nz - 1).wait()
 
     scratch_shapes = (
-        [pltpu.VMEM((4, Q, Wy, Wx), jnp.float32)]            # raw/stage-0
+        [pltpu.VMEM((RS, Q, Wy, Wx), jnp.float32)]           # raw/stage-0
         + [pltpu.VMEM((3, Q, Wy, Wx), jnp.float32)
            for _ in range(N - 1)]                            # stages 1..N-1
         + [pltpu.VMEM((2, Q, Wy, Wx), jnp.float32),          # out planes
            (pltpu.VMEM((M, Wy, Wx), jnp.float32) if has_solid
             else pltpu.VMEM((1, 8, 128), jnp.float32)),  # mask planes
-           pltpu.SemaphoreType.DMA((4,)),
-           pltpu.SemaphoreType.DMA((4,)),
-           pltpu.SemaphoreType.DMA((4,)),
+           pltpu.SemaphoreType.DMA((RS,)),
+           pltpu.SemaphoreType.DMA((RS,)),
+           pltpu.SemaphoreType.DMA((RS,)),
            pltpu.SemaphoreType.DMA((2,)),
            pltpu.SemaphoreType.DMA((M,)),
            pltpu.SemaphoreType.DMA((M,)),
            pltpu.SemaphoreType.DMA((M,))]
     )
     if x_halo:
-        scratch_shapes.append(pltpu.SemaphoreType.DMA((6, 4)))  # f x-pieces
+        scratch_shapes.append(pltpu.SemaphoreType.DMA((6, RS)))  # f x-pieces
         if has_solid:
             scratch_shapes.append(pltpu.SemaphoreType.DMA((6, M)))
 

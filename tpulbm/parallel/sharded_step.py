@@ -141,15 +141,31 @@ def make_chunk_fn(problem: Problem, mesh: Mesh, chunk_len: int,
                      or bool(os.environ.get("TPULBM_FORCE_TILED")))
         pallas_step = None
 
+        # Lane padding: the full-width kernels can run ANY local width by
+        # padding the slab buffers to the next 128-lane multiple — the dead
+        # columns are pinned to the frozen ghost equilibrium every substep
+        # and sliced off after the chunk scan (pad/unpad once per chunk, not
+        # per step). Closes the ~18x cliff a round-number grid (e.g.
+        # 1000x400) used to hit by silently degrading to the jax tier; the
+        # reference runs any divisible grid (LBMGrid.h:366-392).
+        # TPULBM_FORCE_PAD=N forces N pad lanes in interpret mode (tests).
+        if jax.default_backend() != "cpu":
+            pad2 = (-local_shape[-1]) % 128
+        else:
+            pad2 = int(os.environ.get("TPULBM_FORCE_PAD", "0"))
+        pal_shape = (local_shape[0], local_shape[-1] + pad2)
+
         def _pallas_possible():
-            # hard constraints shared by every pallas kernel: D2Q9, f32, and
-            # (on real TPUs) a 128-lane-aligned local width
+            # hard constraints: D2Q9 + f32 everywhere; 128-lane-aligned
+            # local width on x-sharded meshes (the x-tiled kernel's
+            # owned-center DMA slices need lane alignment; full-width
+            # kernels lane-pad instead)
             from ..ops.step_pallas import _physics_cfg_fields
             _physics_cfg_fields(problem)  # raises for D≠2 / f64
-            if (jax.default_backend() != "cpu"
+            if (jax.default_backend() != "cpu" and x_sharded
                     and local_shape[-1] % 128 != 0):
                 raise ValueError(
-                    f"pallas backend needs local nx % 128 == 0, "
+                    f"x-sharded pallas needs local nx % 128 == 0, "
                     f"got {local_shape[-1]}")
 
         try:
@@ -162,11 +178,30 @@ def make_chunk_fn(problem: Problem, mesh: Mesh, chunk_len: int,
             backend = "jax"
         if backend == "pallas" and not x_sharded:
             try:
-                pallas_step = make_local_step_pallas(problem, local_shape)
+                pallas_step = make_local_step_pallas(problem, pal_shape,
+                                                     pad_x=pad2)
             except ValueError:
                 # full-width slabs exceed VMEM at this nx — the x-tiled
                 # kernel (block below) covers wide rows; keep pallas alive
                 pallas_step = None
+    pallas_ranged = None
+    if backend == "pallas" and ndim == 2:
+        # Halo-overlap mode (TPULBM_HALO_OVERLAP, flag-gated): split each
+        # step into an interior kernel with NO data dependency on the
+        # ppermute'd rings plus two edge-slab kernels that consume them, so
+        # XLA can overlap the halo exchange with the interior compute
+        # (VERDICT r2 #5 — prep for real multi-chip ICI). Implies 1-step
+        # (no temporal blocking); single-chip it adds two kernel launches
+        # per step, which is why it is not the default.
+        if (os.environ.get("TPULBM_HALO_OVERLAP") and not x_sharded):
+            from ..ops.step_pallas import make_local_step_pallas_ranged
+            try:
+                pallas_ranged = make_local_step_pallas_ranged(
+                    problem, pal_shape, pad_x=pad2)
+            except ValueError:
+                pallas_ranged = None
+            if pallas_ranged is not None and pallas_ranged.n_ty < 3:
+                pallas_ranged = None  # no interior slabs to overlap with
     if backend == "pallas" and ndim == 2:
         # temporal blocking: N timesteps per HBM round trip when the chunk
         # length divides by N and the local block has enough slabs. Prefer
@@ -176,7 +211,7 @@ def make_chunk_fn(problem: Problem, mesh: Mesh, chunk_len: int,
         pallas_step2 = None
         pallas_tiled = None
         pallas_substeps = 1
-        if not os.environ.get("TPULBM_NO_FUSED2"):
+        if pallas_ranged is None and not os.environ.get("TPULBM_NO_FUSED2"):
             forced = os.environ.get("TPULBM_SUBSTEPS")
             candidates = [int(forced)] if forced else [4, 3, 2]
             from ..ops.step_pallas import make_local_step_pallasN
@@ -186,9 +221,11 @@ def make_chunk_fn(problem: Problem, mesh: Mesh, chunk_len: int,
                 stepper = None
                 if not x_sharded:
                     builder = (make_local_step_pallas2 if n_sub == 2
-                               else lambda p, s: make_local_step_pallasN(p, s, n_sub))
+                               else lambda p, s, pad_x:
+                               make_local_step_pallasN(p, s, n_sub,
+                                                       pad_x=pad_x))
                     try:
-                        stepper = builder(problem, local_shape)
+                        stepper = builder(problem, pal_shape, pad_x=pad2)
                     except ValueError:
                         stepper = None  # no slab height fits VMEM at this depth
                 if stepper is not None:
@@ -201,7 +238,7 @@ def make_chunk_fn(problem: Problem, mesh: Mesh, chunk_len: int,
                     pallas_substeps = n_sub
                     break
         if (pallas_step2 is None and pallas_tiled is None
-                and pallas_step is None):
+                and pallas_step is None and pallas_ranged is None):
             # x-sharded mesh with no fitting tiled depth: try depth 1
             pallas_tiled = make_local_step_tiled(problem, local_shape, 1)
             pallas_substeps = 1
@@ -333,6 +370,19 @@ def make_chunk_fn(problem: Problem, mesh: Mesh, chunk_len: int,
         flags = jnp.stack([
             (y0 == 0), (y0 + nyl == problem.params.ny),
             jnp.array(True), jnp.array(True)]).astype(jnp.int32)
+        if pad2:
+            # lane-pad once per CHUNK: the scan carries the padded state
+            # (dead columns stay pinned to eq inside the kernel), the owned
+            # columns are sliced back after the scan
+            Qn = problem.lattice.Q
+            eqb = jnp.broadcast_to(
+                jnp.asarray(eq_ring, f_local.dtype).reshape(Qn, 1, 1),
+                (Qn, nyl, pad2))
+            f_local = jnp.concatenate([f_local, eqb], axis=-1)
+            if has_solid:
+                solid_local = jnp.concatenate(
+                    [solid_local,
+                     jnp.zeros((nyl, pad2), solid_local.dtype)], axis=-1)
 
         def sflags_for(stepper):
             # int32 (n_ty,): does slab t of this shard intersect the solid
@@ -369,7 +419,7 @@ def make_chunk_fn(problem: Problem, mesh: Mesh, chunk_len: int,
 
             f_local, _ = lax.scan(n_steps, f_local, None,
                                   length=chunk_len // depth)
-            return f_local
+            return f_local[..., :nxl] if pad2 else f_local
 
         mask, mrb, mrt = mask_rings(1)
 
@@ -380,7 +430,77 @@ def make_chunk_fn(problem: Problem, mesh: Mesh, chunk_len: int,
             return pallas_step(f, rb, rt, flags, mask, mrb, mrt, sflags), None
 
         f_local, _ = lax.scan(one_step, f_local, None, length=chunk_len)
-        return f_local
+        return f_local[..., :nxl] if pad2 else f_local
+
+    def body_pallas_overlap(f_local, solid_local):
+        """Interior/edge split (TPULBM_HALO_OVERLAP): the interior call's
+        ring rows are LOCAL raw rows of f, so it does not depend on the
+        ppermute; the two edge calls consume the exchanged rings and write
+        into the interior call's output buffer via aliasing. The output
+        buffers ping-pong through the scan carry, so no per-step allocation
+        or copy is introduced."""
+        iy = lax.axis_index("y")
+        nyl, nxl = local_shape[-2], local_shape[-1]
+        y0 = iy * nyl
+        flags = jnp.stack([
+            (y0 == 0), (y0 + nyl == problem.params.ny),
+            jnp.array(True), jnp.array(True)]).astype(jnp.int32)
+        if pad2:
+            Qn = problem.lattice.Q
+            eqb = jnp.broadcast_to(
+                jnp.asarray(eq_ring, f_local.dtype).reshape(Qn, 1, 1),
+                (Qn, nyl, pad2))
+            f_local = jnp.concatenate([f_local, eqb], axis=-1)
+            if has_solid:
+                solid_local = jnp.concatenate(
+                    [solid_local,
+                     jnp.zeros((nyl, pad2), solid_local.dtype)], axis=-1)
+        Ty = pallas_ranged.tile_height
+        n_ty = pallas_ranged.n_ty
+        b_int = jnp.asarray(np.array([1, n_ty - 1], np.int32))
+        b_bot = jnp.asarray(np.array([0, 1], np.int32))
+        b_top = jnp.asarray(np.array([n_ty - 1, n_ty], np.int32))
+
+        sflags = None
+        mask = mrb = mrt = None
+        mrow = {}
+        if has_solid:
+            mask = solid_local.astype(jnp.float32)
+            zr = np.zeros(1, np.float32)
+            mrb3, mrt3 = halo.ring_rows(mask[None], eq_ring=zr,
+                                        mesh_shape=mesh_shape, depth=1)
+            mrb, mrt = mrb3[0], mrt3[0]
+            mrow = {r: mask[r:r + 1, :]
+                    for r in (Ty - 1, Ty, nyl - Ty - 1, nyl - Ty)}
+            ty_s = pallas_ranged.tile_height
+            starts = y0 + jnp.arange(n_ty) * ty_s
+            if solid_rows is None:
+                sflags = jnp.zeros((n_ty,), jnp.int32)
+            else:
+                lo, hi = solid_rows
+                sflags = ((starts <= hi)
+                          & (starts + ty_s > lo)).astype(jnp.int32)
+
+        def one_step(carry, _):
+            f, scratch = carry
+            rb, rt = halo.ring_rows(f, eq_ring=eq_ring,
+                                    mesh_shape=mesh_shape)
+            # interior first: no ring dependency → overlaps the ppermute
+            o = pallas_ranged(f, f[:, Ty - 1:Ty, :],
+                              f[:, nyl - Ty:nyl - Ty + 1, :], flags, b_int,
+                              scratch, mask, mrow.get(Ty - 1),
+                              mrow.get(nyl - Ty), sflags)
+            o = pallas_ranged(f, rb, f[:, Ty:Ty + 1, :], flags, b_bot,
+                              o, mask, mrb, mrow.get(Ty), sflags)
+            o = pallas_ranged(f, f[:, nyl - Ty - 1:nyl - Ty, :], rt, flags,
+                              b_top, o, mask, mrow.get(nyl - Ty - 1), mrt,
+                              sflags)
+            return (o, f), None
+
+        scratch0 = jnp.zeros_like(f_local)
+        (f_local, _), _ = lax.scan(one_step, (f_local, scratch0), None,
+                                   length=chunk_len)
+        return f_local[..., :nxl] if pad2 else f_local
 
     def body_pallas_tiled(f_local, solid_local):
         iy = lax.axis_index("y")
@@ -436,6 +556,8 @@ def make_chunk_fn(problem: Problem, mesh: Mesh, chunk_len: int,
             if pallas3d_step is None:
                 assert sum(st.depth * k for st, k in pallas3d_plan) \
                     == chunk_len
+        elif pallas_ranged is not None:
+            body = body_pallas_overlap
         elif pallas_tiled is not None:
             body = body_pallas_tiled
         else:
