@@ -2,6 +2,7 @@
 equivalence on the jax backend."""
 import jax
 import numpy as np
+import pytest
 
 from tpulbm import physics
 from tpulbm.config import SimulationParams
@@ -84,6 +85,7 @@ def test_3d_pallas_matches_jax():
     np.testing.assert_allclose(got, ref, rtol=5e-6, atol=1e-7)
 
 
+@pytest.mark.slow
 def test_3d_pallas_bounce_back_and_trt():
     params = _params(precision="f32", obstacle_bc="bounce_back",
                      collision="trt")
@@ -139,6 +141,7 @@ def test_3d_tiled_pallas_3step_blocking():
     np.testing.assert_allclose(got, ref, rtol=5e-6, atol=1e-7)
 
 
+@pytest.mark.slow
 def test_3d_tiled_pallas_mixed_depth_blocking():
     # chunk_len=7 has no single blocking depth; the cadence-aware plan runs
     # a depth-3 segment (1 iter) + a depth-2 tail (2 iters) — vs the oracle
@@ -149,6 +152,7 @@ def test_3d_tiled_pallas_mixed_depth_blocking():
     np.testing.assert_allclose(got, ref, rtol=5e-6, atol=1e-7)
 
 
+@pytest.mark.slow
 def test_3d_tiled_pallas_mixed_depth_sharded():
     # mixed plan [(3,1),(2,1)] on a (2,2) mesh: per-segment halo rings with
     # different depths, x-halo columns + extended corner rows
@@ -158,6 +162,7 @@ def test_3d_tiled_pallas_mixed_depth_sharded():
     np.testing.assert_allclose(got, ref, rtol=5e-6, atol=1e-7)
 
 
+@pytest.mark.slow
 def test_3d_tiled_pallas_3slot_raw_ring():
     # RS=3 raw plane ring (chosen on hardware when it unlocks a larger
     # tile; the prefetch moves after the deepest stage) — forced here on
@@ -203,6 +208,7 @@ def test_3d_tiled_pallas_x_sharded():
     np.testing.assert_allclose(got, ref, rtol=5e-6, atol=1e-7)
 
 
+@pytest.mark.slow
 def test_3d_tiled_pallas_2d_mesh_bounce_back():
     # (2,2) mesh: sphere straddling BOTH shard boundaries, bounce-back +
     # TRT; corner data crosses the mesh diagonally via the two-phase

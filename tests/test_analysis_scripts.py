@@ -5,6 +5,7 @@ import subprocess
 import sys
 
 import numpy as np
+import pytest
 
 from tpulbm.config import SimulationParams
 from tpulbm.runner import Runner
@@ -55,6 +56,7 @@ def test_find_peaks_fallback_matches_scipy():
     _ = importlib
 
 
+@pytest.mark.slow
 def test_scripts_run_on_solver_artifacts(tmp_path):
     params = SimulationParams(nx=64, ny=32, tau=0.6, inlet_velocity=0.05,
                               num_timesteps=60, output_frequency=20,

@@ -24,6 +24,11 @@ import textwrap
 import numpy as np
 import pytest
 
+# Every test here launches real OS processes that time-share this VM's
+# single core (the 4-process pallas interpret case alone is ~13 min) —
+# all belong to the slow lane.
+pytestmark = [pytest.mark.slow]
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 CHILD = textwrap.dedent("""

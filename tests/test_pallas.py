@@ -75,6 +75,7 @@ def test_pallas_lane_padding_matches_jax(monkeypatch):
                               precision="f32"))
 
 
+@pytest.mark.slow
 def test_pallas_lane_padding_blocked_sharded(monkeypatch):
     # lane padding + temporal blocking (N-step ghost-row chains go through
     # _bc_row_values' dead-lane pin) + y-sharding, in one run
@@ -127,6 +128,7 @@ def test_pallas2_cylinder(monkeypatch):
               monkeypatch=monkeypatch, chunk_len=6, n_chunks=3)
 
 
+@pytest.mark.slow
 def test_pallas2_cylinder_sharded(monkeypatch):
     _compare2(SimulationParams(nx=128, ny=64, tau=0.6, inlet_velocity=0.05,
                                precision="f32"), mesh_shape=(2, 1), ty=8,
@@ -141,6 +143,7 @@ def test_pallas2_poiseuille_periodic(monkeypatch):
               chunk_len=4, n_chunks=2)
 
 
+@pytest.mark.slow
 def test_pallas2_bounce_back(monkeypatch):
     _compare2(SimulationParams(nx=128, ny=64, tau=0.6, inlet_velocity=0.05,
                                precision="f32", obstacle_bc="bounce_back"),
@@ -148,6 +151,7 @@ def test_pallas2_bounce_back(monkeypatch):
               chunk_len=4, n_chunks=2)
 
 
+@pytest.mark.slow
 def test_pallas2_cylinder_straddling_shard_boundary(monkeypatch):
     # cylinder centered on the shard boundary: obstacle cells appear in
     # halo/ring rows of both shards
@@ -215,7 +219,8 @@ def test_pallasN_cylinder(monkeypatch, n_sub, chunk_len):
                                    err_msg=f"N={n_sub} chunk {k}")
 
 
-@pytest.mark.parametrize("n_sub", [3, 4])
+@pytest.mark.parametrize(
+    "n_sub", [3, pytest.param(4, marks=pytest.mark.slow)])
 def test_pallasN_sharded_bounce_back(monkeypatch, n_sub):
     monkeypatch.setenv("TPULBM_PALLAS_TY", "8")
     monkeypatch.setenv("TPULBM_SUBSTEPS", str(n_sub))

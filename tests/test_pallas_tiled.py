@@ -130,6 +130,7 @@ def test_tiled_trt_collision_2d():
     _compare(params, (2, 2), {}, chunk_len=6, n_chunks=2)
 
 
+@pytest.mark.slow
 def test_tiled_matches_full_width_kernel():
     # the two pallas paths must agree with each other bitwise-close too
     full = _run(CYL, (1, 1), "pallas", chunk_len=6, n_chunks=2)
@@ -161,6 +162,50 @@ def test_tiled_guard_bcs_solid_touching_outlet():
     assert problem.solid[:, -1].any()
     _compare(params, (1, 2), {"TPULBM_SUBSTEPS": "2"}, chunk_len=6,
              n_chunks=2)
+
+
+def test_tiled_lane_padded_x_sharded():
+    # unaligned local width on an x-sharded mesh: the tiled kernel runs on
+    # lane-PADDED blocks whose pad columns are live shadow copies of the
+    # east neighbor's first columns (halo.ring_cols_padded), so ANY real
+    # width runs fused — the reference runs any divisible grid
+    # (LBMGrid.h:366-392). TPULBM_FORCE_PAD emulates the TPU 128-lane pad
+    # in interpret mode.
+    _compare(CYL.replace(nx=120), (1, 2), {"TPULBM_FORCE_PAD": "4"},
+             chunk_len=6, n_chunks=3)
+
+
+def test_tiled_lane_padded_2d_mesh_straddle_bounce_back():
+    # padded shadow columns carrying obstacle cells: a bounce-back cylinder
+    # straddling the x shard boundary must read the same mask through the
+    # stitched pad as through the halo columns, on a fully 2-D mesh
+    params = CYL.replace(nx=120, ny=128, cylinder_x=0.5, cylinder_y=0.5,
+                         cylinder_radius=0.12, obstacle_bc="bounce_back")
+    _compare(params, (2, 2), {"TPULBM_FORCE_PAD": "4"},
+             chunk_len=6, n_chunks=2)
+
+
+@pytest.mark.parametrize("mesh_shape", [(1, 1), (1, 2)],
+                         ids=["wrap-self", "wrap-ppermute"])
+def test_tiled_lane_padded_periodic(mesh_shape):
+    # periodic channel + padding: the physically-east shard's pad columns
+    # shadow the WRAP neighbor (no dead pin — _apply_bcs skips the eq pin
+    # under periodic_x); full-width kernels would roll through the pad, so
+    # the builder must route this to the tiled kernel — including on a
+    # single shard (mesh (1,1)), where the wrap shadow is its own west edge
+    params = SimulationParams(nx=120, ny=48, tau=0.8, problem="poiseuille",
+                              periodic_x=True, body_force=(1e-5, 0.0),
+                              inlet_velocity=0.0, precision="f32")
+    _compare(params, mesh_shape, {"TPULBM_FORCE_PAD": "8"},
+             chunk_len=6, n_chunks=2)
+
+
+def test_tiled_lane_padded_single_shard():
+    # mx == 1 + forced pad: the pad columns are dead (eq-pinned in-kernel),
+    # same as the full-width kernels' pad semantics
+    _compare(CYL.replace(nx=124), (1, 1),
+             {"TPULBM_FORCE_TILED": "1", "TPULBM_FORCE_PAD": "4"},
+             chunk_len=6, n_chunks=2)
 
 
 def test_tiled_clean_corners_2d_mesh():

@@ -223,6 +223,7 @@ def test_force_writer_resume_drops_overlapping_rows(tmp_path):
     assert rows[3].startswith("40,1.50000000")
 
 
+@pytest.mark.slow
 def test_runner_pallas_backend_matches_jax(tmp_path):
     # full Runner lifecycle through the pallas path (interpret mode on CPU)
     outs = {}

@@ -48,8 +48,12 @@ class SimulationParams:
     # --- new capabilities (absent from the reference) ---
     problem: str = "cylinder"        # "cylinder" | "poiseuille" | "cylinder3d"
     obstacle_bc: str = "equilibrium"  # "equilibrium" (reference parity) | "bounce_back"
-    collision: str = "bgk"           # "bgk" (reference parity) | "trt" (new: stable at low tau)
+    collision: str = "bgk"           # "bgk" (reference parity) | "trt" | "mrt" (new: stable at low tau)
     trt_magic: float = 3.0 / 16.0    # TRT magic parameter Λ
+    # MRT ghost-moment rate overrides as ((moment, rate), ...) pairs, e.g.
+    # (("e", 1.5), ("qx", 1.2)). Row names per physics._mrt_basis; unset
+    # moments use the measured-stable defaults (physics._MRT_GHOST_RATES).
+    mrt_rates: tuple[tuple[str, float], ...] = ()
     body_force: tuple[float, ...] = ()  # Guo-style forcing (ref dead code LBMUtils.h:15-19)
     periodic_x: bool = False         # poiseuille channel uses periodic x
     precision: str = "f32"           # "f32" (TPU-native) | "f64" (validation)
@@ -104,6 +108,10 @@ class SimulationParams:
         for key in ("body_force", "mesh_shape"):
             if key in d and isinstance(d[key], list):
                 d[key] = tuple(d[key])
+        if isinstance(d.get("mrt_rates"), (list, dict)):
+            items = d["mrt_rates"].items() if isinstance(d["mrt_rates"], dict) \
+                else d["mrt_rates"]
+            d["mrt_rates"] = tuple((str(k), float(v)) for k, v in items)
         return cls(**d)
 
     @classmethod
@@ -184,7 +192,12 @@ def add_cli_args(parser: argparse.ArgumentParser) -> None:
                         default=None)
     parser.add_argument("--obstacle-bc", choices=["equilibrium", "bounce_back"],
                         default=None)
-    parser.add_argument("--collision", choices=["bgk", "trt"], default=None)
+    parser.add_argument("--collision", choices=["bgk", "trt", "mrt"],
+                        default=None)
+    parser.add_argument("--mrt-rates", type=str, default=None,
+                        help="MRT ghost-moment rate overrides, e.g. "
+                             "'e=1.64,qx=1.2' (moment names per "
+                             "physics._mrt_basis)")
     parser.add_argument("--precision", choices=["f32", "f64"], default=None)
     parser.add_argument("--backend", choices=["pallas", "jax"], default=None)
     parser.add_argument("--mesh", type=str, default=None,
@@ -223,6 +236,15 @@ def params_from_args(args: argparse.Namespace) -> SimulationParams:
         overrides["obstacle_bc"] = args.obstacle_bc
     if getattr(args, "collision", None) is not None:
         overrides["collision"] = args.collision
+    if getattr(args, "mrt_rates", None):
+        pairs = []
+        for item in args.mrt_rates.split(","):
+            name, _, val = item.partition("=")
+            if not val:
+                raise ValueError(
+                    f"--mrt-rates entries must be name=value, got {item!r}")
+            pairs.append((name.strip(), float(val)))
+        overrides["mrt_rates"] = tuple(pairs)
     if args.no_vtk:
         overrides["enable_vtk"] = False
     params = params.replace(**overrides)
@@ -248,3 +270,7 @@ def validate_params(params: SimulationParams) -> None:
         raise ValueError(
             f"--zou-he-corners clean is only implemented for the 2-D "
             f"cylinder problem, not {params.problem!r}")
+    if params.mrt_rates and params.collision != "mrt":
+        raise ValueError(
+            "--mrt-rates only applies to collision='mrt', not "
+            f"{params.collision!r}")

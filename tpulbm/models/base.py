@@ -38,9 +38,10 @@ class Problem:
     periodic_x: bool = False
     body_force: tuple[float, ...] = ()
     obstacle_bc: str = "equilibrium"  # see ops/step_jax.py for semantics
-    collision: str = "bgk"            # "bgk" | "trt" (physics.collide_trt)
+    collision: str = "bgk"            # "bgk" | "trt" | "mrt" (physics.collide_*)
     clean_corners: bool = False       # Zou-He corner closure (2-D; opt-in)
     trt_magic: float = 3.0 / 16.0
+    mrt_rates: tuple = ()             # ((moment, rate), ...) ghost overrides
 
     @property
     def spatial_shape(self) -> tuple[int, ...]:

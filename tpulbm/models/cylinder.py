@@ -28,5 +28,6 @@ def make_problem(params: SimulationParams) -> Problem:
         obstacle_bc=params.obstacle_bc,
         collision=params.collision,
         trt_magic=params.trt_magic,
+        mrt_rates=params.mrt_rates,
         clean_corners=params.zou_he_corners == "clean",
     )

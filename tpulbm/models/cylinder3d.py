@@ -32,4 +32,5 @@ def make_problem(params: SimulationParams) -> Problem:
         obstacle_bc=params.obstacle_bc,
         collision=params.collision,
         trt_magic=params.trt_magic,
+        mrt_rates=params.mrt_rates,
     )

@@ -48,6 +48,10 @@ def _collide_block(problem: Problem, f: jnp.ndarray,
     if problem.collision == "trt":
         f_post = physics.collide_trt(problem.lattice, f, inv_tau,
                                      problem.body_force, problem.trt_magic)
+    elif problem.collision == "mrt":
+        f_post = physics.collide_mrt(problem.lattice, f, inv_tau,
+                                     problem.body_force,
+                                     overrides=dict(problem.mrt_rates) or None)
     else:
         f_post = physics.collide(problem.lattice, f, inv_tau, problem.body_force)
     if solid is not None and problem.obstacle_bc == "bounce_back":

@@ -26,13 +26,16 @@ Layout and constraints (Mosaic DMA tiling rules measured on v5e):
   * y-halo ("ring") rows arrive as separate (Q, depth, nxl) inputs, produced
     by parallel/halo.ring_rows (ppermute over the 'y' mesh axis; frozen
     ghost equilibrium at physical edges). The kernels collide them locally.
-  * The pallas backend shards over y only (mesh_x == 1). x-direction pulls
-    wrap via lane roll; at non-periodic global x edges the wrapped lanes are
+  * The full-width kernels in THIS file assume mesh_x == 1 (x pulls wrap
+    via lane roll; at non-periodic global x edges the wrapped lanes are
     overwritten with the frozen ghost equilibrium, reproducing the
     reference's never-updated edge ghosts (LBMGrid.h:185-213) exactly —
-    including the corner-cell Zou-He interaction chain.
+    including the corner-cell Zou-He interaction chain). x-sharded meshes
+    take the x-tiled kernels (step_pallas_tiled.py), which share this
+    file's collide/BC building blocks.
 
-D2Q9 / f32 / 2-D. The jax backend covers f64, 3-D, and x-sharded meshes.
+D2Q9 / f32 / 2-D. The jax backend covers f64 and is the 3-D oracle; 3-D
+pallas kernels live in step_pallas3d.py.
 """
 from __future__ import annotations
 
@@ -63,6 +66,7 @@ class _Cfg:
     opp: tuple
     inv_tau: float
     omega_minus: float | None  # TRT odd-moment rate; None → BGK
+    mrt_R: tuple | None        # MRT population-space relax matrix rows; None → BGK/TRT
     u_in: float
     eq_in: tuple        # frozen ghost equilibrium per direction
     src: tuple | None   # body-force source term per direction
@@ -120,6 +124,34 @@ def _collide_rows(cfg: _Cfg, fw, solid_rows):
                 fp = fw[i] - hp * even_dev - hm * odd_dev
             else:
                 fp = fw[i] - cfg.inv_tau * (fw[i] - wr * base)
+            if cfg.src is not None and cfg.src[i]:
+                fp = fp + cfg.src[i]
+            if cfg.bounce_back:
+                fp = jnp.where(solid_rows, fw[i], fp)
+            out.append(fp)
+        return out
+    if cfg.mrt_R is not None:
+        # MRT (physics.collide_mrt): f − R (f − feq) with the precomputed
+        # population-space matrix R = M⁻¹ S M — Q² pruned multiply-adds on
+        # in-register deviations, no moment-space intermediates.
+        devs = []
+        for i in range(cfg.Q):
+            cx, cy = cfg.c[i]
+            cu = (cx * ux if cx else 0.0) + (cy * uy if cy else 0.0)
+            if cx or cy:
+                feq = cfg.w[i] * rho * (base + 3.0 * cu + 4.5 * cu * cu)
+            else:
+                feq = cfg.w[i] * rho * base
+            devs.append(fw[i] - feq)
+        for i in range(cfg.Q):
+            acc = None
+            for j in range(cfg.Q):
+                rij = cfg.mrt_R[i][j]
+                if rij == 0.0:
+                    continue
+                term = rij * devs[j]
+                acc = term if acc is None else acc + term
+            fp = fw[i] if acc is None else fw[i] - acc
             if cfg.src is not None and cfg.src[i]:
                 fp = fp + cfg.src[i]
             if cfg.bounce_back:
@@ -325,12 +357,23 @@ def _apply_bcs(cfg: _Cfg, ref, slot, msl, mslot, is_bottom, is_top, fl, fr,
         else:
             pl.when(solid_flag)(_obstacle)
 
-    # dead lane-padding columns: re-pin to the frozen equilibrium (a BGK
-    # fixed point) so the next substep's collide of this slab stays finite
-    if cfg.pad_x:
-        for i in range(Q):
-            ref[slot, i, :, nxl - cfg.pad_x:nxl] = jnp.full(
-                (Ty, cfg.pad_x), eq_in[i], jnp.float32)
+    # dead lane-padding columns (the pad_x columns after xr_col): re-pin to
+    # the frozen equilibrium (a BGK fixed point) so the next substep's
+    # collide of this slab stays finite. Gated on fr: only the shard/tile
+    # owning the physical east edge has DEAD pad columns — on x-sharded
+    # meshes interior shards' pad columns are live shadow copies of the
+    # east neighbor's first columns (see parallel/halo.ring_cols_padded)
+    # and must keep streaming normally. Full-width kernels always run with
+    # fr == 1, so this is the same unconditional pin they had. Under
+    # periodic_x there is no dead column anywhere — the "east-edge" shard's
+    # pad shadows the wrap neighbor (padded periodic grids always take the
+    # x-tiled kernel; the full-width lane roll would wrap through the pad).
+    if cfg.pad_x and not cfg.periodic_x:
+        @pl.when(fr == 1)
+        def _pin_pad():
+            for i in range(Q):
+                ref[slot, i, :, xr + 1:xr + 1 + cfg.pad_x] = jnp.full(
+                    (Ty, cfg.pad_x), eq_in[i], jnp.float32)
 
 
 def _bc_row_values(cfg: _Cfg, planes, mask_row, fl, fr):
@@ -385,9 +428,13 @@ def _bc_row_values(cfg: _Cfg, planes, mask_row, fl, fr):
         else:
             for i in range(Q):
                 planes[i] = jnp.where(solid, jnp.float32(cfg.w[i]), planes[i])
-    if cfg.pad_x:  # dead lane-padding columns: see _apply_bcs
+    if cfg.pad_x and not cfg.periodic_x:
+        # dead lane-padding columns: see _apply_bcs (fr-gated + skipped
+        # under periodic_x where the pad is a live wrap shadow; bounded
+        # above so the x-tiled kernel's halo region stays untouched)
+        pin = (col > xr) & (col <= xr + cfg.pad_x) & (fr == 1)
         for i in range(Q):
-            planes[i] = jnp.where(col > xr, jnp.float32(cfg.eq_in[i]),
+            planes[i] = jnp.where(pin, jnp.float32(cfg.eq_in[i]),
                                   planes[i])
     return planes
 
@@ -425,13 +472,19 @@ def _physics_cfg_fields(problem: Problem) -> dict:
 
     from .. import physics as _physics
     omega_minus = None
+    mrt_R = None
     if problem.collision == "trt":
         omega_minus = _physics.omega_minus_trt(1.0 / problem.params.tau,
                                                problem.trt_magic)
+    elif problem.collision == "mrt":
+        mrt_R = tuple(tuple(float(v) for v in row) for row in
+                      _physics.mrt_relax_matrix(
+                          lat, 1.0 / problem.params.tau,
+                          overrides=dict(problem.mrt_rates) or None))
     return dict(
         Q=Q, c=c, w=w, opp=tuple(int(v) for v in lat.opposite),
         inv_tau=1.0 / problem.params.tau,
-        omega_minus=omega_minus,
+        omega_minus=omega_minus, mrt_R=mrt_R,
         u_in=float(problem.init_u[0]),
         eq_in=tuple(float(v) for v in problem.ghost_ring_values()),
         src=src, has_solid=has_solid,

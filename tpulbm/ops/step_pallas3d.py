@@ -45,6 +45,7 @@ class _Cfg3d:
     opp: tuple
     inv_tau: float
     omega_minus: float | None
+    mrt_R: tuple | None  # MRT population-space relax matrix rows
     eq_in: tuple
     src: tuple | None
     has_solid: bool
@@ -105,6 +106,29 @@ def _collide_planes(cfg: _Cfg3d, fw, solid):
         if cfg.bounce_back:
             fp = jnp.where(solid, fw[i], fp)
         return fp
+
+    if cfg.mrt_R is not None:
+        # MRT: f − R (f − feq), R = M⁻¹ S M precomputed (physics.
+        # mrt_relax_matrix) — Q² pruned multiply-adds; feq via the ±pair
+        # shared terms below would change rounding for no measurable win
+        # here (MRT is opt-in), so use the direct form.
+        devs = []
+        for i in range(Q):
+            cu = cu_of(i)
+            wr = cfg.w[i] * rho
+            feq = wr * base if cu is None else wr * (base + 3.0 * cu
+                                                     + 4.5 * cu * cu)
+            devs.append(fw[i] - feq)
+        for i in range(Q):
+            acc = None
+            for j in range(Q):
+                rij = cfg.mrt_R[i][j]
+                if rij == 0.0:
+                    continue
+                term = rij * devs[j]
+                acc = term if acc is None else acc + term
+            out[i] = finish(i, fw[i] if acc is None else fw[i] - acc)
+        return out
 
     if cfg.omega_minus is not None:  # TRT (already pair-structured)
         for i in range(Q):
@@ -184,9 +208,15 @@ def make_local_step_pallas3d(problem: Problem,
 
     from .. import physics as _physics
     omega_minus = None
+    mrt_R = None
     if problem.collision == "trt":
         omega_minus = _physics.omega_minus_trt(1.0 / problem.params.tau,
                                                problem.trt_magic)
+    elif problem.collision == "mrt":
+        mrt_R = tuple(tuple(float(v) for v in row) for row in
+                      _physics.mrt_relax_matrix(
+                          lat, 1.0 / problem.params.tau,
+                          overrides=dict(problem.mrt_rates) or None))
     if problem.body_force:
         F = np.asarray(problem.body_force, np.float64)
         src = tuple(float(3.0 * lat.w[i] * (lat.c[i].astype(np.float64) @ F))
@@ -198,6 +228,7 @@ def make_local_step_pallas3d(problem: Problem,
         w=tuple(float(v) for v in lat.w),
         opp=tuple(int(v) for v in lat.opposite),
         inv_tau=1.0 / problem.params.tau, omega_minus=omega_minus,
+        mrt_R=mrt_R,
         eq_in=tuple(float(v) for v in problem.ghost_ring_values()),
         src=src, has_solid=has_solid,
         bounce_back=has_solid and problem.obstacle_bc == "bounce_back",
@@ -544,9 +575,15 @@ def make_local_step_pallas3d_tiled(problem: Problem,
 
     from .. import physics as _physics
     omega_minus = None
+    mrt_R = None
     if problem.collision == "trt":
         omega_minus = _physics.omega_minus_trt(1.0 / problem.params.tau,
                                                problem.trt_magic)
+    elif problem.collision == "mrt":
+        mrt_R = tuple(tuple(float(v) for v in row) for row in
+                      _physics.mrt_relax_matrix(
+                          lat, 1.0 / problem.params.tau,
+                          overrides=dict(problem.mrt_rates) or None))
     if problem.body_force:
         F = np.asarray(problem.body_force, np.float64)
         src = tuple(float(3.0 * lat.w[i] * (lat.c[i].astype(np.float64) @ F))
@@ -579,6 +616,7 @@ def make_local_step_pallas3d_tiled(problem: Problem,
         w=tuple(float(v) for v in lat.w),
         opp=tuple(int(v) for v in lat.opposite),
         inv_tau=1.0 / problem.params.tau, omega_minus=omega_minus,
+        mrt_R=mrt_R,
         eq_in=tuple(float(v) for v in problem.ghost_ring_values()),
         src=src, has_solid=has_solid,
         bounce_back=bounce_back,

@@ -60,9 +60,11 @@ def _divisors(n: int):
 
 
 def _choose_tiles(nyl: int, nxl: int, N: int, Q: int, has_solid: bool,
-                  interpret: bool) -> _TileCfg | None:
+                  interpret: bool, pad_x: int = 0) -> _TileCfg | None:
     """Pick (Tx, Ty) maximizing Tx (smallest halo-overlap fraction), then Ty,
-    subject to the VMEM budget. Returns None if nothing fits."""
+    subject to the VMEM budget. Returns None if nothing fits. pad_x > 0:
+    the last tile must contain the whole pad region (Tx > pad_x), so the
+    physical-east-edge column xr_col = H + Tx - 1 - pad_x stays inside it."""
     H = 128 if not interpret else 8
     if not interpret and nxl % 128:
         return None
@@ -81,7 +83,8 @@ def _choose_tiles(nyl: int, nxl: int, N: int, Q: int, has_solid: bool,
     tx_env = os.environ.get("TPULBM_TILE_X")
     txs = ([int(tx_env)] if tx_env else
            sorted((d for d in _divisors(nxl)
-                   if interpret or d % 128 == 0), reverse=True))
+                   if (interpret or d % 128 == 0) and d > pad_x),
+                  reverse=True))
     for Tx in txs:
         W = Tx + 2 * H
         tys = sorted((t for t in _divisors(nyl)
@@ -95,9 +98,22 @@ def _choose_tiles(nyl: int, nxl: int, N: int, Q: int, has_solid: bool,
 
 
 def make_local_step_tiled(problem: Problem, local_shape: tuple[int, ...],
-                          n_sub: int, interpret: bool | None = None):
+                          n_sub: int, interpret: bool | None = None,
+                          pad_x: int = 0):
     """Build step(f, rb, rt, rl, rr, flags, mask, mrb, mrt, ml, mr, sflags)
     advancing n_sub timesteps per HBM round trip on an x-tiled pipeline.
+
+    pad_x > 0: local_shape is lane-PADDED ((nyl, nxl_real + pad_x), aligned)
+    so any real local width runs fused on x-sharded meshes too. The pad
+    columns live at the end of the LAST tile; on shards with an east
+    neighbor they carry live shadow copies of that neighbor's first pad_x
+    columns (re-stitched every step by the wrapper from
+    halo.ring_cols_padded's fill output, so the owned column nxl_real-1
+    streams from correct data through every substep), while on the
+    physical-east shard they are dead and pinned to the frozen ghost
+    equilibrium each substep (_apply_bcs, fr-gated), exactly like the
+    full-width kernels' pad. The Zou-He outlet column moves to
+    xr_col = H + Tx - 1 - pad_x.
 
       f:      (Q, nyl, nxl) local block
       rb/rt:  (Q, n_sub, nxl + 2H) extended y-ring rows (halo.ring_rows_ext)
@@ -118,13 +134,13 @@ def make_local_step_tiled(problem: Problem, local_shape: tuple[int, ...],
     nyl, nxl = local_shape
     Q = fields["Q"]
     has_solid = fields["has_solid"]
-    tiles = _choose_tiles(nyl, nxl, n_sub, Q, has_solid, interpret)
+    tiles = _choose_tiles(nyl, nxl, n_sub, Q, has_solid, interpret, pad_x)
     if tiles is None:
         return None
     Tx, Ty, H, n_tx, n_ty, W = (tiles.Tx, tiles.Ty, tiles.H, tiles.n_tx,
                                 tiles.n_ty, tiles.W)
     cfg = _Cfg(**fields, Ty=Ty, nxl=W, n_ty=n_ty,
-               xl_col=H, xr_col=H + Tx - 1)
+               xl_col=H, xr_col=H + Tx - 1 - pad_x, pad_x=pad_x)
     N = n_sub
     M = N + 2                      # mask slot ring
     bounce_back = cfg.bounce_back
@@ -513,5 +529,6 @@ def make_local_step_tiled(problem: Problem, local_shape: tuple[int, ...],
     step.tile_width = Tx
     step.halo_width = H
     step.depth = N
+    step.pad_x = pad_x
     step.slab_skip = cfg.slab_skip
     return step

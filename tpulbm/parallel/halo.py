@@ -223,6 +223,63 @@ def ring_cols(f: jnp.ndarray, *, eq_ring: np.ndarray,
     return rl, rr
 
 
+def ring_cols_padded(f: jnp.ndarray, *, eq_ring: np.ndarray,
+                     mesh_shape: tuple[int, int], depth: int, H: int,
+                     periodic_x: bool, pad_x: int,
+                     axis_names: tuple[str, str] = ("y", "x")
+                     ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """ring_cols for lane-PADDED x-sharded local blocks (any real width on
+    the x-tiled pallas kernels — the reference runs any divisible grid,
+    LBMGrid.h:366-392).
+
+    `f` is the padded block (width nxp = nxl + pad_x; real data in
+    [0, nxl), shadow/pad columns in [nxl, nxp)). Sends slice the REAL
+    region only, so they are correct whether or not the caller has
+    refreshed the pad columns yet:
+
+      * west-send (consumed as the receiver's rl): my real last `depth`
+        columns [nxl - depth, nxl) — the receiver's padded frame places
+        its west neighbor's real edge exactly at its own coordinate -1;
+      * east-send (consumed as the receiver's rr + fill): my real first
+        `depth + pad_x` columns — the first pad_x of them refresh the
+        receiver's shadow region (its padded columns [nxl, nxp) duplicate
+        MY [0, pad_x)), the remaining `depth` land in rr, i.e. at the
+        receiver's padded coordinates [nxp, nxp + depth).
+
+    Returns (rl, rr, fill): rl/rr shaped exactly as ring_cols' outputs
+    (H-wide, eq-padded); fill is (Q, ..., nyl, pad_x), frozen ghost
+    equilibrium at the physical east edge (the kernel's fr-gated pad pin
+    keeps those columns at equilibrium through the cascade). The caller
+    must write `fill` into f's pad columns BEFORE building the extended
+    y-ring rows (ring_rows_ext row sends span the full padded width)."""
+    my, mx = mesh_shape
+    ax = axis_names[1]
+    nxl = f.shape[-1] - pad_x
+    eq_block = _eq_block(eq_ring, f.dtype, f.shape[:-1] + (H,))
+    left_send = f[..., 0:depth + pad_x]
+    right_send = f[..., nxl - depth:nxl]
+    if mx == 1 and not periodic_x:
+        return eq_block, eq_block, _eq_block(eq_ring, f.dtype,
+                                             f.shape[:-1] + (pad_x,))
+    if mx == 1:  # periodic single shard: wrap own real edges
+        from_west, from_east = right_send, left_send
+    else:
+        from_west = lax.ppermute(right_send, ax, _perm_fwd(mx, periodic_x))
+        from_east = lax.ppermute(left_send, ax, _perm_bwd(mx, periodic_x))
+        if not periodic_x:
+            ix = lax.axis_index(ax)
+            from_west = jnp.where(
+                ix > 0, from_west,
+                _eq_block(eq_ring, f.dtype, f.shape[:-1] + (depth,)))
+            from_east = jnp.where(
+                ix < mx - 1, from_east,
+                _eq_block(eq_ring, f.dtype,
+                          f.shape[:-1] + (depth + pad_x,)))
+    rl = eq_block.at[..., H - depth:H].set(from_west)
+    rr = eq_block.at[..., 0:depth].set(from_east[..., pad_x:])
+    return rl, rr, from_east[..., 0:pad_x]
+
+
 def ring_rows_ext(f: jnp.ndarray, rl: jnp.ndarray, rr: jnp.ndarray, *,
                   eq_ring: np.ndarray, mesh_shape: tuple[int, int],
                   depth: int,

@@ -154,19 +154,27 @@ def make_chunk_fn(problem: Problem, mesh: Mesh, chunk_len: int,
         else:
             pad2 = int(os.environ.get("TPULBM_FORCE_PAD", "0"))
         pal_shape = (local_shape[0], local_shape[-1] + pad2)
+        if pad2 and problem.periodic_x:
+            # padded periodic grids must take the x-tiled kernel: the
+            # full-width kernels stream x via whole-width lane rolls, which
+            # would wrap through the pad columns; the tiled kernel streams
+            # via halo rings where the pad is a live wrap shadow
+            # (halo.ring_cols_padded).
+            x_sharded = True
 
         def _pallas_possible():
-            # hard constraints: D2Q9 + f32 everywhere; 128-lane-aligned
-            # local width on x-sharded meshes (the x-tiled kernel's
-            # owned-center DMA slices need lane alignment; full-width
-            # kernels lane-pad instead)
+            # hard constraints: D2Q9 + f32 everywhere. Unaligned local
+            # widths lane-pad on EVERY mesh shape (full-width kernels pin
+            # dead pad columns; the x-tiled kernel additionally keeps
+            # interior shards' pad columns as live shadow copies of the
+            # east neighbor, halo.ring_cols_padded) — the only residue is
+            # a degenerate shard too narrow to source its own halo sends.
             from ..ops.step_pallas import _physics_cfg_fields
             _physics_cfg_fields(problem)  # raises for D≠2 / f64
-            if (jax.default_backend() != "cpu" and x_sharded
-                    and local_shape[-1] % 128 != 0):
+            if x_sharded and pad2 and local_shape[-1] < pad2 + 4:
                 raise ValueError(
-                    f"x-sharded pallas needs local nx % 128 == 0, "
-                    f"got {local_shape[-1]}")
+                    f"x-sharded lane padding needs local nx >= pad + 4, "
+                    f"got nx={local_shape[-1]} pad={pad2}")
 
         try:
             _pallas_possible()
@@ -232,7 +240,8 @@ def make_chunk_fn(problem: Problem, mesh: Mesh, chunk_len: int,
                     pallas_step2 = stepper
                     pallas_substeps = n_sub
                     break
-                stepper = make_local_step_tiled(problem, local_shape, n_sub)
+                stepper = make_local_step_tiled(problem, pal_shape, n_sub,
+                                                pad_x=pad2)
                 if stepper is not None:
                     pallas_tiled = stepper
                     pallas_substeps = n_sub
@@ -240,7 +249,8 @@ def make_chunk_fn(problem: Problem, mesh: Mesh, chunk_len: int,
         if (pallas_step2 is None and pallas_tiled is None
                 and pallas_step is None and pallas_ranged is None):
             # x-sharded mesh with no fitting tiled depth: try depth 1
-            pallas_tiled = make_local_step_tiled(problem, local_shape, 1)
+            pallas_tiled = make_local_step_tiled(problem, pal_shape, 1,
+                                                 pad_x=pad2)
             pallas_substeps = 1
             if pallas_tiled is None:
                 import warnings
@@ -513,6 +523,20 @@ def make_chunk_fn(problem: Problem, mesh: Mesh, chunk_len: int,
             (x0 == 0), (x0 + nxl == problem.params.nx)]).astype(jnp.int32)
         N = pallas_tiled.depth
         H = pallas_tiled.halo_width
+        padx = pallas_tiled.pad_x
+        if padx:
+            # lane-pad once per CHUNK (scan carries the padded state). The
+            # pad columns of interior shards are live shadow copies of the
+            # east neighbor's first padx columns, refreshed from the halo
+            # exchange's `fill` every step BEFORE the extended y-rings are
+            # built; at the physical east edge they are dead (eq-pinned
+            # in-kernel). Initial eq fill is overwritten by the first
+            # stitch everywhere it matters.
+            Qn = problem.lattice.Q
+            eqb = jnp.broadcast_to(
+                jnp.asarray(eq_ring, f_local.dtype).reshape(Qn, 1, 1),
+                (Qn, nyl, padx))
+            f_local = jnp.concatenate([f_local, eqb], axis=-1)
 
         # per-y-slab solid flags (static geometry, traced shard offset)
         sflags = None
@@ -529,17 +553,36 @@ def make_chunk_fn(problem: Problem, mesh: Mesh, chunk_len: int,
         if has_solid:
             mask = solid_local.astype(jnp.float32)
             zr = np.zeros(1, np.float32)
-            ml3, mr3 = halo.ring_cols(mask[None], eq_ring=zr,
-                                      mesh_shape=mesh_shape, depth=N, H=H,
-                                      periodic_x=problem.periodic_x)
+            if padx:
+                # static geometry: pad + stitch the shadow columns once per
+                # chunk (same frame as f's pad — the east neighbor's first
+                # padx mask columns), then build the rings on the padded mask
+                mask = jnp.concatenate(
+                    [mask, jnp.zeros((nyl, padx), mask.dtype)], axis=-1)
+                ml3, mr3, mfill = halo.ring_cols_padded(
+                    mask[None], eq_ring=zr, mesh_shape=mesh_shape, depth=N,
+                    H=H, periodic_x=problem.periodic_x, pad_x=padx)
+                mask = jnp.concatenate([mask[..., :nxl], mfill[0]], axis=-1)
+            else:
+                ml3, mr3 = halo.ring_cols(mask[None], eq_ring=zr,
+                                          mesh_shape=mesh_shape, depth=N, H=H,
+                                          periodic_x=problem.periodic_x)
             mrb3, mrt3 = halo.ring_rows_ext(mask[None], ml3, mr3, eq_ring=zr,
                                             mesh_shape=mesh_shape, depth=N)
             ml, mr, mrb, mrt = ml3[0], mr3[0], mrb3[0], mrt3[0]
 
         def n_steps(f, _):
-            rl, rr = halo.ring_cols(f, eq_ring=eq_ring, mesh_shape=mesh_shape,
-                                    depth=N, H=H,
-                                    periodic_x=problem.periodic_x)
+            if padx:
+                rl, rr, fill = halo.ring_cols_padded(
+                    f, eq_ring=eq_ring, mesh_shape=mesh_shape, depth=N, H=H,
+                    periodic_x=problem.periodic_x, pad_x=padx)
+                # refresh the shadow columns from the east neighbor BEFORE
+                # the row rings (their sends span the full padded width)
+                f = jnp.concatenate([f[..., :nxl], fill], axis=-1)
+            else:
+                rl, rr = halo.ring_cols(f, eq_ring=eq_ring,
+                                        mesh_shape=mesh_shape, depth=N, H=H,
+                                        periodic_x=problem.periodic_x)
             rb, rt = halo.ring_rows_ext(f, rl, rr, eq_ring=eq_ring,
                                         mesh_shape=mesh_shape, depth=N)
             return pallas_tiled(f, rb, rt, rl, rr, flags, mask, mrb, mrt,
@@ -547,7 +590,7 @@ def make_chunk_fn(problem: Problem, mesh: Mesh, chunk_len: int,
 
         f_local, _ = lax.scan(n_steps, f_local, None,
                               length=chunk_len // N)
-        return f_local
+        return f_local[..., :nxl] if padx else f_local
 
     if backend == "pallas":
         if ndim == 3:

@@ -162,6 +162,177 @@ def collide_trt(lat: Lattice, f: jnp.ndarray, inv_tau: float,
     return f_post
 
 
+def _mrt_basis(lat: Lattice) -> tuple[np.ndarray, tuple[str, ...]]:
+    """Moment matrix M (Q, Q) and per-row moment names for the MRT
+    (multiple-relaxation-time) operator, built programmatically from the
+    lattice velocity set via the standard orthogonal polynomial bases:
+
+      * D2Q9  — Lallemand & Luo (2000): (rho, e, eps, jx, qx, jy, qy,
+        pxx, pxy); reproduces the usual integer matrix.
+      * D3Q19 — d'Humieres et al. (2002): (rho, e, eps, jx, qx, jy, qy,
+        jz, qz, pxx, pixx, pww, piww, pxy, pyz, pxz, mx, my, mz).
+
+    Rows are mutually orthogonal under the uniform inner product
+    (M @ M.T is diagonal — asserted), which is what makes the inverse
+    well-conditioned. The operator itself only requires invertibility;
+    orthogonality is the canonical choice.
+    """
+    c = lat.c.astype(np.float64)                     # (Q, D)
+    cx, cy = c[:, 0], c[:, 1]
+    if lat.D == 2:
+        c2 = cx * cx + cy * cy
+        rows = [
+            ("rho", np.ones(lat.Q)),
+            ("e", -4.0 + 3.0 * c2),
+            ("eps", 4.0 - 10.5 * c2 + 4.5 * c2 * c2),
+            ("jx", cx),
+            ("qx", (-5.0 + 3.0 * c2) * cx),
+            ("jy", cy),
+            ("qy", (-5.0 + 3.0 * c2) * cy),
+            ("pxx", cx * cx - cy * cy),
+            ("pxy", cx * cy),
+        ]
+    elif lat.D == 3:
+        cz = c[:, 2]
+        c2 = cx * cx + cy * cy + cz * cz
+        rows = [
+            ("rho", np.ones(lat.Q)),
+            ("e", 19.0 * c2 - 30.0),
+            ("eps", (21.0 * c2 * c2 - 53.0 * c2 + 24.0) / 2.0),
+            ("jx", cx),
+            ("qx", (5.0 * c2 - 9.0) * cx),
+            ("jy", cy),
+            ("qy", (5.0 * c2 - 9.0) * cy),
+            ("jz", cz),
+            ("qz", (5.0 * c2 - 9.0) * cz),
+            ("pxx", 3.0 * cx * cx - c2),
+            ("pixx", (3.0 * c2 - 5.0) * (3.0 * cx * cx - c2)),
+            ("pww", cy * cy - cz * cz),
+            ("piww", (3.0 * c2 - 5.0) * (cy * cy - cz * cz)),
+            ("pxy", cx * cy),
+            ("pyz", cy * cz),
+            ("pxz", cx * cz),
+            ("mx", (cy * cy - cz * cz) * cx),
+            ("my", (cz * cz - cx * cx) * cy),
+            ("mz", (cx * cx - cy * cy) * cz),
+        ]
+    else:
+        raise ValueError(f"no MRT basis for D={lat.D}")
+    names = tuple(n for n, _ in rows)
+    M = np.stack([r for _, r in rows])
+    gram = M @ M.T
+    assert np.allclose(gram, np.diag(np.diag(gram))), \
+        "MRT basis rows must be orthogonal"
+    return M, names
+
+
+# Ghost-moment (non-hydrodynamic) relaxation rates. Conserved moments get
+# rate 0 (their deviations vanish identically); shear-stress moments get
+# 1/tau (that is what sets the kinematic viscosity, same as BGK); the rest
+# are free parameters tuned for stability. e/eps follow Lallemand & Luo
+# (2000) [D2Q9] and d'Humieres et al. (2002) [D3Q19]. None → use 1/tau.
+#
+# D2Q9's energy-flux rates qx/qy default to 1/tau, NOT the literature 1.9:
+# the reference-parity boundary chain (Zou-He columns applied over the full
+# wall rows + the zeroed x-ghost columns, PARITY.md quirk #1) re-injects an
+# O(0.04) non-equilibrium at the inlet/outlet corner cells on EVERY step,
+# and any fixed q rate far from s_nu amplifies that loop until blow-up —
+# measured on 512x128 tau=0.5768 f64: q=1.9 NaNs by t=420, the
+# bounce-back "magic" q=8(2-s_nu)/(8-s_nu)=0.34 by t=700, while q=s_nu is
+# stable for tau in [0.55, 0.8] and reproduces the BGK flow field. (The
+# bulk periodic operator is stable for ANY of these rates — it is strictly
+# a boundary-feedback effect; see tests/test_mrt.py's stability gate.)
+# D3Q19 keeps the literature values: its model BCs (equilibrium inlet +
+# zero-gradient outlet) have no such re-injection loop — measured stable.
+_MRT_GHOST_RATES = {
+    2: {"e": 1.64, "eps": 1.54, "qx": None, "qy": None},
+    3: {"e": 1.19, "eps": 1.4, "qx": 1.2, "qy": 1.2, "qz": 1.2,
+        "pixx": 1.4, "piww": 1.4, "mx": 1.98, "my": 1.98, "mz": 1.98},
+}
+_MRT_SHEAR = {2: ("pxx", "pxy"),
+              3: ("pxx", "pww", "pxy", "pyz", "pxz")}
+_MRT_CONSERVED = ("rho", "jx", "jy", "jz")
+
+
+def mrt_rates(lat: Lattice, inv_tau: float,
+              overrides: dict[str, float] | None = None) -> np.ndarray:
+    """(Q,) relaxation rate per moment row of _mrt_basis(lat)."""
+    _, names = _mrt_basis(lat)
+    ghost = dict(_MRT_GHOST_RATES[lat.D])
+    if overrides:
+        unknown = set(overrides) - set(names)
+        if unknown:
+            raise ValueError(f"unknown MRT moments {sorted(unknown)}; "
+                             f"rows are {names}")
+        ghost.update(overrides)
+    out = []
+    for n in names:
+        if n in _MRT_CONSERVED:
+            out.append(0.0)
+        elif n in _MRT_SHEAR[lat.D]:
+            out.append(inv_tau)
+        else:
+            v = ghost[n]
+            out.append(inv_tau if v is None else float(v))
+    return np.asarray(out, np.float64)
+
+
+def mrt_relax_matrix(lat: Lattice, inv_tau: float,
+                     overrides: dict[str, float] | None = None) -> np.ndarray:
+    """R = M⁻¹ S M (Q, Q float64): the MRT update is
+    f_post = f − R (f − feq), applied population-space — no moment-space
+    intermediates at run time, which is what makes the operator cheap to
+    fuse into the Pallas kernels (Q² multiply-adds on data already in
+    registers). Entries below 1e-13 are zeroed (S = s·I gives R ≈ s·I up
+    to inversion rounding; pruning removes that noise and the structural
+    zeros the velocity-set symmetry produces)."""
+    M, _ = _mrt_basis(lat)
+    S = np.diag(mrt_rates(lat, inv_tau, overrides))
+    R = np.linalg.inv(M) @ S @ M
+    R[np.abs(R) < 1e-13] = 0.0
+    return R
+
+
+def collide_mrt(lat: Lattice, f: jnp.ndarray, inv_tau: float,
+                force: tuple[float, ...] = (),
+                overrides: dict[str, float] | None = None) -> jnp.ndarray:
+    """Multiple-relaxation-time collision (new capability — the reference
+    is BGK-only, LBMSolver.h:101-123). Each moment relaxes at its own rate:
+    shear stresses at 1/tau (so the viscosity is exactly BGK's
+    nu = (tau − 1/2)/3 — gated by the MRT Poiseuille test), conserved
+    moments not at all, ghost moments at tunable rates that damp the
+    staircase/checkerboard modes BGK leaves marginally stable. With every
+    rate set to 1/tau this IS BGK (R = (1/tau)·I), which the tests assert
+    to 1e-12.
+
+    Applied as f_post = f − R (f − feq) with the precomputed population-
+    space matrix R (see mrt_relax_matrix); the per-plane loop skips R's
+    structural zeros, exactly like the kernels' in-register version.
+    """
+    R = mrt_relax_matrix(lat, inv_tau, overrides)
+    rho, u = moments(lat, f)
+    feq = equilibrium(lat, rho, u)
+    d = f - feq
+    planes = []
+    for i in range(lat.Q):
+        acc = None
+        for j in range(lat.Q):
+            rij = float(R[i, j])
+            if rij == 0.0:
+                continue
+            term = rij * d[j]
+            acc = term if acc is None else acc + term
+        planes.append(f[i] if acc is None else f[i] - acc)
+    f_post = jnp.stack(planes).astype(f.dtype)
+    if force:
+        c = lat.c.astype(np.float64)
+        F = np.asarray(force, dtype=np.float64)
+        src = np.asarray(3.0 * lat.w * (c @ F))
+        f_post = f_post + jnp.asarray(src, f.dtype).reshape(
+            _wshape(lat, rho.ndim))
+    return f_post
+
+
 def rest_equilibrium(lat: Lattice, dtype=np.float64) -> np.ndarray:
     """Equilibrium at (rho=1, u=0) — just the weights. This is what the
     reference's solid cells hold forever in f_next (see note below)."""
