@@ -34,7 +34,7 @@ import time
 
 def bench(nx=2048, ny=512, backend="pallas", chunk_len=280, chunks=8,
           warmup=2, precision="f32", mesh_shape=(1, 1), verbose=False,
-          reynolds=200.0, repeats=3, nz=0):
+          reynolds=200.0, repeats=3, nz=0, collision="bgk"):
     import jax
     import numpy as np
 
@@ -51,13 +51,13 @@ def bench(nx=2048, ny=512, backend="pallas", chunk_len=280, chunks=8,
         # D3Q19 sphere-in-duct at the stable stock parameters (tau=0.6)
         params = SimulationParams(nx=nx, ny=ny, nz=nz, problem="cylinder3d",
                                   precision=precision, backend=backend,
-                                  mesh_shape=mesh_shape,
+                                  mesh_shape=mesh_shape, collision=collision,
                                   inlet_velocity=0.05)
     else:
         # the driver metric is at Re=200 (the re200 preset's stable params)
         params = SimulationParams(nx=nx, ny=ny, precision=precision,
                                   backend=backend, mesh_shape=mesh_shape,
-                                  inlet_velocity=0.05,
+                                  inlet_velocity=0.05, collision=collision,
                                   tau=tau_for_reynolds(reynolds, 0.05, ny))
     problem = make_problem(params)
     n_dev = mesh_shape[0] * mesh_shape[1]
@@ -112,7 +112,8 @@ def run_one(args, mesh_shape, nx, ny, label=None):
     kw = dict(nx=nx, ny=ny, nz=nz, chunk_len=args.chunk_len,
               chunks=args.chunks, precision=args.precision,
               verbose=args.verbose, mesh_shape=mesh_shape,
-              repeats=args.repeats, reynolds=args.reynolds)
+              repeats=args.repeats, reynolds=args.reynolds,
+              collision=args.collision)
     try:
         mlups, dt, steps = bench(backend=backend, **kw)
     except Exception as e:  # pallas unavailable → honest fallback, flagged
@@ -131,6 +132,8 @@ def run_one(args, mesh_shape, nx, ny, label=None):
                      if nz else
                      f"MLUPS/chip, D2Q9 cylinder {grid} "
                      f"{args.precision} Re={args.reynolds:g}")
+    if args.collision != "bgk":
+        default_label += f" {args.collision}"
     rec = {
         "metric": label or default_label,
         "value": round(mlups / n_dev, 1),
@@ -161,6 +164,10 @@ def main():
     ap.add_argument("--chunks", type=int, default=8)
     ap.add_argument("--chunk-len", type=int, default=280)
     ap.add_argument("--precision", default="f32")
+    ap.add_argument("--collision", default="bgk",
+                    choices=["bgk", "trt", "mrt"],
+                    help="collision operator (extra kernel rows for the "
+                         "BENCH.md operator ladder)")
     ap.add_argument("--reynolds", type=float, default=200.0,
                     help="2-D Reynolds number (tau via tau_for_reynolds); "
                          "lower it on small grids where Re=200 BGK is "

@@ -79,6 +79,33 @@ def test_mrt_conserves_mass_momentum(lat):
     np.testing.assert_allclose(np.asarray(u1), np.asarray(u0), atol=1e-12)
 
 
+@pytest.mark.parametrize("lat", [D2Q9, D3Q19], ids=["d2q9", "d3q19"])
+def test_mrt_rank_correction_matches_dense(lat):
+    # The kernels evaluate R·dev as s_nu·dev + U (V dev) (the rank-r form
+    # that fits Mosaic's scoped-vmem stack); it must match the dense
+    # R = M⁻¹SM on every deviation vector (zero conserved moments — the
+    # only vectors the operator ever sees).
+    inv_tau = 1.0 / 0.63
+    R = physics.mrt_relax_matrix(lat, inv_tau)
+    U, V = physics.mrt_rank_correction(lat, inv_tau)
+    assert U.shape[1] == V.shape[0] > 0
+    M, names = physics._mrt_basis(lat)
+    Minv = np.linalg.inv(M)
+    cons = [k for k, n in enumerate(names) if n in physics._MRT_CONSERVED]
+    rng = np.random.default_rng(3)
+    for _ in range(5):
+        mv = M @ rng.standard_normal(lat.Q)
+        mv[cons] = 0.0
+        d = Minv @ mv
+        np.testing.assert_allclose(inv_tau * d + U @ (V @ d), R @ d,
+                                   rtol=1e-11, atol=1e-12)
+    # uniform rates → rank 0 (MRT degenerates to BGK, kernels skip the
+    # correction loops entirely)
+    Uu, Vu = physics.mrt_rank_correction(
+        lat, inv_tau, overrides=_uniform_overrides(lat, inv_tau))
+    assert Uu.shape == (lat.Q, 0) and Vu.shape == (0, lat.Q)
+
+
 def test_mrt_rest_equilibrium_fixed_point():
     W = physics.rest_equilibrium(D2Q9)
     f = jnp.asarray(np.broadcast_to(W[:, None, None], (9, 4, 4)).copy())

@@ -46,7 +46,7 @@ class SimulationParams:
     vtk_start_step: int = 0
 
     # --- new capabilities (absent from the reference) ---
-    problem: str = "cylinder"        # "cylinder" | "poiseuille" | "cylinder3d"
+    problem: str = "cylinder"        # "cylinder" | "poiseuille" | "cavity" | "cylinder3d"
     obstacle_bc: str = "equilibrium"  # "equilibrium" (reference parity) | "bounce_back"
     collision: str = "bgk"           # "bgk" (reference parity) | "trt" | "mrt" (new: stable at low tau)
     trt_magic: float = 3.0 / 16.0    # TRT magic parameter Λ
@@ -162,6 +162,13 @@ def _presets() -> dict[str, SimulationParams]:
             inlet_velocity=0.0, periodic_x=True,
             body_force=(1e-5, 0.0), num_timesteps=20000,
             output_frequency=1000, cylinder_radius=0.0, enable_vtk=False),
+        # Lid-driven square cavity at Re=100 (Ghia, Ghia & Shin 1982
+        # benchmark; models/cavity.py). inlet_velocity is the lid speed;
+        # tau = 3 U (nx-1)/Re + 1/2.
+        "cavity": base.replace(
+            problem="cavity", nx=128, ny=128, tau=0.881, inlet_velocity=0.1,
+            num_timesteps=40000, output_frequency=2000, cylinder_radius=0.0,
+            enable_vtk=False),
         # Multi-million-cell sharded scaling config (BASELINE config 4).
         "scale-8m": base.replace(nx=4096, ny=2048, num_timesteps=2000,
                                  output_frequency=500),
@@ -188,7 +195,8 @@ def add_cli_args(parser: argparse.ArgumentParser) -> None:
         parser.add_argument(f"--{field.replace('_', '-')}", type=int, default=None)
     parser.add_argument("--reynolds", type=float, default=None,
                         help="set tau to achieve this Reynolds number")
-    parser.add_argument("--problem", choices=["cylinder", "poiseuille", "cylinder3d"],
+    parser.add_argument("--problem", choices=["cylinder", "poiseuille",
+                                              "cavity", "cylinder3d"],
                         default=None)
     parser.add_argument("--obstacle-bc", choices=["equilibrium", "bounce_back"],
                         default=None)

@@ -6,11 +6,15 @@ __all__ = ["Problem", "make_problem"]
 
 
 def make_problem(params):
-    """Build the Problem for params.problem ("cylinder"|"poiseuille"|"cylinder3d")."""
+    """Build the Problem for params.problem
+    ("cylinder"|"poiseuille"|"cavity"|"cylinder3d")."""
     if params.problem == "cylinder":
         return cylinder.make_problem(params)
     if params.problem == "poiseuille":
         return poiseuille.make_problem(params)
+    if params.problem == "cavity":
+        from . import cavity
+        return cavity.make_problem(params)
     if params.problem == "cylinder3d":
         from . import cylinder3d
         return cylinder3d.make_problem(params)

@@ -35,6 +35,9 @@ class Problem:
     outlet_zero_grad: bool = False    # zero-gradient outlet (3-D model)
     walls_y: bool = True              # bounce-back walls at y extremes (LBMSolver.h:153-176)
     walls_z: bool = False
+    walls_x: bool = False             # bounce-back walls at x extremes (cavity)
+    lid_u: float = 0.0                # moving-lid speed (+x) at the top wall (cavity)
+    closed_box: bool = False          # no open BCs: runner renormalizes total mass
     periodic_x: bool = False
     body_force: tuple[float, ...] = ()
     obstacle_bc: str = "equilibrium"  # see ops/step_jax.py for semantics

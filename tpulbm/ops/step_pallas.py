@@ -66,7 +66,7 @@ class _Cfg:
     opp: tuple
     inv_tau: float
     omega_minus: float | None  # TRT odd-moment rate; None → BGK
-    mrt_R: tuple | None        # MRT population-space relax matrix rows; None → BGK/TRT
+    mrt_uv: tuple | None       # MRT rank-r correction (U rows, V rows); None → BGK/TRT
     u_in: float
     eq_in: tuple        # frozen ghost equilibrium per direction
     src: tuple | None   # body-force source term per direction
@@ -75,6 +75,8 @@ class _Cfg:
     guard_bcs: bool     # solid cells touch a BC region → strips need the mask
     slab_skip: bool     # obstacle handling may be skipped on solid-free slabs
     walls_y: bool
+    walls_x: bool       # side walls at the x edges (cavity)
+    lid_u: float        # moving-lid speed at the top wall (cavity; 0 → plain wall)
     clean_corners: bool
     inlet_zou_he: bool
     outlet_zou_he: bool
@@ -130,10 +132,15 @@ def _collide_rows(cfg: _Cfg, fw, solid_rows):
                 fp = jnp.where(solid_rows, fw[i], fp)
             out.append(fp)
         return out
-    if cfg.mrt_R is not None:
-        # MRT (physics.collide_mrt): f − R (f − feq) with the precomputed
-        # population-space matrix R = M⁻¹ S M — Q² pruned multiply-adds on
-        # in-register deviations, no moment-space intermediates.
+    if cfg.mrt_uv is not None:
+        # MRT in rank-r form (physics.mrt_rank_correction):
+        #   f_post = f − s_nu·dev − Σ_k U[:,k] (V[k]·dev),  dev = f − feq.
+        # The dense f − M⁻¹SM·dev keeps ~2Q row blocks live and overflowed
+        # Mosaic's 16 MB scoped-vmem stack on padded x-tiled configs; this
+        # form carries only r running inner-product blocks (r = 2 for the
+        # D2Q9 default rates) and ~2rQ + Q multiply-adds instead of Q².
+        U, V = cfg.mrt_uv
+        r = len(V)
         devs = []
         for i in range(cfg.Q):
             cx, cy = cfg.c[i]
@@ -143,15 +150,21 @@ def _collide_rows(cfg: _Cfg, fw, solid_rows):
             else:
                 feq = cfg.w[i] * rho * base
             devs.append(fw[i] - feq)
-        for i in range(cfg.Q):
-            acc = None
-            for j in range(cfg.Q):
-                rij = cfg.mrt_R[i][j]
-                if rij == 0.0:
+        t = [None] * r
+        for j in range(cfg.Q):
+            for k in range(r):
+                vkj = V[k][j]
+                if vkj == 0.0:
                     continue
-                term = rij * devs[j]
-                acc = term if acc is None else acc + term
-            fp = fw[i] if acc is None else fw[i] - acc
+                term = devs[j] if vkj == 1.0 else vkj * devs[j]
+                t[k] = term if t[k] is None else t[k] + term
+        for i in range(cfg.Q):
+            fp = fw[i] - cfg.inv_tau * devs[i]
+            for k in range(r):
+                uik = U[i][k]
+                if uik == 0.0 or t[k] is None:
+                    continue
+                fp = fp - uik * t[k]
             if cfg.src is not None and cfg.src[i]:
                 fp = fp + cfg.src[i]
             if cfg.bounce_back:
@@ -257,12 +270,92 @@ def _apply_bcs(cfg: _Cfg, ref, slot, msl, mslot, is_bottom, is_top, fl, fr,
 
         @pl.when(is_top)
         def _top():
+            if cfg.lid_u:
+                # moving lid (cavity): momentum-corrected reflection
+                # f_i <- f_opp + 6 w_i rho_w (c_i . u_lid), c_s^2 = 1/3
+                # (ops/boundaries.apply_moving_wall). rho_w from KNOWN
+                # populations only (cy >= 0 at the top row — the cy < 0
+                # ones hold ghost constants here); f4's correction is 0.
+                rho_w = None
+                for i in range(Q):
+                    cy = cfg.c[i][1]
+                    if cy < 0:
+                        continue
+                    term = ref[slot, i, Ty - 1:Ty, :]
+                    if cy > 0:
+                        term = 2.0 * term
+                    rho_w = term if rho_w is None else rho_w + term
             for i in (4, 7, 8):  # f4<-f2, f7<-f5, f8<-f6
                 val = ref[slot, opp[i], Ty - 1:Ty, :]
+                if cfg.lid_u:
+                    cu = cfg.c[i][0] * cfg.lid_u
+                    if cu:
+                        val = val + (6.0 * w[i] * cu) * rho_w
                 if cfg.guard_bcs:
                     val = jnp.where(mrow(Ty - 1, Ty) < 0.5, val,
                                     ref[slot, i, Ty - 1:Ty, :])
                 ref[slot, i, Ty - 1:Ty, :] = val
+
+    # side walls at the physical x edges (cavity;
+    # ops/boundaries.apply_walls with axis_component=0) — bounce-back on
+    # the xl/xr columns, after the y-walls exactly like apply_all's order
+    if cfg.walls_x:
+        @pl.when(fl == 1)
+        def _left_wall():
+            for i in (1, 5, 8):  # cx > 0: inward at x = xl
+                val = ref[slot, opp[i], :, xl:xl + 1]
+                if cfg.guard_bcs:
+                    val = jnp.where(mrow(0, Ty, xl, xl + 1) < 0.5, val,
+                                    ref[slot, i, :, xl:xl + 1])
+                ref[slot, i, :, xl:xl + 1] = val
+
+        @pl.when(fr == 1)
+        def _right_wall():
+            for i in (3, 6, 7):  # cx < 0: inward at x = xr
+                val = ref[slot, opp[i], :, xr:xr + 1]
+                if cfg.guard_bcs:
+                    val = jnp.where(mrow(0, Ty, xr, xr + 1) < 0.5, val,
+                                    ref[slot, i, :, xr:xr + 1])
+                ref[slot, i, :, xr:xr + 1] = val
+
+        # wall∩wall corner closure (ops/boundaries.apply_cavity_corners):
+        # the edge-diagonal pair is mutually unknown — bounce the three
+        # known-opposite unknowns, split the density residual against the
+        # diagonally-inward neighbor's rho* (mass-conserving; the plain
+        # reflections above would integrate the zeroed-ghost leak)
+        def _cav_corner(row, nrow, xc, ncol, assigns, pair):
+            vals = [ref[slot, i, row:row + 1, xc:xc + 1] for i in range(Q)]
+            rho_star = sum(ref[slot, i, nrow:nrow + 1, ncol:ncol + 1]
+                           for i in range(Q))
+            resid = (0.5 * (rho_star - vals[0])
+                     - sum(vals[src] for _, src in assigns))
+            new = {dst: vals[src] for dst, src in assigns}
+            for i in pair:
+                new[i] = resid
+            if cfg.has_solid and cfg.guard_bcs:
+                fluid = mrow(row, row + 1, xc, xc + 1) < 0.5
+                for i in new:
+                    new[i] = jnp.where(fluid, new[i], vals[i])
+            for i, v in new.items():
+                ref[slot, i, row:row + 1, xc:xc + 1] = v
+
+        @pl.when(jnp.logical_and(is_bottom, fl == 1))
+        def _cav_bl():
+            _cav_corner(0, 1, xl, xl + 1, [(1, 3), (2, 4), (5, 7)], (6, 8))
+
+        @pl.when(jnp.logical_and(is_bottom, fr == 1))
+        def _cav_br():
+            _cav_corner(0, 1, xr, xr - 1, [(3, 1), (2, 4), (6, 8)], (5, 7))
+
+        @pl.when(jnp.logical_and(is_top, fl == 1))
+        def _cav_tl():
+            _cav_corner(Ty - 1, Ty - 2, xl, xl + 1,
+                        [(1, 3), (4, 2), (8, 6)], (5, 7))
+
+        @pl.when(jnp.logical_and(is_top, fr == 1))
+        def _cav_tr():
+            _cav_corner(Ty - 1, Ty - 2, xr, xr - 1,
+                        [(3, 1), (4, 2), (7, 5)], (6, 8))
 
     # Zou-He inlet, physical column xl (LBMSolver.h:179-207)
     if cfg.inlet_zou_he:
@@ -402,6 +495,18 @@ def _bc_row_values(cfg: _Cfg, planes, mask_row, fl, fr):
     def guard(m):
         return m if fluid is None else (m & fluid)
 
+    if cfg.walls_x:
+        # side-wall bounce-back on the x-edge columns (cavity;
+        # ops/boundaries.apply_walls with axis_component=0)
+        snap = list(planes)
+        for i in range(Q):
+            cx, _ = cfg.c[i]
+            if cx > 0:
+                planes[i] = jnp.where(guard((col == xl) & (fl == 1)),
+                                      snap[cfg.opp[i]], planes[i])
+            elif cx < 0:
+                planes[i] = jnp.where(guard((col == xr) & (fr == 1)),
+                                      snap[cfg.opp[i]], planes[i])
     if cfg.inlet_zou_he:
         m = guard((col == xl) & (fl == 1))
         p = planes
@@ -472,19 +577,20 @@ def _physics_cfg_fields(problem: Problem) -> dict:
 
     from .. import physics as _physics
     omega_minus = None
-    mrt_R = None
+    mrt_uv = None
     if problem.collision == "trt":
         omega_minus = _physics.omega_minus_trt(1.0 / problem.params.tau,
                                                problem.trt_magic)
     elif problem.collision == "mrt":
-        mrt_R = tuple(tuple(float(v) for v in row) for row in
-                      _physics.mrt_relax_matrix(
-                          lat, 1.0 / problem.params.tau,
-                          overrides=dict(problem.mrt_rates) or None))
+        U, V = _physics.mrt_rank_correction(
+            lat, 1.0 / problem.params.tau,
+            overrides=dict(problem.mrt_rates) or None)
+        mrt_uv = (tuple(tuple(float(v) for v in row) for row in U),
+                  tuple(tuple(float(v) for v in row) for row in V))
     return dict(
         Q=Q, c=c, w=w, opp=tuple(int(v) for v in lat.opposite),
         inv_tau=1.0 / problem.params.tau,
-        omega_minus=omega_minus, mrt_R=mrt_R,
+        omega_minus=omega_minus, mrt_uv=mrt_uv,
         u_in=float(problem.init_u[0]),
         eq_in=tuple(float(v) for v in problem.ghost_ring_values()),
         src=src, has_solid=has_solid,
@@ -492,6 +598,8 @@ def _physics_cfg_fields(problem: Problem) -> dict:
         guard_bcs=guard_bcs, slab_skip=slab_skip,
         clean_corners=bool(getattr(problem, 'clean_corners', False)),
         walls_y=problem.walls_y,
+        walls_x=problem.walls_x,
+        lid_u=float(problem.lid_u),
         inlet_zou_he=problem.inlet_zou_he,
         outlet_zou_he=problem.outlet_zou_he,
         periodic_x=problem.periodic_x,
@@ -532,13 +640,13 @@ def _build_cfg(problem: Problem, local_shape, interpret, substeps=1,
                 f"local ny must have a multiple-of-8 divisor small enough")
         Ty = max(valid)
 
-    # The top clean-corner closure reads the inlet-neighbor density from
-    # slab row Ty-2; a degenerate 1-row slab (possible only in interpret
-    # mode, where Ty need not be a multiple of 8) would slice an empty
-    # [-1:0] window and compute a wrong rho*.
-    if fields["clean_corners"] and Ty < 2:
+    # The top corner closures read a neighbor density from slab row Ty-2;
+    # a degenerate 1-row slab (possible only in interpret mode, where Ty
+    # need not be a multiple of 8) would slice an empty [-1:0] window and
+    # compute a wrong rho*.
+    if (fields["clean_corners"] or fields["walls_x"]) and Ty < 2:
         raise ValueError(
-            f"zou_he_corners='clean' needs slab height Ty >= 2, got {Ty}")
+            f"corner closures need slab height Ty >= 2, got {Ty}")
 
     return _Cfg(**fields, Ty=Ty, nxl=nxl, n_ty=nyl // Ty,
                 xl_col=0, xr_col=nxl - 1 - pad_x, pad_x=pad_x)

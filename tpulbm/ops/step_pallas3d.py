@@ -45,7 +45,7 @@ class _Cfg3d:
     opp: tuple
     inv_tau: float
     omega_minus: float | None
-    mrt_R: tuple | None  # MRT population-space relax matrix rows
+    mrt_uv: tuple | None  # MRT rank-r correction (U rows, V rows)
     eq_in: tuple
     src: tuple | None
     has_solid: bool
@@ -107,11 +107,15 @@ def _collide_planes(cfg: _Cfg3d, fw, solid):
             fp = jnp.where(solid, fw[i], fp)
         return fp
 
-    if cfg.mrt_R is not None:
-        # MRT: f − R (f − feq), R = M⁻¹ S M precomputed (physics.
-        # mrt_relax_matrix) — Q² pruned multiply-adds; feq via the ±pair
-        # shared terms below would change rounding for no measurable win
-        # here (MRT is opt-in), so use the direct form.
+    if cfg.mrt_uv is not None:
+        # MRT in rank-r form (physics.mrt_rank_correction):
+        #   f_post = f − s_nu·dev − Σ_k U[:,k] (V[k]·dev),  dev = f − feq.
+        # r = 10 for the D3Q19 default rates — ~2rQ + Q multiply-adds and
+        # r running inner-product blocks instead of the dense form's Q²
+        # terms / ~2Q live blocks (which overflowed Mosaic scoped vmem on
+        # the 2-D padded x-tiled configs; same shape risk here).
+        U, V = cfg.mrt_uv
+        r = len(V)
         devs = []
         for i in range(Q):
             cu = cu_of(i)
@@ -119,15 +123,22 @@ def _collide_planes(cfg: _Cfg3d, fw, solid):
             feq = wr * base if cu is None else wr * (base + 3.0 * cu
                                                      + 4.5 * cu * cu)
             devs.append(fw[i] - feq)
-        for i in range(Q):
-            acc = None
-            for j in range(Q):
-                rij = cfg.mrt_R[i][j]
-                if rij == 0.0:
+        t = [None] * r
+        for j in range(Q):
+            for k in range(r):
+                vkj = V[k][j]
+                if vkj == 0.0:
                     continue
-                term = rij * devs[j]
-                acc = term if acc is None else acc + term
-            out[i] = finish(i, fw[i] if acc is None else fw[i] - acc)
+                term = devs[j] if vkj == 1.0 else vkj * devs[j]
+                t[k] = term if t[k] is None else t[k] + term
+        for i in range(Q):
+            fp = fw[i] - cfg.inv_tau * devs[i]
+            for k in range(r):
+                uik = U[i][k]
+                if uik == 0.0 or t[k] is None:
+                    continue
+                fp = fp - uik * t[k]
+            out[i] = finish(i, fp)
         return out
 
     if cfg.omega_minus is not None:  # TRT (already pair-structured)
@@ -208,15 +219,16 @@ def make_local_step_pallas3d(problem: Problem,
 
     from .. import physics as _physics
     omega_minus = None
-    mrt_R = None
+    mrt_uv = None
     if problem.collision == "trt":
         omega_minus = _physics.omega_minus_trt(1.0 / problem.params.tau,
                                                problem.trt_magic)
     elif problem.collision == "mrt":
-        mrt_R = tuple(tuple(float(v) for v in row) for row in
-                      _physics.mrt_relax_matrix(
-                          lat, 1.0 / problem.params.tau,
-                          overrides=dict(problem.mrt_rates) or None))
+        U, V = _physics.mrt_rank_correction(
+            lat, 1.0 / problem.params.tau,
+            overrides=dict(problem.mrt_rates) or None)
+        mrt_uv = (tuple(tuple(float(v) for v in row) for row in U),
+                  tuple(tuple(float(v) for v in row) for row in V))
     if problem.body_force:
         F = np.asarray(problem.body_force, np.float64)
         src = tuple(float(3.0 * lat.w[i] * (lat.c[i].astype(np.float64) @ F))
@@ -228,7 +240,7 @@ def make_local_step_pallas3d(problem: Problem,
         w=tuple(float(v) for v in lat.w),
         opp=tuple(int(v) for v in lat.opposite),
         inv_tau=1.0 / problem.params.tau, omega_minus=omega_minus,
-        mrt_R=mrt_R,
+        mrt_uv=mrt_uv,
         eq_in=tuple(float(v) for v in problem.ghost_ring_values()),
         src=src, has_solid=has_solid,
         bounce_back=has_solid and problem.obstacle_bc == "bounce_back",
@@ -575,15 +587,16 @@ def make_local_step_pallas3d_tiled(problem: Problem,
 
     from .. import physics as _physics
     omega_minus = None
-    mrt_R = None
+    mrt_uv = None
     if problem.collision == "trt":
         omega_minus = _physics.omega_minus_trt(1.0 / problem.params.tau,
                                                problem.trt_magic)
     elif problem.collision == "mrt":
-        mrt_R = tuple(tuple(float(v) for v in row) for row in
-                      _physics.mrt_relax_matrix(
-                          lat, 1.0 / problem.params.tau,
-                          overrides=dict(problem.mrt_rates) or None))
+        U, V = _physics.mrt_rank_correction(
+            lat, 1.0 / problem.params.tau,
+            overrides=dict(problem.mrt_rates) or None)
+        mrt_uv = (tuple(tuple(float(v) for v in row) for row in U),
+                  tuple(tuple(float(v) for v in row) for row in V))
     if problem.body_force:
         F = np.asarray(problem.body_force, np.float64)
         src = tuple(float(3.0 * lat.w[i] * (lat.c[i].astype(np.float64) @ F))
@@ -616,7 +629,7 @@ def make_local_step_pallas3d_tiled(problem: Problem,
         w=tuple(float(v) for v in lat.w),
         opp=tuple(int(v) for v in lat.opposite),
         inv_tau=1.0 / problem.params.tau, omega_minus=omega_minus,
-        mrt_R=mrt_R,
+        mrt_uv=mrt_uv,
         eq_in=tuple(float(v) for v in problem.ghost_ring_values()),
         src=src, has_solid=has_solid,
         bounce_back=bounce_back,

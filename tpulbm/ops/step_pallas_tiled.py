@@ -137,6 +137,9 @@ def make_local_step_tiled(problem: Problem, local_shape: tuple[int, ...],
     tiles = _choose_tiles(nyl, nxl, n_sub, Q, has_solid, interpret, pad_x)
     if tiles is None:
         return None
+    if (min(tiles.Ty, tiles.Tx) < 2
+            and (fields["clean_corners"] or fields["walls_x"])):
+        return None  # corner closures read slab row Ty-2 / tile col xl+1
     Tx, Ty, H, n_tx, n_ty, W = (tiles.Tx, tiles.Ty, tiles.H, tiles.n_tx,
                                 tiles.n_ty, tiles.W)
     cfg = _Cfg(**fields, Ty=Ty, nxl=W, n_ty=n_ty,

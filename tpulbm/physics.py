@@ -293,6 +293,39 @@ def mrt_relax_matrix(lat: Lattice, inv_tau: float,
     return R
 
 
+def mrt_rank_correction(lat: Lattice, inv_tau: float,
+                        overrides: dict[str, float] | None = None
+                        ) -> tuple[np.ndarray, np.ndarray]:
+    """Low-rank form of the MRT operator for the Pallas kernels:
+
+        R = s_nu·I + Σ_k (s_k − s_nu) · u_k v_kᵀ
+          with u_k = (M⁻¹) column k, v_k = M row k,
+
+    summed over ONLY the moments whose rate differs from the shear rate
+    s_nu = 1/tau. Conserved moments never contribute even though their
+    rate (0) differs: v_k · (f − feq) ≡ 0 for mass/momentum rows, so they
+    are excluded analytically. Returns (U (Q, r), V (r, Q)) float64, with
+    r = 0 when MRT degenerates to BGK (all rates = s_nu).
+
+    This is what the kernels evaluate: the dense f − R(f−feq) keeps ~2Q
+    row blocks live and overflowed Mosaic's 16 MB scoped-vmem stack on
+    padded x-tiled configurations; the rank form needs r running inner-
+    product blocks (r = 2 for D2Q9 defaults, 10 for D3Q19) and ~2rQ + Q
+    multiply-adds instead of Q². Verified against mrt_relax_matrix to
+    1e-12 by tests/test_mrt.py.
+    """
+    M, names = _mrt_basis(lat)
+    rates = mrt_rates(lat, inv_tau, overrides)
+    Minv = np.linalg.inv(M)
+    keep = [k for k, n in enumerate(names)
+            if n not in _MRT_CONSERVED and rates[k] != inv_tau]
+    U = np.stack([(rates[k] - inv_tau) * Minv[:, k] for k in keep], axis=1) \
+        if keep else np.zeros((lat.Q, 0))
+    V = M[keep] if keep else np.zeros((0, lat.Q))
+    U[np.abs(U) < 1e-15] = 0.0
+    return U, V
+
+
 def collide_mrt(lat: Lattice, f: jnp.ndarray, inv_tau: float,
                 force: tuple[float, ...] = (),
                 overrides: dict[str, float] | None = None) -> jnp.ndarray:
