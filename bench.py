@@ -34,7 +34,8 @@ import time
 
 def bench(nx=2048, ny=512, backend="pallas", chunk_len=280, chunks=8,
           warmup=2, precision="f32", mesh_shape=(1, 1), verbose=False,
-          reynolds=200.0, repeats=3, nz=0, collision="bgk"):
+          reynolds=200.0, repeats=3, nz=0, collision="bgk",
+          smagorinsky=0.0):
     import jax
     import numpy as np
 
@@ -52,12 +53,14 @@ def bench(nx=2048, ny=512, backend="pallas", chunk_len=280, chunks=8,
         params = SimulationParams(nx=nx, ny=ny, nz=nz, problem="cylinder3d",
                                   precision=precision, backend=backend,
                                   mesh_shape=mesh_shape, collision=collision,
+                                  smagorinsky=smagorinsky,
                                   inlet_velocity=0.05)
     else:
         # the driver metric is at Re=200 (the re200 preset's stable params)
         params = SimulationParams(nx=nx, ny=ny, precision=precision,
                                   backend=backend, mesh_shape=mesh_shape,
                                   inlet_velocity=0.05, collision=collision,
+                                  smagorinsky=smagorinsky,
                                   tau=tau_for_reynolds(reynolds, 0.05, ny))
     problem = make_problem(params)
     n_dev = mesh_shape[0] * mesh_shape[1]
@@ -113,7 +116,7 @@ def run_one(args, mesh_shape, nx, ny, label=None):
               chunks=args.chunks, precision=args.precision,
               verbose=args.verbose, mesh_shape=mesh_shape,
               repeats=args.repeats, reynolds=args.reynolds,
-              collision=args.collision)
+              collision=args.collision, smagorinsky=args.smagorinsky)
     try:
         mlups, dt, steps = bench(backend=backend, **kw)
     except Exception as e:  # pallas unavailable → honest fallback, flagged
@@ -134,6 +137,8 @@ def run_one(args, mesh_shape, nx, ny, label=None):
                      f"{args.precision} Re={args.reynolds:g}")
     if args.collision != "bgk":
         default_label += f" {args.collision}"
+    if args.smagorinsky:
+        default_label += f" les(Cs={args.smagorinsky:g})"
     rec = {
         "metric": label or default_label,
         "value": round(mlups / n_dev, 1),
@@ -168,6 +173,9 @@ def main():
                     choices=["bgk", "trt", "mrt"],
                     help="collision operator (extra kernel rows for the "
                          "BENCH.md operator ladder)")
+    ap.add_argument("--smagorinsky", type=float, default=0.0,
+                    help="Smagorinsky Cs (0 = off; extra kernel rows for "
+                         "the BENCH.md operator ladder)")
     ap.add_argument("--reynolds", type=float, default=200.0,
                     help="2-D Reynolds number (tau via tau_for_reynolds); "
                          "lower it on small grids where Re=200 BGK is "

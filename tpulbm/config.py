@@ -54,6 +54,11 @@ class SimulationParams:
     # (("e", 1.5), ("qx", 1.2)). Row names per physics._mrt_basis; unset
     # moments use the measured-stable defaults (physics._MRT_GHOST_RATES).
     mrt_rates: tuple[tuple[str, float], ...] = ()
+    # Smagorinsky LES constant Cs (0 = off; typical 0.1-0.2). BGK-only:
+    # per-cell tau_eff from the non-equilibrium stress (physics.
+    # smagorinsky_inv_tau) — adds eddy viscosity where the flow is
+    # under-resolved, stabilizing high-Re runs the reference cannot reach.
+    smagorinsky: float = 0.0
     body_force: tuple[float, ...] = ()  # Guo-style forcing (ref dead code LBMUtils.h:15-19)
     periodic_x: bool = False         # poiseuille channel uses periodic x
     precision: str = "f32"           # "f32" (TPU-native) | "f64" (validation)
@@ -75,6 +80,11 @@ class SimulationParams:
         return (self.tau - 0.5) / 3.0
 
     def reynolds(self) -> float:
+        if self.problem == "cavity":
+            # lid-driven cavity: Re = U_lid (nx-1) / nu (models/cavity.py;
+            # the wall BC pins u at the boundary nodes, so the side length
+            # is nx-1 cells)
+            return self.inlet_velocity * (self.nx - 1) / self.nu()
         D = 2.0 * self.cylinder_radius * self.ny
         return (self.inlet_velocity * D) / self.nu()
 
@@ -188,7 +198,7 @@ def add_cli_args(parser: argparse.ArgumentParser) -> None:
                         help="path to a JSON file with SimulationParams fields")
     # individual overrides
     for field in ("tau", "inlet_velocity", "cylinder_x", "cylinder_y",
-                  "cylinder_radius"):
+                  "cylinder_radius", "smagorinsky"):
         parser.add_argument(f"--{field.replace('_', '-')}", type=float, default=None)
     for field in ("nx", "ny", "nz", "num_timesteps", "output_frequency",
                   "vtk_start_step", "checkpoint_every"):
@@ -233,7 +243,8 @@ def params_from_args(args: argparse.Namespace) -> SimulationParams:
 
     overrides: dict[str, Any] = {}
     for field in ("tau", "inlet_velocity", "cylinder_x", "cylinder_y",
-                  "cylinder_radius", "nx", "ny", "nz", "num_timesteps",
+                  "cylinder_radius", "smagorinsky", "nx", "ny", "nz",
+                  "num_timesteps",
                   "output_frequency", "vtk_start_step", "checkpoint_every",
                   "problem", "precision", "backend", "output_dir",
                   "checkpoint_dir", "vtk_format", "zou_he_corners"):
@@ -282,3 +293,12 @@ def validate_params(params: SimulationParams) -> None:
         raise ValueError(
             "--mrt-rates only applies to collision='mrt', not "
             f"{params.collision!r}")
+    if params.smagorinsky:
+        if params.smagorinsky < 0:
+            raise ValueError(
+                f"smagorinsky (Cs) must be >= 0, got {params.smagorinsky}")
+        if params.collision != "bgk":
+            raise ValueError(
+                "the Smagorinsky closure is implemented for collision="
+                f"'bgk' only (got {params.collision!r}); TRT/MRT would "
+                "need their own per-cell rate plumbing")

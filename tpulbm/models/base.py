@@ -45,6 +45,7 @@ class Problem:
     clean_corners: bool = False       # Zou-He corner closure (2-D; opt-in)
     trt_magic: float = 3.0 / 16.0
     mrt_rates: tuple = ()             # ((moment, rate), ...) ghost overrides
+    smagorinsky: float = 0.0          # LES constant Cs (physics.smagorinsky_inv_tau)
 
     @property
     def spatial_shape(self) -> tuple[int, ...]:

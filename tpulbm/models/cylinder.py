@@ -27,6 +27,7 @@ def make_problem(params: SimulationParams) -> Problem:
         body_force=tuple(params.body_force),
         obstacle_bc=params.obstacle_bc,
         collision=params.collision,
+        smagorinsky=params.smagorinsky,
         trt_magic=params.trt_magic,
         mrt_rates=params.mrt_rates,
         clean_corners=params.zou_he_corners == "clean",

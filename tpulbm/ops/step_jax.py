@@ -52,6 +52,10 @@ def _collide_block(problem: Problem, f: jnp.ndarray,
         f_post = physics.collide_mrt(problem.lattice, f, inv_tau,
                                      problem.body_force,
                                      overrides=dict(problem.mrt_rates) or None)
+    elif problem.smagorinsky:
+        f_post = physics.collide_smagorinsky(problem.lattice, f, inv_tau,
+                                             problem.smagorinsky,
+                                             problem.body_force)
     else:
         f_post = physics.collide(problem.lattice, f, inv_tau, problem.body_force)
     if solid is not None and problem.obstacle_bc == "bounce_back":

@@ -67,6 +67,7 @@ class _Cfg:
     inv_tau: float
     omega_minus: float | None  # TRT odd-moment rate; None → BGK
     mrt_uv: tuple | None       # MRT rank-r correction (U rows, V rows); None → BGK/TRT
+    smag: float                # Smagorinsky Cs; 0 → plain BGK
     u_in: float
     eq_in: tuple        # frozen ghost equilibrium per direction
     src: tuple | None   # body-force source term per direction
@@ -165,6 +166,35 @@ def _collide_rows(cfg: _Cfg, fw, solid_rows):
                 if uik == 0.0 or t[k] is None:
                     continue
                 fp = fp - uik * t[k]
+            if cfg.src is not None and cfg.src[i]:
+                fp = fp + cfg.src[i]
+            if cfg.bounce_back:
+                fp = jnp.where(solid_rows, fw[i], fp)
+            out.append(fp)
+        return out
+    if cfg.smag:
+        # BGK + Smagorinsky LES (physics.smagorinsky_inv_tau): per-cell
+        # tau_eff = (tau0 + sqrt(tau0² + 18 Cs² Q̄ / rho)) / 2 from the
+        # non-equilibrium momentum flux Pi_ab = Σ_i c_ia c_ib dev_i,
+        # Q̄ = sqrt(2 ΣPi²) — D2Q9 index sets unrolled like mx/my above.
+        devs = []
+        for i in range(cfg.Q):
+            cx, cy = cfg.c[i]
+            cu = (cx * ux if cx else 0.0) + (cy * uy if cy else 0.0)
+            if cx or cy:
+                feq = cfg.w[i] * rho * (base + 3.0 * cu + 4.5 * cu * cu)
+            else:
+                feq = cfg.w[i] * rho * base
+            devs.append(fw[i] - feq)
+        pxx = devs[1] + devs[3] + devs[5] + devs[6] + devs[7] + devs[8]
+        pyy = devs[2] + devs[4] + devs[5] + devs[6] + devs[7] + devs[8]
+        pxy = devs[5] - devs[6] + devs[7] - devs[8]
+        qbar = jnp.sqrt(2.0 * (pxx * pxx + pyy * pyy + 2.0 * (pxy * pxy)))
+        tau0 = 1.0 / cfg.inv_tau
+        inv_t = 2.0 / (tau0 + jnp.sqrt(
+            tau0 * tau0 + (18.0 * cfg.smag * cfg.smag) * qbar * inv_rho))
+        for i in range(cfg.Q):
+            fp = fw[i] - inv_t * devs[i]
             if cfg.src is not None and cfg.src[i]:
                 fp = fp + cfg.src[i]
             if cfg.bounce_back:
@@ -591,6 +621,7 @@ def _physics_cfg_fields(problem: Problem) -> dict:
         Q=Q, c=c, w=w, opp=tuple(int(v) for v in lat.opposite),
         inv_tau=1.0 / problem.params.tau,
         omega_minus=omega_minus, mrt_uv=mrt_uv,
+        smag=float(problem.smagorinsky),
         u_in=float(problem.init_u[0]),
         eq_in=tuple(float(v) for v in problem.ghost_ring_values()),
         src=src, has_solid=has_solid,

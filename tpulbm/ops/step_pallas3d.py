@@ -46,6 +46,7 @@ class _Cfg3d:
     inv_tau: float
     omega_minus: float | None
     mrt_uv: tuple | None  # MRT rank-r correction (U rows, V rows)
+    smag: float           # Smagorinsky Cs; 0 → plain BGK
     eq_in: tuple
     src: tuple | None
     has_solid: bool
@@ -139,6 +140,40 @@ def _collide_planes(cfg: _Cfg3d, fw, solid):
                     continue
                 fp = fp - uik * t[k]
             out[i] = finish(i, fp)
+        return out
+
+    if cfg.smag:
+        # BGK + Smagorinsky LES (physics.smagorinsky_inv_tau): per-cell
+        # tau_eff = (tau0 + sqrt(tau0² + 18 Cs² Q̄ / rho)) / 2, with
+        # Q̄ = sqrt(2 Σ_ab Pi_ab²), Pi_ab = Σ_i c_ia c_ib dev_i — the six
+        # Pi components built generically from the velocity set.
+        devs = []
+        for i in range(Q):
+            cu = cu_of(i)
+            wr = cfg.w[i] * rho
+            feq = wr * base if cu is None else wr * (base + 3.0 * cu
+                                                     + 4.5 * cu * cu)
+            devs.append(fw[i] - feq)
+        ssum = None
+        for a in range(3):
+            for b in range(a, 3):
+                acc = None
+                for i in range(Q):
+                    coef = cfg.c[i][a] * cfg.c[i][b]
+                    if coef == 0:
+                        continue
+                    term = devs[i] if coef == 1 else (
+                        -devs[i] if coef == -1 else coef * devs[i])
+                    acc = term if acc is None else acc + term
+                wgt = 1.0 if a == b else 2.0
+                term = (acc * acc) if wgt == 1.0 else wgt * (acc * acc)
+                ssum = term if ssum is None else ssum + term
+        qbar = jnp.sqrt(2.0 * ssum)
+        tau0 = 1.0 / cfg.inv_tau
+        inv_t = 2.0 / (tau0 + jnp.sqrt(
+            tau0 * tau0 + (18.0 * cfg.smag * cfg.smag) * qbar * inv_rho))
+        for i in range(Q):
+            out[i] = finish(i, fw[i] - inv_t * devs[i])
         return out
 
     if cfg.omega_minus is not None:  # TRT (already pair-structured)
@@ -241,6 +276,7 @@ def make_local_step_pallas3d(problem: Problem,
         opp=tuple(int(v) for v in lat.opposite),
         inv_tau=1.0 / problem.params.tau, omega_minus=omega_minus,
         mrt_uv=mrt_uv,
+        smag=float(problem.smagorinsky),
         eq_in=tuple(float(v) for v in problem.ghost_ring_values()),
         src=src, has_solid=has_solid,
         bounce_back=has_solid and problem.obstacle_bc == "bounce_back",
@@ -630,6 +666,7 @@ def make_local_step_pallas3d_tiled(problem: Problem,
         opp=tuple(int(v) for v in lat.opposite),
         inv_tau=1.0 / problem.params.tau, omega_minus=omega_minus,
         mrt_uv=mrt_uv,
+        smag=float(problem.smagorinsky),
         eq_in=tuple(float(v) for v in problem.ghost_ring_values()),
         src=src, has_solid=has_solid,
         bounce_back=bounce_back,

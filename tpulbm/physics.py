@@ -366,6 +366,67 @@ def collide_mrt(lat: Lattice, f: jnp.ndarray, inv_tau: float,
     return f_post
 
 
+def smagorinsky_inv_tau(lat: Lattice, inv_rho: jnp.ndarray, devs,
+                        inv_tau0: float, cs: float) -> jnp.ndarray:
+    """Per-cell effective relaxation rate 1/tau_eff for the Smagorinsky
+    subgrid closure (new capability — the reference has no turbulence
+    model; its BGK at tau -> 1/2 simply blows up, README.md §4's unstable
+    nominal-Re=200 point).
+
+    The non-equilibrium momentum flux Pi_ab = Σ_i c_ia c_ib (f_i − feq_i)
+    is, by Chapman-Enskog, −2 rho cs² tau S_ab, so the strain-rate norm
+    |S| = sqrt(2 S:S) is Q̄/(2 rho cs² tau_eff) with Q̄ = sqrt(2 Σ_ab
+    Pi_ab²). Setting nu_total = nu0 + (Cs Δ)² |S| (Δ = 1 lattice unit) and
+    nu = cs² (tau − 1/2) gives a quadratic in tau_eff whose positive root
+    is closed-form (Hou, Sterling, Chen & Doolen 1996):
+
+        tau_eff = (tau0 + sqrt(tau0² + 18 Cs² Q̄ / rho)) / 2   (cs⁴ = 1/9)
+
+    One sqrt + one divide per cell on the VPU; tau_eff >= tau0 always, so
+    the model only ever ADDS dissipation (that is the stabilizing
+    property). devs: sequence of Q (f_i − feq_i) blocks.
+    """
+    c = lat.c
+    ssum = None
+    for a in range(lat.D):
+        for b in range(a, lat.D):
+            acc = None
+            for i in range(lat.Q):
+                coef = int(c[i, a]) * int(c[i, b])
+                if coef == 0:
+                    continue
+                term = devs[i] if coef == 1 else (
+                    -devs[i] if coef == -1 else coef * devs[i])
+                acc = term if acc is None else acc + term
+            w = 1.0 if a == b else 2.0  # off-diagonal pairs count twice
+            term = w * (acc * acc)
+            ssum = term if ssum is None else ssum + term
+    qbar = jnp.sqrt(2.0 * ssum)
+    tau0 = 1.0 / inv_tau0
+    return 2.0 / (tau0 + jnp.sqrt(tau0 * tau0
+                                  + (18.0 * cs * cs) * qbar * inv_rho))
+
+
+def collide_smagorinsky(lat: Lattice, f: jnp.ndarray, inv_tau: float,
+                        cs: float,
+                        force: tuple[float, ...] = ()) -> jnp.ndarray:
+    """BGK collision with the Smagorinsky eddy-viscosity closure: the
+    relaxation rate becomes the per-cell 1/tau_eff of smagorinsky_inv_tau.
+    With Cs = 0 (or zero shear) this is exactly `collide`."""
+    rho, u = moments(lat, f)
+    feq = equilibrium(lat, rho, u)
+    devs = f - feq
+    inv_t = smagorinsky_inv_tau(lat, 1.0 / rho, devs, inv_tau, cs)
+    f_post = f - inv_t[None] * devs
+    if force:
+        c = lat.c.astype(np.float64)
+        F = np.asarray(force, dtype=np.float64)
+        src = np.asarray(3.0 * lat.w * (c @ F))
+        f_post = f_post + jnp.asarray(src, f.dtype).reshape(
+            _wshape(lat, rho.ndim))
+    return f_post
+
+
 def rest_equilibrium(lat: Lattice, dtype=np.float64) -> np.ndarray:
     """Equilibrium at (rho=1, u=0) — just the weights. This is what the
     reference's solid cells hold forever in f_next (see note below)."""
