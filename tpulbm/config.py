@@ -59,6 +59,15 @@ class SimulationParams:
     # smagorinsky_inv_tau) — adds eddy viscosity where the flow is
     # under-resolved, stabilizing high-Re runs the reference cannot reach.
     smagorinsky: float = 0.0
+    # Thermal (double-population) coupling — the rayleigh-benard problem.
+    # thermal_tau sets the diffusivity alpha = (thermal_tau - 1/2)/3;
+    # rayleigh (if > 0) derives the Boussinesq buoyancy from
+    # Ra = buoyancy·ΔT·H³/(nu·alpha); buoyancy overrides it directly.
+    thermal_tau: float = 0.0         # 0 = no thermal scalar
+    t_hot: float = 1.0               # bottom-wall temperature
+    t_cold: float = 0.0              # top-wall temperature
+    rayleigh: float = 0.0
+    buoyancy: float = 0.0
     body_force: tuple[float, ...] = ()  # Guo-style forcing (ref dead code LBMUtils.h:15-19)
     periodic_x: bool = False         # poiseuille channel uses periodic x
     precision: str = "f32"           # "f32" (TPU-native) | "f64" (validation)
@@ -179,6 +188,14 @@ def _presets() -> dict[str, SimulationParams]:
             problem="cavity", nx=128, ny=128, tau=0.881, inlet_velocity=0.1,
             num_timesteps=40000, output_frequency=2000, cylinder_radius=0.0,
             enable_vtk=False),
+        # Rayleigh-Bénard convection at Ra=10^4, Pr≈0.71 (air): hot plate
+        # below, cold above, periodic x. Buoyancy derived from --rayleigh
+        # (models/rayleigh_benard.py); Nu ≈ 2.65 expected at this Ra.
+        "rayleigh-benard": base.replace(
+            problem="rayleigh-benard", nx=128, ny=64, tau=0.55,
+            thermal_tau=0.5704, rayleigh=1e4, inlet_velocity=0.0,
+            periodic_x=True, cylinder_radius=0.0, num_timesteps=60000,
+            output_frequency=2000, enable_vtk=False),
         # Multi-million-cell sharded scaling config (BASELINE config 4).
         "scale-8m": base.replace(nx=4096, ny=2048, num_timesteps=2000,
                                  output_frequency=500),
@@ -198,7 +215,8 @@ def add_cli_args(parser: argparse.ArgumentParser) -> None:
                         help="path to a JSON file with SimulationParams fields")
     # individual overrides
     for field in ("tau", "inlet_velocity", "cylinder_x", "cylinder_y",
-                  "cylinder_radius", "smagorinsky"):
+                  "cylinder_radius", "smagorinsky", "thermal_tau", "t_hot",
+                  "t_cold", "rayleigh", "buoyancy"):
         parser.add_argument(f"--{field.replace('_', '-')}", type=float, default=None)
     for field in ("nx", "ny", "nz", "num_timesteps", "output_frequency",
                   "vtk_start_step", "checkpoint_every"):
@@ -206,7 +224,8 @@ def add_cli_args(parser: argparse.ArgumentParser) -> None:
     parser.add_argument("--reynolds", type=float, default=None,
                         help="set tau to achieve this Reynolds number")
     parser.add_argument("--problem", choices=["cylinder", "poiseuille",
-                                              "cavity", "cylinder3d"],
+                                              "cavity", "rayleigh-benard",
+                                              "cylinder3d"],
                         default=None)
     parser.add_argument("--obstacle-bc", choices=["equilibrium", "bounce_back"],
                         default=None)
@@ -243,7 +262,8 @@ def params_from_args(args: argparse.Namespace) -> SimulationParams:
 
     overrides: dict[str, Any] = {}
     for field in ("tau", "inlet_velocity", "cylinder_x", "cylinder_y",
-                  "cylinder_radius", "smagorinsky", "nx", "ny", "nz",
+                  "cylinder_radius", "smagorinsky", "thermal_tau", "t_hot",
+                  "t_cold", "rayleigh", "buoyancy", "nx", "ny", "nz",
                   "num_timesteps",
                   "output_frequency", "vtk_start_step", "checkpoint_every",
                   "problem", "precision", "backend", "output_dir",

@@ -81,6 +81,16 @@ D2Q9 = Lattice(
     ),
 )
 
+# D2Q5 — advection-diffusion lattice for the thermal (double-population)
+# models (new capability; the reference is isothermal only). Same first-five
+# direction ordering as D2Q9 so index algebra carries over.
+D2Q5 = Lattice(
+    name="D2Q5",
+    D=2,
+    velocities=((0, 0), (1, 0), (0, 1), (-1, 0), (0, -1)),
+    weights=(1.0 / 3.0, 1.0 / 6.0, 1.0 / 6.0, 1.0 / 6.0, 1.0 / 6.0),
+)
+
 # D3Q19 — standard lattice (new capability; the reference is 2-D only).
 # Ordering: rest, 6 axis-aligned, 12 face-diagonal.
 _D3Q19_AXIS = ((1, 0, 0), (-1, 0, 0), (0, 1, 0), (0, -1, 0), (0, 0, 1), (0, 0, -1))
@@ -96,4 +106,4 @@ D3Q19 = Lattice(
     weights=(1.0 / 3.0,) + (1.0 / 18.0,) * 6 + (1.0 / 36.0,) * 12,
 )
 
-LATTICES: dict[str, Lattice] = {"D2Q9": D2Q9, "D3Q19": D3Q19}
+LATTICES: dict[str, Lattice] = {"D2Q9": D2Q9, "D2Q5": D2Q5, "D3Q19": D3Q19}

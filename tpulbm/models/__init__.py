@@ -15,6 +15,9 @@ def make_problem(params):
     if params.problem == "cavity":
         from . import cavity
         return cavity.make_problem(params)
+    if params.problem == "rayleigh-benard":
+        from . import rayleigh_benard
+        return rayleigh_benard.make_problem(params)
     if params.problem == "cylinder3d":
         from . import cylinder3d
         return cylinder3d.make_problem(params)

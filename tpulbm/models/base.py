@@ -16,6 +16,36 @@ from .. import physics
 
 
 @dataclasses.dataclass(frozen=True)
+class ThermalConfig:
+    """Double-population thermal coupling (Boussinesq). A second lattice
+    (D2Q5) carries temperature as a passive scalar advected by the flow;
+    the flow feels buoyancy F_y = buoyancy · (T − t_ref). New capability —
+    the reference is strictly isothermal.
+
+    State layout: the scalar populations g are STACKED under the flow
+    populations f in one (Q_f + Q_g, ny, nx) array, so every piece of
+    streaming/sharding/halo machinery (which is shape-generic) carries
+    over unchanged; only collision and the wall BCs treat the two plane
+    groups differently.
+    """
+    lattice: Lattice          # the scalar's lattice (D2Q5)
+    tau_g: float              # thermal relaxation time; alpha = (tau_g-1/2)/3
+    t_bottom: float = 1.0     # fixed wall temperatures (hot plate below)
+    t_top: float = 0.0
+    buoyancy: float = 0.0     # beta·g product (Boussinesq)
+    perturb: float = 1e-3     # deterministic seed-mode amplitude (×ΔT)
+
+    @property
+    def t_ref(self) -> float:
+        return 0.5 * (self.t_bottom + self.t_top)
+
+    @property
+    def alpha(self) -> float:
+        """Thermal diffusivity in lattice units."""
+        return (self.tau_g - 0.5) / 3.0
+
+
+@dataclasses.dataclass(frozen=True)
 class Problem:
     """Static description of one simulation setup.
 
@@ -46,6 +76,14 @@ class Problem:
     trt_magic: float = 3.0 / 16.0
     mrt_rates: tuple = ()             # ((moment, rate), ...) ghost overrides
     smagorinsky: float = 0.0          # LES constant Cs (physics.smagorinsky_inv_tau)
+    thermal: ThermalConfig | None = None  # double-population thermal coupling
+
+    @property
+    def state_q(self) -> int:
+        """Leading (plane) extent of the state array: Q_f, plus Q_g when a
+        thermal scalar is stacked underneath (see ThermalConfig)."""
+        return self.lattice.Q + (self.thermal.lattice.Q if self.thermal
+                                 else 0)
 
     @property
     def spatial_shape(self) -> tuple[int, ...]:
@@ -69,8 +107,11 @@ class Problem:
             self.lattice, self.init_rho, self.init_u, dtype=self.dtype)
 
     def initial_state(self) -> np.ndarray:
-        """(Q, *spatial) initial populations: uniform equilibrium(1, init_u),
-        with solid cells at rest equilibrium. Parity: LBMGrid.h:185-246."""
+        """(state_q, *spatial) initial populations: uniform
+        equilibrium(1, init_u), with solid cells at rest equilibrium
+        (parity: LBMGrid.h:185-246). Thermal problems stack the scalar's
+        equilibrium at the conductive profile plus a deterministic
+        seed-mode perturbation underneath (see ThermalConfig)."""
         Q = self.lattice.Q
         feq = self.ghost_ring_values()
         f = np.broadcast_to(
@@ -79,4 +120,19 @@ class Problem:
         if self.solid is not None:
             rest = physics.rest_equilibrium(self.lattice, self.dtype)
             f[:, self.solid] = rest[:, None]
-        return f
+        if self.thermal is None:
+            return f
+        th = self.thermal
+        ny, nx = self.spatial_shape
+        # conductive profile between the wall NODES (height ny-1 cells),
+        # seeded with one cos(kx)·sin(pi y/H) mode at amplitude
+        # perturb·ΔT so the onset is deterministic and mesh-independent
+        y = np.arange(ny, dtype=np.float64)[:, None] / max(ny - 1, 1)
+        x = np.arange(nx, dtype=np.float64)[None, :]
+        dt_wall = th.t_bottom - th.t_top
+        T = th.t_bottom - dt_wall * y
+        T = T + th.perturb * dt_wall * np.cos(2.0 * np.pi * x / nx) \
+            * np.sin(np.pi * y)
+        lg = th.lattice
+        g = (lg.w.reshape((lg.Q, 1, 1)) * T[None]).astype(self.dtype)
+        return np.concatenate([f, g], axis=0)

@@ -83,6 +83,29 @@ def apply_moving_wall(lat: Lattice, planes: list, wall_mask,
             planes[i] = jnp.where(m, val, planes[i])
 
 
+def apply_thermal_wall(lat_g: Lattice, planes_g: list, wall_mask,
+                       axis_component: int, sign: int, t_wall: float,
+                       solid) -> None:
+    """Fixed-temperature (Dirichlet) wall for the advection-diffusion
+    scalar: anti-bounce-back. For every direction i pointing INTO the
+    domain (sign of its `axis_component` velocity matches `sign`):
+
+        g_i <- (w_i + w_opp(i)) · T_wall − g_opp(i)
+
+    so the half-link-interpolated temperature between g_i and g_opp is
+    exactly T_wall (the standard second-order Dirichlet closure for
+    scalar LBM). New capability — no reference analog.
+    """
+    m = _not_solid(wall_mask, solid)
+    opp = lat_g.opposite
+    snap = list(planes_g)
+    for i in range(lat_g.Q):
+        if int(np.sign(lat_g.c[i, axis_component])) == sign:
+            val = (float(lat_g.w[i] + lat_g.w[int(opp[i])]) * t_wall
+                   - snap[int(opp[i])])
+            planes_g[i] = jnp.where(m, val, planes_g[i])
+
+
 def apply_zou_he_inlet(planes: list, inlet_mask, u_in: float, solid) -> None:
     """Zou-He velocity inlet on the x=0 column. Parity: LBMSolver.h:179-207.
 

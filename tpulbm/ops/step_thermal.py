@@ -1,0 +1,169 @@
+"""Thermal (double-population) step — jax tier.
+
+One step of the coupled Boussinesq system on the stacked state
+s = [f (Q_f planes); g (Q_g planes)] (see models/base.ThermalConfig):
+
+  1. moments: rho, u from f; T = Σ g
+  2. collide f: BGK (or +Smagorinsky) toward equilibrium(rho, u), plus the
+     per-cell buoyancy source S_i = 3 w_i c_iy · F_y, F_y = buoyancy·(T −
+     t_ref) — the same post-relaxation source convention as physics.collide
+     (injects exactly F per step, tau-independent)
+  3. collide g: BGK toward the advection-diffusion equilibrium
+     w_i T (1 + 3 c·u) at rate 1/tau_g
+  4. pull-stream all planes (x periodic; y pulls that cross a wall read
+     frozen ghost values: rest equilibrium for f, w_i·T_wall for g)
+  5. BCs on the wall rows: bounce-back for f (no-slip), anti-bounce-back
+     Dirichlet for g (boundaries.apply_thermal_wall)
+
+No reference analog — the reference is strictly isothermal. The step is
+shape-generic over (ny, nx); sharded execution reuses the generic halo
+machinery (the state is one array, so rings/ppermute see one extra group
+of planes).
+"""
+from __future__ import annotations
+
+from typing import Callable
+
+import jax.numpy as jnp
+import numpy as np
+
+from .. import physics
+from ..models.base import Problem
+from . import boundaries
+
+
+def _thermal_parts(problem: Problem):
+    lat, th = problem.lattice, problem.thermal
+    if th is None:
+        raise ValueError("step_thermal needs problem.thermal")
+    return lat, th.lattice, th
+
+
+def collide_thermal(problem: Problem, s: jnp.ndarray) -> jnp.ndarray:
+    """Post-collision stacked state (pointwise; safe on halo cells)."""
+    lat, lg, th = _thermal_parts(problem)
+    Qf = lat.Q
+    f, g = s[:Qf], s[Qf:]
+    inv_tau = 1.0 / problem.params.tau
+    rho, u = physics.moments(lat, f)
+    T = jnp.sum(g, axis=0)
+
+    feq = physics.equilibrium(lat, rho, u)
+    if problem.smagorinsky:
+        devs = f - feq
+        inv_t = physics.smagorinsky_inv_tau(lat, 1.0 / rho, devs,
+                                            inv_tau, problem.smagorinsky)
+        f_post = f - inv_t[None] * devs
+    else:
+        f_post = f - inv_tau * (f - feq)
+    # Boussinesq buoyancy: F = (0, buoyancy·(T − t_ref)); S_i = 3 w_i c_iy F_y
+    if th.buoyancy:
+        fy = th.buoyancy * (T - th.t_ref)
+        cy = lat.c[:, 1]
+        planes = []
+        for i in range(Qf):
+            ciy = int(cy[i])
+            if ciy == 0:
+                planes.append(f_post[i])
+            else:
+                planes.append(f_post[i]
+                              + (3.0 * float(lat.w[i]) * ciy) * fy)
+        f_post = jnp.stack(planes)
+
+    geq = physics.thermal_equilibrium(lg, T, u)
+    g_post = g - (1.0 / th.tau_g) * (g - geq)
+    return jnp.concatenate([f_post, g_post], axis=0)
+
+
+def _ghost_rows(problem: Problem):
+    """Frozen ghost values pulled through the y walls, per plane:
+    rest equilibrium for f (resting walls), w_i·T_wall for g."""
+    lat, lg, th = _thermal_parts(problem)
+    dt = problem.dtype
+    f_ghost = physics.rest_equilibrium(lat, dt)
+    g_bottom = (lg.w * th.t_bottom).astype(dt)
+    g_top = (lg.w * th.t_top).astype(dt)
+    bottom = np.concatenate([f_ghost, g_bottom])
+    top = np.concatenate([f_ghost, g_top])
+    return bottom, top
+
+
+def make_step_thermal(problem: Problem) -> Callable[[jnp.ndarray],
+                                                    jnp.ndarray]:
+    """Single-device oracle step on the unpadded global stacked state."""
+    lat, lg, th = _thermal_parts(problem)
+    Qf = lat.Q
+    ny, nx = problem.spatial_shape
+    if not problem.periodic_x:
+        raise NotImplementedError("thermal models are periodic in x")
+    c_all = np.concatenate([lat.c, lg.c], axis=0)
+    ghost_bottom, ghost_top = _ghost_rows(problem)
+
+    def step(s: jnp.ndarray) -> jnp.ndarray:
+        s_post = collide_thermal(problem, s)
+        yy = jnp.arange(ny)[:, None]
+        planes = []
+        for i in range(problem.state_q):
+            cix, ciy = int(c_all[i, 0]), int(c_all[i, 1])
+            plane = jnp.roll(s_post[i], (ciy, cix), (0, 1))
+            # pulls that crossed a wall read the frozen ghost row
+            if ciy > 0:
+                plane = jnp.where(yy == 0,
+                                  jnp.asarray(ghost_bottom[i], plane.dtype),
+                                  plane)
+            elif ciy < 0:
+                plane = jnp.where(yy == ny - 1,
+                                  jnp.asarray(ghost_top[i], plane.dtype),
+                                  plane)
+            planes.append(plane)
+        f_planes = planes[:Qf]
+        g_planes = planes[Qf:]
+        # No-slip walls for f: full-way bounce-back with the node's OWN
+        # post-collision outward values (what actually streamed out
+        # through the wall comes straight back), which conserves mass at
+        # the wall EXACTLY — unlike the reference-parity on-node
+        # reflection of post-stream opposites (boundaries.apply_walls),
+        # whose systematic y-gradient imbalance was measured here at
+        # +2.6e-6 mass/step (it would swamp a long Nu measurement).
+        opp = lat.opposite
+        for i in range(Qf):
+            ciy = int(lat.c[i, 1])
+            if ciy > 0:
+                f_planes[i] = jnp.where(yy == 0, s_post[int(opp[i])],
+                                        f_planes[i])
+            elif ciy < 0:
+                f_planes[i] = jnp.where(yy == ny - 1, s_post[int(opp[i])],
+                                        f_planes[i])
+        # fixed-T (anti-bounce-back) walls for g — heat flux through the
+        # walls is physical (that IS the Nusselt number)
+        boundaries.apply_thermal_wall(lg, g_planes, yy == 0, 1, +1,
+                                      th.t_bottom, None)
+        boundaries.apply_thermal_wall(lg, g_planes, yy == ny - 1, 1, -1,
+                                      th.t_top, None)
+        return jnp.stack(f_planes + g_planes)
+
+    return step
+
+
+def temperature(problem: Problem, s: jnp.ndarray) -> jnp.ndarray:
+    """T field from the stacked state."""
+    return jnp.sum(s[problem.lattice.Q:], axis=0)
+
+
+def nusselt(problem: Problem, s: jnp.ndarray) -> jnp.ndarray:
+    """Instantaneous Nusselt number: total vertical heat flux over the
+    conductive flux, volume-averaged over the interior rows:
+
+        Nu = 1 + <u_y T> / (alpha ΔT / H)
+
+    (= 1 identically in the conductive state; > 1 once convection sets in).
+    """
+    from ..models.rayleigh_benard import effective_height
+    lat, lg, th = _thermal_parts(problem)
+    f = s[:lat.Q]
+    rho, u = physics.moments(lat, f)
+    T = temperature(problem, s)
+    h = effective_height(problem.params)
+    dt_wall = th.t_bottom - th.t_top
+    adv = jnp.mean(u[1] * T)
+    return 1.0 + adv * h / (th.alpha * dt_wall)

@@ -427,6 +427,30 @@ def collide_smagorinsky(lat: Lattice, f: jnp.ndarray, inv_tau: float,
     return f_post
 
 
+def thermal_equilibrium(lat_g: Lattice, T: jnp.ndarray,
+                        u: jnp.ndarray) -> jnp.ndarray:
+    """Advection-diffusion equilibrium for a passive scalar carried by the
+    flow: g_eq_i = w_i T (1 + 3 c_i·u) (linear in u — the scalar has no
+    momentum flux of its own). Recovers dT/dt + u·∇T = alpha ∇²T with
+    alpha = (tau_g − 1/2)/3 (gated by the decay test in tests/test_thermal.py).
+    New capability — the reference is isothermal."""
+    c = lat_g.c
+    planes = []
+    for i in range(lat_g.Q):
+        cu = None
+        for d in range(lat_g.D):
+            cid = int(c[i, d])
+            if cid == 0:
+                continue
+            term = u[d] if cid > 0 else -u[d]
+            cu = term if cu is None else cu + term
+        if cu is None:
+            planes.append(lat_g.w[i] * T)
+        else:
+            planes.append(lat_g.w[i] * T * (1.0 + 3.0 * cu))
+    return jnp.stack(planes).astype(T.dtype)
+
+
 def rest_equilibrium(lat: Lattice, dtype=np.float64) -> np.ndarray:
     """Equilibrium at (rho=1, u=0) — just the weights. This is what the
     reference's solid cells hold forever in f_next (see note below)."""
