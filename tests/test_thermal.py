@@ -190,6 +190,51 @@ def test_nusselt_ra5000():
     assert abs(nu2 - nu1) < 1e-3, (nu1, nu2)  # steady, not transient
 
 
+@pytest.mark.parametrize("mesh_shape", [(1, 1), (2, 2), (4, 1)],
+                         ids=["single", "2d-mesh", "y-sharded"])
+def test_thermal_sharded_matches_oracle(mesh_shape):
+    # the padded thermal local step + generic ring exchange must reproduce
+    # the single-device rolled oracle on any mesh
+    from tpulbm.parallel.mesh import make_mesh
+    from tpulbm.parallel.sharded_step import make_chunk_fn, shard_state
+
+    params = _params(ny=32, nx=32, ra=5000.0)
+    prob = make_problem(params)
+    step = jax.jit(make_step_thermal(prob))
+    s_ref = jnp.asarray(prob.initial_state())
+    for _ in range(12):
+        s_ref = step(s_ref)
+
+    n_dev = mesh_shape[0] * mesh_shape[1]
+    mesh = make_mesh(mesh_shape, devices=jax.devices()[:n_dev])
+    chunk = make_chunk_fn(prob, mesh, 6, backend="jax")
+    s, solid = shard_state(mesh, prob.initial_state(),
+                           np.zeros(prob.spatial_shape, bool))
+    for _ in range(2):
+        s = chunk(s, solid)
+    np.testing.assert_allclose(np.asarray(jax.device_get(s)),
+                               np.asarray(s_ref), rtol=1e-11, atol=1e-14)
+
+
+def test_thermal_runner_end_to_end(tmp_path):
+    # CLI-level integration: --preset rayleigh-benard runs, stays stable,
+    # writes the temperature field, and reports Nu
+    from tpulbm.runner import Runner
+    params = _params(ny=32, nx=32, ra=3000.0).replace(
+        num_timesteps=400, output_frequency=100, enable_vtk=False,
+        output_dir=str(tmp_path), backend="pallas")  # exercises fallback
+    with pytest.warns(UserWarning, match="thermal"):
+        res = Runner(params, verbose=False).run(resume=False)
+    assert res.success
+    assert res.stats is not None and "nusselt" in res.stats
+    assert 0.9 < res.stats["nusselt"] < 3.0
+    tf = tmp_path / "temperature_field.csv"
+    assert tf.exists()
+    header = tf.read_text().splitlines()
+    assert header[0] == "x,y,temperature"
+    assert len(header) == 1 + 32 * 32
+
+
 def test_buoyancy_for_rayleigh_roundtrip():
     p = _params(ra=5000.0)
     b = buoyancy_for_rayleigh(5000.0, p)

@@ -103,8 +103,16 @@ class Problem:
         constants forever. We reproduce that as the padded ring / sanitize
         values.
         """
-        return physics.uniform_equilibrium(
+        ring = physics.uniform_equilibrium(
             self.lattice, self.init_rho, self.init_u, dtype=self.dtype)
+        if self.thermal is not None:
+            # placeholder ring for the stacked scalar planes (the thermal
+            # padded step overwrites the physical y rims with the correct
+            # per-wall values in-step; x is periodic for thermal models)
+            ring = np.concatenate(
+                [ring, (self.thermal.lattice.w
+                        * self.thermal.t_ref).astype(self.dtype)])
+        return ring
 
     def initial_state(self) -> np.ndarray:
         """(state_q, *spatial) initial populations: uniform
@@ -113,7 +121,7 @@ class Problem:
         equilibrium at the conductive profile plus a deterministic
         seed-mode perturbation underneath (see ThermalConfig)."""
         Q = self.lattice.Q
-        feq = self.ghost_ring_values()
+        feq = self.ghost_ring_values()[:Q]
         f = np.broadcast_to(
             feq.reshape((Q,) + (1,) * len(self.spatial_shape)),
             (Q,) + self.spatial_shape).copy()

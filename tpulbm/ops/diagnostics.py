@@ -24,7 +24,7 @@ def fields_fn(problem: Problem):
     solid_np = problem.solid
 
     def fn(f):
-        rho, u = physics.moments(lat, f)
+        rho, u = physics.moments(lat, f[:lat.Q])  # thermal stacks g below f
         if solid_np is not None:
             solid = jnp.asarray(solid_np)
             rho = jnp.where(solid, jnp.asarray(1.0, rho.dtype), rho)
@@ -48,6 +48,7 @@ def max_velocity_fn(problem: Problem):
 
     def fn(f):
         solid = None if solid_np is None else jnp.asarray(solid_np)
-        return physics.max_velocity(problem.lattice, f, solid)
+        lat = problem.lattice
+        return physics.max_velocity(lat, f[:lat.Q], solid)
 
     return fn

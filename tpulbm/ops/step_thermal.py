@@ -145,6 +145,70 @@ def make_step_thermal(problem: Problem) -> Callable[[jnp.ndarray],
     return step
 
 
+def make_local_step_padded_thermal(problem: Problem,
+                                   local_shape: tuple[int, ...] | None = None):
+    """Thermal step on a halo-padded local block — same contract as
+    step_jax.make_local_step_padded (step(spad, solid_local, offsets,
+    solid_pad) -> spad_new), so the generic sharded chunk body
+    (parallel/sharded_step.body_jax: ring refresh via ppermute + scan)
+    carries over unchanged; the stacked state just has Q_f + Q_g planes.
+    """
+    lat, lg, th = _thermal_parts(problem)
+    Qf, Qs = lat.Q, problem.state_q
+    shape = local_shape or problem.spatial_shape
+    nyl, nxl = shape
+    p = problem.params
+    if not problem.periodic_x:
+        raise NotImplementedError("thermal models are periodic in x")
+    c_all = np.concatenate([lat.c, lg.c], axis=0)
+    ghost_bottom, ghost_top = _ghost_rows(problem)
+    opp_f = lat.opposite
+
+    def step(spad, solid_local, offsets, solid_pad=None):
+        dt = spad.dtype
+        y0 = offsets[-2]
+        is_bottom, is_top = y0 == 0, y0 + nyl == p.ny
+        s_post = collide_thermal(problem, spad)
+        # physical y rims: frozen ghost rows (per-wall values for g)
+        gb = jnp.broadcast_to(jnp.asarray(ghost_bottom, dt)[:, None],
+                              (Qs, nxl + 2))
+        gt = jnp.broadcast_to(jnp.asarray(ghost_top, dt)[:, None],
+                              (Qs, nxl + 2))
+        s_post = s_post.at[:, 0, :].set(
+            jnp.where(is_bottom, gb, s_post[:, 0, :]))
+        s_post = s_post.at[:, -1, :].set(
+            jnp.where(is_top, gt, s_post[:, -1, :]))
+        planes = []
+        for i in range(Qs):
+            cix, ciy = int(c_all[i, 0]), int(c_all[i, 1])
+            slicer = (slice(1 - ciy, 1 - ciy + nyl),
+                      slice(1 - cix, 1 - cix + nxl))
+            planes.append(s_post[(i,) + slicer])
+        # wall BCs on the physical wall rows (masked by shard position):
+        # f — exact-mass full-way bounce-back (the node's own
+        # post-collision outward values); g — anti-bounce-back Dirichlet
+        bot = jnp.zeros((nyl, 1), bool).at[0, 0].set(is_bottom)
+        top = jnp.zeros((nyl, 1), bool).at[-1, 0].set(is_top)
+        center = (slice(1, -1), slice(1, -1))
+        for i in range(Qf):
+            ciy = int(lat.c[i, 1])
+            if ciy > 0:
+                planes[i] = jnp.where(bot, s_post[int(opp_f[i])][center],
+                                      planes[i])
+            elif ciy < 0:
+                planes[i] = jnp.where(top, s_post[int(opp_f[i])][center],
+                                      planes[i])
+        g_planes = planes[Qf:]
+        boundaries.apply_thermal_wall(lg, g_planes, bot, 1, +1,
+                                      th.t_bottom, None)
+        boundaries.apply_thermal_wall(lg, g_planes, top, 1, -1,
+                                      th.t_top, None)
+        out = jnp.stack(planes[:Qf] + g_planes)
+        return spad.at[:, 1:-1, 1:-1].set(out)
+
+    return step
+
+
 def temperature(problem: Problem, s: jnp.ndarray) -> jnp.ndarray:
     """T field from the stacked state."""
     return jnp.sum(s[problem.lattice.Q:], axis=0)

@@ -65,6 +65,18 @@ def make_chunk_fn(problem: Problem, mesh: Mesh, chunk_len: int,
     eq_ring = problem.ghost_ring_values()
     has_solid = problem.solid is not None
 
+    if problem.thermal is not None:
+        # double-population (thermal) problems run their dedicated padded
+        # step through the SAME generic ring/scan body below — only the
+        # collision/BC core differs. No fused pallas tier yet.
+        if backend == "pallas":
+            import warnings
+            warnings.warn("pallas backend has no thermal kernel yet; "
+                          "falling back to backend='jax'")
+        from ..ops.step_thermal import make_local_step_padded_thermal
+        local_step = make_local_step_padded_thermal(problem, local_shape)
+        backend = "jax"
+
     pallas3d_step = None
     pallas3d_plan = None   # [(stepper, n_iters), ...] mixed blocking depths
     if backend == "pallas" and ndim == 3:
@@ -259,7 +271,8 @@ def make_chunk_fn(problem: Problem, mesh: Mesh, chunk_len: int,
                 backend = "jax"
                 local_step = make_local_step_padded(problem, local_shape)
     elif backend == "jax":
-        local_step = make_local_step_padded(problem, local_shape)
+        if problem.thermal is None:  # thermal local_step built above
+            local_step = make_local_step_padded(problem, local_shape)
     elif backend != "pallas":
         raise ValueError(f"unknown backend {backend!r}")
 
@@ -683,6 +696,12 @@ def shard_initial_state(problem: Problem, mesh: Mesh):
     over a slow host link this turns minutes of transfer into milliseconds.
     """
     from .. import physics
+
+    if problem.thermal is not None:
+        # thermal initial state is not a uniform broadcast (conductive T
+        # profile + seed mode, models/base.initial_state) — build on host;
+        # thermal grids are far below the sizes this fast path targets
+        return shard_state(mesh, problem.initial_state(), problem.solid)
 
     ndim = len(problem.spatial_shape)
     spec_f = P(*((None,) + (None,) * (ndim - 2) + ("y", "x")))

@@ -230,7 +230,7 @@ class Runner:
                 if kind == 1 and start_step > 0:
                     if f0 is None:  # non-primary: placeholder of known shape
                         f0 = np.zeros(
-                            (problem.lattice.Q,) + problem.spatial_shape,
+                            (problem.state_q,) + problem.spatial_shape,
                             problem.dtype)
                     f0 = np.asarray(multihost_utils.broadcast_one_to_all(f0))
             elif load_err is not None:
@@ -452,13 +452,29 @@ class Runner:
         if not p.is_3d:
             io_mod.write_velocity_field(u[0], u[1], rho, p, p.output_dir)
             io_mod.write_simulation_params(u[0], u[1], p, p.output_dir)
+            extra = ""
+            if self.problem.thermal is not None:
+                from .models.rayleigh_benard import effective_height
+                from .ops.step_thermal import temperature
+                th = self.problem.thermal
+                T = np.asarray(multihost.fetch_global(
+                    jax.jit(lambda s: temperature(self.problem, s))(f)))
+                io_mod.write_temperature_field(T, p, p.output_dir)
+                # Nu from the already-gathered host fields (multi-process
+                # safe — no eager op on a non-addressable sharded array)
+                nu = 1.0 + (np.mean(u[1] * T) * effective_height(p)
+                            / (th.alpha * (th.t_bottom - th.t_top)))
+                stats = {"nusselt": float(nu)}
+                extra = ", temperature_field.csv"
+                if self.verbose:
+                    print(f"Nusselt number = {nu:.4f}")
             if self.problem.solid is not None:
                 stats = io_mod.calculate_time_averaged_drag(
                     os.path.join(p.output_dir, "forces.csv"),
                     verbose=self.verbose)
             if self.verbose:
                 print("Files written: velocity_field.csv, simulation_params.csv, "
-                      "forces.csv")
+                      f"forces.csv{extra}")
         else:
             np.savez(os.path.join(p.output_dir, "fields3d.npz"),
                      rho=rho, ux=u[0], uy=u[1], uz=u[2],

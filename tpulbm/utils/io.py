@@ -183,6 +183,21 @@ def write_velocity_field(ux: np.ndarray, uy: np.ndarray, rho: np.ndarray,
     return path
 
 
+def write_temperature_field(T: np.ndarray, params: SimulationParams,
+                            out_dir: str = ".") -> str:
+    """Per-cell temperature CSV for thermal problems (same x,y layout as
+    velocity_field.csv; new capability — the reference is isothermal)."""
+    path = os.path.join(out_dir, "temperature_field.csv")
+    T = np.asarray(T, dtype=np.float64)
+    ny, nx = T.shape
+    with open(path, "w") as fh:
+        fh.write("x,y,temperature\n")
+        for y in range(ny):
+            row = T[y]
+            fh.writelines(f"{x},{y},{row[x]:.8f}\n" for x in range(nx))
+    return path
+
+
 def write_simulation_params(ux: np.ndarray, uy: np.ndarray,
                             params: SimulationParams, out_dir: str = ".") -> str:
     """Run-record CSV (format parity: LBMIO.h:327-365, including the mixed
