@@ -235,6 +235,47 @@ def test_thermal_runner_end_to_end(tmp_path):
     assert len(header) == 1 + 32 * 32
 
 
+@pytest.mark.parametrize("mesh_shape", [(1, 1), (4, 1)],
+                         ids=["single", "y-sharded"])
+def test_thermal_pallas_matches_oracle(mesh_shape):
+    # fused thermal pallas kernel (interpret mode on CPU) vs the rolled
+    # oracle, single-device and y-sharded
+    from tpulbm.parallel.mesh import make_mesh
+    from tpulbm.parallel.sharded_step import make_chunk_fn, shard_state
+
+    params = _params(ny=32, nx=32, ra=5000.0).replace(precision="f32")
+    prob = make_problem(params)
+    step = jax.jit(make_step_thermal(prob))
+    s_ref = jnp.asarray(prob.initial_state())
+    for _ in range(12):
+        s_ref = step(s_ref)
+
+    n_dev = mesh_shape[0] * mesh_shape[1]
+    mesh = make_mesh(mesh_shape, devices=jax.devices()[:n_dev])
+    chunk = make_chunk_fn(prob, mesh, 6, backend="pallas")
+    s, solid = shard_state(mesh, prob.initial_state(),
+                           np.zeros(prob.spatial_shape, bool))
+    for _ in range(2):
+        s = chunk(s, solid)
+    np.testing.assert_allclose(np.asarray(jax.device_get(s)),
+                               np.asarray(s_ref), rtol=2e-5, atol=1e-6)
+
+
+def test_thermal_pallas_fallbacks_warn():
+    from tpulbm.parallel.mesh import make_mesh
+    from tpulbm.parallel.sharded_step import make_chunk_fn
+
+    params = _params(ny=32, nx=32, ra=5000.0)  # f64 → jax tier
+    prob = make_problem(params)
+    mesh = make_mesh((1, 1), devices=jax.devices()[:1])
+    with pytest.warns(UserWarning, match="thermal config"):
+        make_chunk_fn(prob, mesh, 4, backend="pallas")
+    mesh22 = make_mesh((2, 2), devices=jax.devices()[:4])
+    prob32 = make_problem(params.replace(precision="f32"))
+    with pytest.warns(UserWarning, match="x-unsharded"):
+        make_chunk_fn(prob32, mesh22, 4, backend="pallas")
+
+
 def test_buoyancy_for_rayleigh_roundtrip():
     p = _params(ra=5000.0)
     b = buoyancy_for_rayleigh(5000.0, p)

@@ -1,0 +1,293 @@
+"""Fused thermal (double-population) collide-stream Pallas kernel.
+
+Same slab DMA pipeline as the isothermal 1-step kernel
+(ops/step_pallas.py make_local_step_pallas) on the stacked
+(Q_f + Q_g, ny, nx) state: one HBM read + one write of the state per
+step, collide (BGK f + Boussinesq source, BGK g toward the
+advection-diffusion equilibrium) fused with pull-streaming and the wall
+BCs in VMEM. Thermal models are periodic in x, so x pulls are plain lane
+rolls — no ghost sanitize columns at all (simpler than the cylinder
+kernel). y slab boundaries use 1-row rings (parallel/halo.ring_rows);
+ring rows are collided in-kernel exactly like the isothermal kernels
+(collision is pointwise), with the physical bottom/top rows replaced by
+the frozen ghost constants of ops/step_thermal._ghost_rows.
+
+Wall BCs match ops/step_thermal.make_step_thermal bit-for-bit in
+structure: f takes the node's OWN post-collision outward populations
+(exact-mass full-way bounce-back — the slab is collided in place, so
+they are at hand), g takes the half-link anti-bounce-back Dirichlet
+closure against the just-streamed opposite.
+
+No reference analog (the reference is isothermal and CPU-only).
+Equivalence vs the jax tier: tests/test_thermal.py (interpret mode) and
+the TPU probe.
+"""
+from __future__ import annotations
+
+import dataclasses
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..models.base import Problem
+from .step_thermal import _ghost_rows, _thermal_parts
+
+_VMEM_BUDGET = int(float(os.environ.get("TPULBM_VMEM_MB", "13"))
+                   * 1024 * 1024)
+
+
+@dataclasses.dataclass(frozen=True)
+class _CfgT:
+    Qf: int
+    Qs: int                 # total planes (f + g)
+    c: tuple                # ((cx, cy), ...) for ALL planes
+    w_f: tuple
+    w_g: tuple              # scalar-lattice weights (g-plane order)
+    opp: tuple              # opposite map for ALL planes (within each group)
+    inv_tau: float
+    inv_tau_g: float
+    buoyancy: float
+    t_ref: float
+    t_bottom: float
+    t_top: float
+    ghost_bottom: tuple     # frozen ghost row per plane at the bottom wall
+    ghost_top: tuple
+    Ty: int
+    nxl: int
+    n_ty: int
+
+
+def _collide_thermal_rows(cfg: _CfgT, fw):
+    """Thermal collide on a list of Qs same-shape row blocks (pointwise,
+    safe on ring rows). Mirrors ops/step_thermal.collide_thermal."""
+    Qf = cfg.Qf
+    rho = fw[0]
+    for i in range(1, Qf):
+        rho = rho + fw[i]
+    mx = fw[1] - fw[3] + fw[5] - fw[6] - fw[7] + fw[8]
+    my = fw[2] - fw[4] + fw[5] + fw[6] - fw[7] - fw[8]
+    inv_rho = 1.0 / rho
+    ux = mx * inv_rho
+    uy = my * inv_rho
+    base = 1.0 - 1.5 * (ux * ux + uy * uy)
+    T = fw[Qf]
+    for i in range(Qf + 1, cfg.Qs):
+        T = T + fw[i]
+    fy = None
+    if cfg.buoyancy:
+        fy = cfg.buoyancy * (T - cfg.t_ref)
+    out = []
+    for i in range(Qf):
+        cx, cy = cfg.c[i]
+        cu = (cx * ux if cx else 0.0) + (cy * uy if cy else 0.0)
+        if cx or cy:
+            feq = cfg.w_f[i] * rho * (base + 3.0 * cu + 4.5 * cu * cu)
+        else:
+            feq = cfg.w_f[i] * rho * base
+        fp = fw[i] - cfg.inv_tau * (fw[i] - feq)
+        if fy is not None and cy:
+            fp = fp + (3.0 * cfg.w_f[i] * cy) * fy
+        out.append(fp)
+    for k in range(cfg.Qs - Qf):
+        i = Qf + k
+        cx, cy = cfg.c[i]
+        cu = (cx * ux if cx else 0.0) + (cy * uy if cy else 0.0)
+        geq = cfg.w_g[k] * T if not (cx or cy) \
+            else cfg.w_g[k] * T * (1.0 + 3.0 * cu)
+        out.append(fw[i] - cfg.inv_tau_g * (fw[i] - geq))
+    return out
+
+
+def make_local_step_thermal_pallas(problem: Problem,
+                                   local_shape: tuple[int, ...],
+                                   interpret: bool | None = None):
+    """1-step fused thermal kernel: step(s, rb, rt, flags) -> s_new.
+
+    s: (Qs, nyl, nxl); rb/rt: (Qs, 1, nxl) ring rows; flags: (4,) int32
+    [is_bottom, is_top, _, _]. Raises ValueError for configurations the
+    kernel does not cover (f64, unaligned nx, LES) — the chunk builder
+    degrades to the jax tier with a warning.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    lat, lg, th = _thermal_parts(problem)
+    if problem.dtype != np.float32:
+        raise ValueError("thermal pallas kernel is f32; use backend='jax' "
+                         "for f64")
+    if problem.smagorinsky:
+        raise ValueError("thermal pallas kernel has no LES branch yet")
+    nyl, nxl = local_shape
+    if not interpret and nxl % 128 != 0:
+        raise ValueError(f"pallas backend needs local nx % 128 == 0, "
+                         f"got {nxl}")
+    Qf, Qs = lat.Q, problem.state_q
+    c_all = np.concatenate([lat.c, lg.c], axis=0)
+    opp = tuple(int(v) for v in lat.opposite) + tuple(
+        Qf + int(v) for v in lg.opposite)
+    gb, gt = _ghost_rows(problem)
+
+    def usage(ty):
+        return (4 + 2) * Qs * ty * nxl * 4
+    valid = [ty for ty in range(1, nyl + 1)
+             if nyl % ty == 0 and usage(ty) <= _VMEM_BUDGET
+             and (interpret or ty % 8 == 0)]
+    if not valid:
+        raise ValueError(
+            f"no y-slab of {nyl} rows fits VMEM (nx={nxl})")
+    Ty = max(valid)
+
+    cfg = _CfgT(
+        Qf=Qf, Qs=Qs,
+        c=tuple((int(v[0]), int(v[1])) for v in c_all),
+        w_f=tuple(float(v) for v in lat.w),
+        w_g=tuple(float(v) for v in lg.w),
+        opp=opp,
+        inv_tau=1.0 / problem.params.tau,
+        inv_tau_g=1.0 / th.tau_g,
+        buoyancy=float(th.buoyancy),
+        t_ref=float(th.t_ref),
+        t_bottom=float(th.t_bottom),
+        t_top=float(th.t_top),
+        ghost_bottom=tuple(float(v) for v in gb),
+        ghost_top=tuple(float(v) for v in gt),
+        Ty=Ty, nxl=nxl, n_ty=nyl // Ty,
+    )
+    n_ty = cfg.n_ty
+
+    # inward plane index sets at each wall (f bounces, g anti-bounces)
+    f_in_bottom = [i for i in range(Qf) if c_all[i, 1] > 0]
+    f_in_top = [i for i in range(Qf) if c_all[i, 1] < 0]
+    g_in_bottom = [i for i in range(Qf, Qs) if c_all[i, 1] > 0]
+    g_in_top = [i for i in range(Qf, Qs) if c_all[i, 1] < 0]
+
+    def kernel(flags_ref, s_ref, rb_ref, rt_ref, out_ref, fsl, ob,
+               sem_f, sem_ob):
+        fb, ft = flags_ref[0], flags_ref[1]
+
+        def f_dma(t):
+            return pltpu.make_async_copy(
+                s_ref.at[:, pl.ds(t * Ty, Ty), :], fsl.at[t % 4],
+                sem_f.at[t % 4])
+
+        def out_dma(t):
+            return pltpu.make_async_copy(
+                ob.at[t % 2], out_ref.at[:, pl.ds(t * Ty, Ty), :],
+                sem_ob.at[t % 2])
+
+        def collide_slab(slot):
+            fp = _collide_thermal_rows(cfg, [fsl[slot, i]
+                                             for i in range(Qs)])
+            for i in range(Qs):
+                fsl[slot, i] = fp[i]
+
+        # ring rows: collide like the slab rows (pointwise); at the
+        # physical walls replace with the frozen ghost constants (NOT a
+        # collision fixed point here — buoyancy kicks any T != t_ref row)
+        rb_fp = _collide_thermal_rows(cfg, [rb_ref[i] for i in range(Qs)])
+        rt_fp = _collide_thermal_rows(cfg, [rt_ref[i] for i in range(Qs)])
+        for i in range(Qs):
+            rb_fp[i] = jnp.where(fb == 1, cfg.ghost_bottom[i], rb_fp[i])
+            rt_fp[i] = jnp.where(ft == 1, cfg.ghost_top[i], rt_fp[i])
+
+        f_dma(0).start()
+        if n_ty > 1:
+            f_dma(1).start()
+        f_dma(0).wait()
+        collide_slab(0)
+
+        def loop(t, carry):
+            @pl.when(t + 1 < n_ty)
+            def _():
+                f_dma(t + 1).wait()
+                collide_slab((t + 1) % 4)
+
+            @pl.when(t + 2 < n_ty)
+            def _():
+                f_dma(t + 2).start()
+
+            oslot = t % 2
+
+            @pl.when(t >= 2)
+            def _():
+                out_dma(t - 2).wait()
+
+            cur = t % 4
+            for i in range(Qs):
+                cx, cy = cfg.c[i]
+                if cy == 0:
+                    rows = fsl[cur, i]
+                elif cy > 0:
+                    below = jnp.where(t == 0, rb_fp[i],
+                                      fsl[(t - 1) % 4, i, Ty - 1:Ty, :])
+                    rows = jnp.concatenate([below, fsl[cur, i, 0:Ty - 1, :]],
+                                           axis=0)
+                else:
+                    above = jnp.where(t == n_ty - 1, rt_fp[i],
+                                      fsl[(t + 1) % 4, i, 0:1, :])
+                    rows = jnp.concatenate([fsl[cur, i, 1:Ty, :], above],
+                                           axis=0)
+                if cx:
+                    rows = pltpu.roll(rows, cx % nxl, axis=1)
+                ob[oslot, i] = rows
+
+            # wall BCs (ops/step_thermal conventions)
+            @pl.when(jnp.logical_and(t == 0, fb == 1))
+            def _bottom():
+                for i in f_in_bottom:
+                    ob[oslot, i, 0:1, :] = fsl[cur, cfg.opp[i], 0:1, :]
+                for i in g_in_bottom:
+                    wsum = cfg.w_g[i - Qf] + cfg.w_g[cfg.opp[i] - Qf]
+                    ob[oslot, i, 0:1, :] = (
+                        wsum * cfg.t_bottom - ob[oslot, cfg.opp[i], 0:1, :])
+
+            @pl.when(jnp.logical_and(t == n_ty - 1, ft == 1))
+            def _top():
+                for i in f_in_top:
+                    ob[oslot, i, Ty - 1:Ty, :] = \
+                        fsl[cur, cfg.opp[i], Ty - 1:Ty, :]
+                for i in g_in_top:
+                    wsum = cfg.w_g[i - Qf] + cfg.w_g[cfg.opp[i] - Qf]
+                    ob[oslot, i, Ty - 1:Ty, :] = (
+                        wsum * cfg.t_top
+                        - ob[oslot, cfg.opp[i], Ty - 1:Ty, :])
+
+            out_dma(t).start()
+            return carry
+
+        lax.fori_loop(0, n_ty, loop, 0, unroll=False)
+        if n_ty >= 2:
+            out_dma(n_ty - 2).wait()
+        out_dma(n_ty - 1).wait()
+
+    call = pl.pallas_call(
+        kernel,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # flags (4,) int32
+            pl.BlockSpec(memory_space=pl.ANY),      # s (HBM)
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # rb (Qs, 1, nxl)
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # rt
+        ],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        out_shape=jax.ShapeDtypeStruct((Qs, nyl, nxl), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((4, Qs, Ty, nxl), jnp.float32),
+            pltpu.VMEM((2, Qs, Ty, nxl), jnp.float32),
+            pltpu.SemaphoreType.DMA((4,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_BUDGET + 3 * 1024 * 1024),
+        interpret=interpret,
+    )
+
+    def step(s, rb, rt, flags):
+        return call(flags, s, rb, rt)
+
+    step.tile_height = Ty
+    step.n_ty = n_ty
+    return step

@@ -65,17 +65,30 @@ def make_chunk_fn(problem: Problem, mesh: Mesh, chunk_len: int,
     eq_ring = problem.ghost_ring_values()
     has_solid = problem.solid is not None
 
+    thermal_pallas = None
     if problem.thermal is not None:
-        # double-population (thermal) problems run their dedicated padded
-        # step through the SAME generic ring/scan body below — only the
-        # collision/BC core differs. No fused pallas tier yet.
+        # double-population (thermal) problems: fused 1-step pallas kernel
+        # (f32, aligned nx, y-sharded meshes — x pulls are full-width lane
+        # rolls), else their dedicated padded step through the SAME generic
+        # ring/scan body below — only the collision/BC core differs.
         if backend == "pallas":
-            import warnings
-            warnings.warn("pallas backend has no thermal kernel yet; "
-                          "falling back to backend='jax'")
-        from ..ops.step_thermal import make_local_step_padded_thermal
-        local_step = make_local_step_padded_thermal(problem, local_shape)
-        backend = "jax"
+            try:
+                if mesh_shape[1] != 1:
+                    raise ValueError(
+                        "thermal pallas kernel needs an x-unsharded mesh")
+                from ..ops.step_thermal_pallas import \
+                    make_local_step_thermal_pallas
+                thermal_pallas = make_local_step_thermal_pallas(
+                    problem, local_shape)
+            except ValueError as e:
+                import warnings
+                warnings.warn(f"pallas backend unavailable for this "
+                              f"thermal config ({e}); falling back to "
+                              f"backend='jax'")
+        if thermal_pallas is None:
+            from ..ops.step_thermal import make_local_step_padded_thermal
+            local_step = make_local_step_padded_thermal(problem, local_shape)
+            backend = "jax"
 
     pallas3d_step = None
     pallas3d_plan = None   # [(stepper, n_iters), ...] mixed blocking depths
@@ -605,7 +618,25 @@ def make_chunk_fn(problem: Problem, mesh: Mesh, chunk_len: int,
                               length=chunk_len // N)
         return f_local[..., :nxl] if padx else f_local
 
-    if backend == "pallas":
+    def body_thermal_pallas(f_local, solid_local):
+        iy = lax.axis_index("y")
+        nyl = local_shape[-2]
+        y0 = iy * nyl
+        flags = jnp.stack([
+            (y0 == 0), (y0 + nyl == problem.params.ny),
+            jnp.array(True), jnp.array(True)]).astype(jnp.int32)
+
+        def one_step(f, _):
+            rb, rt = halo.ring_rows(f, eq_ring=eq_ring,
+                                    mesh_shape=mesh_shape)
+            return thermal_pallas(f, rb, rt, flags), None
+
+        f_local, _ = lax.scan(one_step, f_local, None, length=chunk_len)
+        return f_local
+
+    if thermal_pallas is not None:
+        body = body_thermal_pallas
+    elif backend == "pallas":
         if ndim == 3:
             body = (body_pallas3d if pallas3d_step is not None
                     else body_pallas3d_tiled)
