@@ -235,15 +235,17 @@ def test_thermal_runner_end_to_end(tmp_path):
     assert len(header) == 1 + 32 * 32
 
 
-@pytest.mark.parametrize("mesh_shape", [(1, 1), (4, 1)],
-                         ids=["single", "y-sharded"])
-def test_thermal_pallas_matches_oracle(mesh_shape):
+@pytest.mark.parametrize("mesh_shape,cs", [((1, 1), 0.0), ((4, 1), 0.0),
+                                           ((1, 1), 0.17)],
+                         ids=["single", "y-sharded", "les"])
+def test_thermal_pallas_matches_oracle(mesh_shape, cs):
     # fused thermal pallas kernel (interpret mode on CPU) vs the rolled
     # oracle, single-device and y-sharded
     from tpulbm.parallel.mesh import make_mesh
     from tpulbm.parallel.sharded_step import make_chunk_fn, shard_state
 
-    params = _params(ny=32, nx=32, ra=5000.0).replace(precision="f32")
+    params = _params(ny=32, nx=32, ra=5000.0).replace(precision="f32",
+                                                      smagorinsky=cs)
     prob = make_problem(params)
     step = jax.jit(make_step_thermal(prob))
     s_ref = jnp.asarray(prob.initial_state())

@@ -51,6 +51,7 @@ class _CfgT:
     opp: tuple              # opposite map for ALL planes (within each group)
     inv_tau: float
     inv_tau_g: float
+    smag: float             # Smagorinsky Cs; 0 → plain BGK
     buoyancy: float
     t_ref: float
     t_bottom: float
@@ -82,17 +83,43 @@ def _collide_thermal_rows(cfg: _CfgT, fw):
     if cfg.buoyancy:
         fy = cfg.buoyancy * (T - cfg.t_ref)
     out = []
-    for i in range(Qf):
-        cx, cy = cfg.c[i]
-        cu = (cx * ux if cx else 0.0) + (cy * uy if cy else 0.0)
-        if cx or cy:
-            feq = cfg.w_f[i] * rho * (base + 3.0 * cu + 4.5 * cu * cu)
-        else:
-            feq = cfg.w_f[i] * rho * base
-        fp = fw[i] - cfg.inv_tau * (fw[i] - feq)
-        if fy is not None and cy:
-            fp = fp + (3.0 * cfg.w_f[i] * cy) * fy
-        out.append(fp)
+    if cfg.smag:
+        # Smagorinsky LES branch (ops/step_pallas._collide_rows): per-cell
+        # tau_eff from the non-equilibrium stress in closed form
+        devs = []
+        for i in range(Qf):
+            cx, cy = cfg.c[i]
+            cu = (cx * ux if cx else 0.0) + (cy * uy if cy else 0.0)
+            if cx or cy:
+                feq = cfg.w_f[i] * rho * (base + 3.0 * cu + 4.5 * cu * cu)
+            else:
+                feq = cfg.w_f[i] * rho * base
+            devs.append(fw[i] - feq)
+        pxx = devs[1] + devs[3] + devs[5] + devs[6] + devs[7] + devs[8]
+        pyy = devs[2] + devs[4] + devs[5] + devs[6] + devs[7] + devs[8]
+        pxy = devs[5] - devs[6] + devs[7] - devs[8]
+        qbar = jnp.sqrt(2.0 * (pxx * pxx + pyy * pyy + 2.0 * (pxy * pxy)))
+        tau0 = 1.0 / cfg.inv_tau
+        inv_t = 2.0 / (tau0 + jnp.sqrt(
+            tau0 * tau0 + (18.0 * cfg.smag * cfg.smag) * qbar * inv_rho))
+        for i in range(Qf):
+            cy = cfg.c[i][1]
+            fp = fw[i] - inv_t * devs[i]
+            if fy is not None and cy:
+                fp = fp + (3.0 * cfg.w_f[i] * cy) * fy
+            out.append(fp)
+    else:
+        for i in range(Qf):
+            cx, cy = cfg.c[i]
+            cu = (cx * ux if cx else 0.0) + (cy * uy if cy else 0.0)
+            if cx or cy:
+                feq = cfg.w_f[i] * rho * (base + 3.0 * cu + 4.5 * cu * cu)
+            else:
+                feq = cfg.w_f[i] * rho * base
+            fp = fw[i] - cfg.inv_tau * (fw[i] - feq)
+            if fy is not None and cy:
+                fp = fp + (3.0 * cfg.w_f[i] * cy) * fy
+            out.append(fp)
     for k in range(cfg.Qs - Qf):
         i = Qf + k
         cx, cy = cfg.c[i]
@@ -119,8 +146,6 @@ def make_local_step_thermal_pallas(problem: Problem,
     if problem.dtype != np.float32:
         raise ValueError("thermal pallas kernel is f32; use backend='jax' "
                          "for f64")
-    if problem.smagorinsky:
-        raise ValueError("thermal pallas kernel has no LES branch yet")
     nyl, nxl = local_shape
     if not interpret and nxl % 128 != 0:
         raise ValueError(f"pallas backend needs local nx % 128 == 0, "
@@ -149,6 +174,7 @@ def make_local_step_thermal_pallas(problem: Problem,
         opp=opp,
         inv_tau=1.0 / problem.params.tau,
         inv_tau_g=1.0 / th.tau_g,
+        smag=float(problem.smagorinsky),
         buoyancy=float(th.buoyancy),
         t_ref=float(th.t_ref),
         t_bottom=float(th.t_bottom),
