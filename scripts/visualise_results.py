@@ -117,13 +117,26 @@ def main() -> int:
            int(params["cylinder_radius"]))
     re = params.get("reynolds_number", float("nan"))
 
+    # thermal runs (rayleigh-benard) also write temperature_field.csv —
+    # show T instead of the pressure panel (new capability, no reference
+    # analog)
+    temp = None
+    tpath = os.path.join(args.dir, "temperature_field.csv")
+    if slice_label is None and os.path.exists(tpath):
+        tdata = np.genfromtxt(tpath, delimiter=",", names=True)
+        temp = tdata["temperature"].reshape(ny, nx)
+
     def draw_cylinder(ax):
         if cyl[2] > 0:
             ax.add_artist(plt.Circle(cyl[:2], cyl[2], color="black", zorder=10))
 
     fig, axes = plt.subplots(2, 2, figsize=(18, 10))
-    title = (f"LBM Sphere Flow Analysis (slice {slice_label})" if slice_label
-             else f"LBM Cylinder Flow Analysis (Re ≈ {re:.1f})")
+    if slice_label:
+        title = f"LBM Sphere Flow Analysis (slice {slice_label})"
+    elif temp is not None:
+        title = "LBM Thermal Convection Analysis (Rayleigh-Bénard)"
+    else:
+        title = f"LBM Cylinder Flow Analysis (Re ≈ {re:.1f})"
     fig.suptitle(title, fontsize=20, fontweight="bold")
 
     ax = axes[0, 0]
@@ -151,11 +164,16 @@ def main() -> int:
     draw_cylinder(ax)
 
     ax = axes[1, 1]
-    plim = np.abs(pres).max() or 1.0
-    cf = ax.contourf(x, y, pres, levels=100, cmap="coolwarm",
-                     vmin=-plim, vmax=plim)
-    fig.colorbar(cf, ax=ax, label="Pressure (p - p_avg)")
-    ax.set_title("Pressure Field")
+    if temp is not None:
+        cf = ax.contourf(x, y, temp, levels=100, cmap="coolwarm")
+        fig.colorbar(cf, ax=ax, label="Temperature")
+        ax.set_title("Temperature Field")
+    else:
+        plim = np.abs(pres).max() or 1.0
+        cf = ax.contourf(x, y, pres, levels=100, cmap="coolwarm",
+                         vmin=-plim, vmax=plim)
+        fig.colorbar(cf, ax=ax, label="Pressure (p - p_avg)")
+        ax.set_title("Pressure Field")
     draw_cylinder(ax)
 
     for ax in axes.flat:
