@@ -278,6 +278,26 @@ def test_thermal_pallas_fallbacks_warn():
         make_chunk_fn(prob32, mesh22, 4, backend="pallas")
 
 
+def test_thermal_checkpoint_resume(tmp_path):
+    # bitwise-reproducible resume of the stacked 14-plane state
+    from tpulbm.runner import Runner
+
+    def run(out, steps, resume):
+        p = _params(ny=32, nx=32, ra=3000.0).replace(
+            num_timesteps=steps, output_frequency=50, enable_vtk=False,
+            checkpoint_every=1, output_dir=out, backend="jax")
+        return Runner(p, verbose=False).run(resume=resume)
+
+    a, b = str(tmp_path / "a"), str(tmp_path / "b")
+    assert run(a, 200, False).success          # straight 200 steps
+    assert run(b, 100, False).success          # 100 …
+    assert run(b, 200, True).success           # … resume to 200
+    for name in ("velocity_field.csv", "temperature_field.csv"):
+        fa = (tmp_path / "a" / name).read_text()
+        fb = (tmp_path / "b" / name).read_text()
+        assert fa == fb, f"{name} differs after resume"
+
+
 def test_buoyancy_for_rayleigh_roundtrip():
     p = _params(ra=5000.0)
     b = buoyancy_for_rayleigh(5000.0, p)
