@@ -233,6 +233,12 @@ def test_thermal_runner_end_to_end(tmp_path):
     header = tf.read_text().splitlines()
     assert header[0] == "x,y,temperature"
     assert len(header) == 1 + 32 * 32
+    # per-interval Nusselt trace (the convection analog of forces.csv)
+    nu_rows = (tmp_path / "nusselt.csv").read_text().splitlines()
+    assert nu_rows[0] == "timestep,nusselt"
+    steps = [int(r.split(",")[0]) for r in nu_rows[1:]]
+    assert steps == sorted(set(steps)) and steps[0] == 0
+    assert all(0.5 < float(r.split(",")[1]) < 5.0 for r in nu_rows[1:])
 
 
 @pytest.mark.parametrize("mesh_shape,cs", [((1, 1), 0.0), ((4, 1), 0.0),
@@ -292,7 +298,8 @@ def test_thermal_checkpoint_resume(tmp_path):
     assert run(a, 200, False).success          # straight 200 steps
     assert run(b, 100, False).success          # 100 …
     assert run(b, 200, True).success           # … resume to 200
-    for name in ("velocity_field.csv", "temperature_field.csv"):
+    for name in ("velocity_field.csv", "temperature_field.csv",
+                 "nusselt.csv"):
         fa = (tmp_path / "a" / name).read_text()
         fb = (tmp_path / "b" / name).read_text()
         assert fa == fb, f"{name} differs after resume"

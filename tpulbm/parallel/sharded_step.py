@@ -689,11 +689,17 @@ def make_super_chunk_fn(problem: Problem, mesh: Mesh, interval_len: int,
     maxv_fn = diagnostics.max_velocity_fn(problem)
     stable_fn = diagnostics.stability_fn(problem)
     fields_fn = diagnostics.fields_fn(problem) if with_fields else None
+    nu_fn = None
+    if problem.thermal is not None:
+        from ..ops.step_thermal import nusselt
+        nu_fn = lambda s: nusselt(problem, s)  # noqa: E731
 
     def fn(f, solid):
         def interval(fc, _):
             force = forces_fn(fc) if forces_fn is not None else jnp.zeros(2)
             diag = (force, maxv_fn(fc), stable_fn(fc))
+            if nu_fn is not None:     # thermal: per-interval Nusselt trace
+                diag = diag + (nu_fn(fc),)
             if fields_fn is not None:
                 diag = diag + tuple(fields_fn(fc))
             return chunk(fc, solid), diag

@@ -83,9 +83,18 @@ class Runner:
         stable_fn_ = diagnostics.stability_fn(self.problem)
         maxv_fn_ = diagnostics.max_velocity_fn(self.problem)
 
+        nu_fn_ = None
+        if self.problem.thermal is not None:
+            from .ops.step_thermal import nusselt
+            nu_fn_ = lambda s: nusselt(self.problem, s)  # noqa: E731
+        self._n_diag = 4 if nu_fn_ is not None else 3
+
         def _diag(f):
             force = forces_fn_(f) if forces_fn_ is not None else jnp.zeros(2)
-            return force, maxv_fn_(f), stable_fn_(f)
+            out = (force, maxv_fn_(f), stable_fn_(f))
+            if nu_fn_ is not None:  # thermal: Nu rides the same round trip
+                out = out + (nu_fn_(f),)
+            return out
 
         self._diag = jax.jit(_diag)
         # Closed-box problems (cavity): on-node wall reflection conserves
@@ -267,6 +276,11 @@ class Runner:
                 force_writer = io_mod.ForceWriter(forces_path,
                                                   append=start_step > 0,
                                                   resume_step=start_step)
+        nu_writer = None
+        if self.problem.thermal is not None and self.primary:
+            nu_writer = io_mod.NusseltWriter(
+                os.path.join(p.output_dir, "nusselt.csv"),
+                append=start_step > 0, resume_step=start_step)
 
         meter = ThroughputMeter(p.num_cells)
         if self.verbose:
@@ -317,11 +331,14 @@ class Runner:
                             f = self._renorm(f)
                         # per-interval scalars are replicated → addressable
                         # from every process, no collective gather needed
-                        forces_k, maxv_k, stable_k = jax.device_get(diags[:3])
+                        scalars = jax.device_get(diags[:self._n_diag])
+                        forces_k, maxv_k, stable_k = scalars[:3]
+                        nu_k = scalars[3] if self._n_diag > 3 else None
                         rho_k = u_k = None
                         if vtk_window:
                             # one collective gather for all K frames
-                            rho_k, u_k = multihost.fetch_tree(diags[3:])
+                            rho_k, u_k = multihost.fetch_tree(
+                                diags[self._n_diag:])
                         aborted = False
                         for j in range(_SUPER_K):
                             tj = t + j * freq
@@ -331,6 +348,8 @@ class Runner:
                                     problem, fv)
                                 force_writer.record(tj, float(fv[0]),
                                                     float(fv[1]), cd, cl)
+                            if nu_writer is not None:
+                                nu_writer.record(tj, float(nu_k[j]))
                             if tj > 0 and self.verbose:
                                 print(f"Timestep {tj}: "
                                       f"max_vel={float(maxv_k[j]):.6f}")
@@ -366,7 +385,10 @@ class Runner:
                     # donated buffer — with the heavy ASCII formatting still
                     # pushed off-thread.
                     if t % freq == 0:
-                        fvec, mv, stable = jax.device_get(self._diag(f))
+                        dv = jax.device_get(self._diag(f))
+                        fvec, mv, stable = dv[:3]
+                        if nu_writer is not None:
+                            nu_writer.record(t, float(dv[3]))
                         frame = None
                         if t > 0 and p.enable_vtk and t >= p.vtk_start_step:
                             # collective on multi-host — every process joins
@@ -412,6 +434,8 @@ class Runner:
         finally:
             if force_writer is not None:
                 force_writer.close()
+            if nu_writer is not None:
+                nu_writer.close()
             self._drain_io()
 
         stats = None

@@ -24,6 +24,33 @@ from ..config import SimulationParams
 from .native import get_native_io
 
 
+def _open_series(path: str, header: str, append: bool,
+                 resume_step: int | None):
+    """Open a streaming timestep-keyed CSV. On resume (`append` with a
+    `resume_step`), rows at or after the resume step would be re-recorded
+    (duplicate timesteps skew time averages and Strouhal peak spacing) —
+    keep only rows strictly before it."""
+    if append and os.path.exists(path):
+        if resume_step is not None:
+            with open(path) as fh:
+                lines = fh.readlines()
+            kept = [header]
+            for ln in lines:
+                head = ln.split(",", 1)[0]
+                try:
+                    ts = int(head)
+                except ValueError:
+                    continue  # header or corrupt tail line
+                if ts < resume_step:
+                    kept.append(ln)
+            with open(path, "w") as fh:
+                fh.writelines(kept)
+        return open(path, "a")
+    fh = open(path, "w")
+    fh.write(header)
+    return fh
+
+
 class ForceWriter:
     """Streaming forces.csv writer (reference IOManager ctor + record_forces,
     LBMIO.h:35-46, 171-191). Flushes every 10000 timesteps like the
@@ -34,29 +61,7 @@ class ForceWriter:
     def __init__(self, path: str, append: bool = False,
                  resume_step: int | None = None):
         self.path = path
-        if append and os.path.exists(path):
-            if resume_step is not None:
-                # Rows recorded after the checkpoint we resumed from would be
-                # re-recorded (duplicate timesteps skew the time-averaged
-                # drag and Strouhal peak spacing) — keep only rows strictly
-                # before the resume step.
-                with open(path) as fh:
-                    lines = fh.readlines()
-                kept = [self.HEADER]
-                for ln in lines:
-                    head = ln.split(",", 1)[0]
-                    try:
-                        ts = int(head)
-                    except ValueError:
-                        continue  # header or corrupt tail line
-                    if ts < resume_step:
-                        kept.append(ln)
-                with open(path, "w") as fh:
-                    fh.writelines(kept)
-            self._fh = open(path, "a")
-        else:
-            self._fh = open(path, "w")
-            self._fh.write(self.HEADER)
+        self._fh = _open_series(path, self.HEADER, append, resume_step)
 
     def record(self, timestep: int, fx: float, fy: float,
                cd: float, cl: float) -> None:
@@ -72,6 +77,27 @@ class ForceWriter:
 
     def __exit__(self, *exc):
         self.close()
+
+
+class NusseltWriter:
+    """Streaming nusselt.csv writer for thermal runs (new capability — no
+    reference analog; the Nu(t) trace is the convection analog of
+    forces.csv). Same resume-dedup contract as ForceWriter."""
+
+    HEADER = "timestep,nusselt\n"
+
+    def __init__(self, path: str, append: bool = False,
+                 resume_step: int | None = None):
+        self.path = path
+        self._fh = _open_series(path, self.HEADER, append, resume_step)
+
+    def record(self, timestep: int, nu: float) -> None:
+        self._fh.write(f"{timestep},{nu:.8f}\n")
+        if timestep % 10000 == 0:
+            self._fh.flush()
+
+    def close(self) -> None:
+        self._fh.close()
 
 
 def write_vtk_timestep(ux: np.ndarray, uy: np.ndarray, rho: np.ndarray,
