@@ -35,7 +35,7 @@ import time
 def bench(nx=2048, ny=512, backend="pallas", chunk_len=280, chunks=8,
           warmup=2, precision="f32", mesh_shape=(1, 1), verbose=False,
           reynolds=200.0, repeats=3, nz=0, collision="bgk",
-          smagorinsky=0.0):
+          smagorinsky=0.0, thermal=False):
     import jax
     import numpy as np
 
@@ -48,7 +48,16 @@ def bench(nx=2048, ny=512, backend="pallas", chunk_len=280, chunks=8,
     from tpulbm.parallel.sharded_step import (make_chunk_fn,
                                               shard_initial_state)
 
-    if nz:
+    if thermal:
+        # Rayleigh-Benard at Ra=1e4 on an (ny, nx) grid: 14-plane stacked
+        # state through the fused thermal pallas kernel (f32, aligned nx)
+        params = SimulationParams(nx=nx, ny=ny, problem="rayleigh-benard",
+                                  precision=precision, backend=backend,
+                                  mesh_shape=mesh_shape, tau=0.55,
+                                  thermal_tau=0.5704, rayleigh=1e4,
+                                  periodic_x=True, cylinder_radius=0.0,
+                                  inlet_velocity=0.0)
+    elif nz:
         # D3Q19 sphere-in-duct at the stable stock parameters (tau=0.6)
         params = SimulationParams(nx=nx, ny=ny, nz=nz, problem="cylinder3d",
                                   precision=precision, backend=backend,
@@ -116,7 +125,8 @@ def run_one(args, mesh_shape, nx, ny, label=None):
               chunks=args.chunks, precision=args.precision,
               verbose=args.verbose, mesh_shape=mesh_shape,
               repeats=args.repeats, reynolds=args.reynolds,
-              collision=args.collision, smagorinsky=args.smagorinsky)
+              collision=args.collision, smagorinsky=args.smagorinsky,
+              thermal=args.thermal)
     try:
         mlups, dt, steps = bench(backend=backend, **kw)
     except Exception as e:  # pallas unavailable → honest fallback, flagged
@@ -135,6 +145,9 @@ def run_one(args, mesh_shape, nx, ny, label=None):
                      if nz else
                      f"MLUPS/chip, D2Q9 cylinder {grid} "
                      f"{args.precision} Re={args.reynolds:g}")
+    if args.thermal:
+        default_label = (f"MLUPS/chip, thermal Rayleigh-Benard Ra=1e4 "
+                         f"{grid} {args.precision} (14-plane state)")
     if args.collision != "bgk":
         default_label += f" {args.collision}"
     if args.smagorinsky:
@@ -148,9 +161,10 @@ def run_one(args, mesh_shape, nx, ny, label=None):
         "wall_seconds": round(dt, 3),
         "wall_clock_per_1k_steps_s": round(dt / steps * 1000, 4),
     }
-    if not nz:
-        # The 5000-MLUPS north star is a 2-D D2Q9 target; a D3Q19 run does
-        # ~2.1x the per-cell work, so the ratio would be meaningless there.
+    if not nz and not args.thermal:
+        # The 5000-MLUPS north star is a 2-D D2Q9 target; a D3Q19 (2.1x
+        # per-cell work) or thermal (14-plane) run would make the ratio
+        # meaningless.
         rec["vs_baseline"] = round(mlups / n_dev / baseline, 4)
     if n_dev > 1 or args.mesh or args.sweep:
         rec["mesh"] = f"{mesh_shape[0]}x{mesh_shape[1]}"
@@ -173,6 +187,9 @@ def main():
                     choices=["bgk", "trt", "mrt"],
                     help="collision operator (extra kernel rows for the "
                          "BENCH.md operator ladder)")
+    ap.add_argument("--thermal", action="store_true",
+                    help="bench the thermal (Rayleigh-Benard) model "
+                         "instead of the cylinder")
     ap.add_argument("--smagorinsky", type=float, default=0.0,
                     help="Smagorinsky Cs (0 = off; extra kernel rows for "
                          "the BENCH.md operator ladder)")
