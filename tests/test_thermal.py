@@ -241,6 +241,24 @@ def test_thermal_runner_end_to_end(tmp_path):
     assert all(0.5 < float(r.split(",")[1]) < 5.0 for r in nu_rows[1:])
 
 
+def test_thermal_vtk_frames_carry_temperature(tmp_path):
+    from tpulbm.runner import Runner
+    params = _params(ny=16, nx=16, ra=2000.0).replace(
+        num_timesteps=150, output_frequency=50, enable_vtk=True,
+        output_dir=str(tmp_path), backend="jax")
+    assert Runner(params, verbose=False).run(resume=False).success
+    frames = sorted((tmp_path / "vtk_output").glob("*.vtk"))
+    assert frames, "no VTK frames written"
+    body = frames[0].read_text()
+    assert "SCALARS temperature double" in body
+    assert body.count("LOOKUP_TABLE default") == 3  # |u|, rho, T
+    # the temperature block has one value per point, bounded by the walls
+    tail = body.split("SCALARS temperature double\nLOOKUP_TABLE default\n")[1]
+    vals = [float(v) for v in tail.split()]
+    assert len(vals) == 16 * 16
+    assert all(-0.05 <= v <= 1.05 for v in vals)
+
+
 @pytest.mark.parametrize("mesh_shape,cs", [((1, 1), 0.0), ((4, 1), 0.0),
                                            ((1, 1), 0.17)],
                          ids=["single", "y-sharded", "les"])

@@ -689,10 +689,11 @@ def make_super_chunk_fn(problem: Problem, mesh: Mesh, interval_len: int,
     maxv_fn = diagnostics.max_velocity_fn(problem)
     stable_fn = diagnostics.stability_fn(problem)
     fields_fn = diagnostics.fields_fn(problem) if with_fields else None
-    nu_fn = None
+    nu_fn = temp_fn = None
     if problem.thermal is not None:
-        from ..ops.step_thermal import nusselt
+        from ..ops.step_thermal import nusselt, temperature
         nu_fn = lambda s: nusselt(problem, s)  # noqa: E731
+        temp_fn = lambda s: temperature(problem, s)  # noqa: E731
 
     def fn(f, solid):
         def interval(fc, _):
@@ -702,6 +703,8 @@ def make_super_chunk_fn(problem: Problem, mesh: Mesh, interval_len: int,
                 diag = diag + (nu_fn(fc),)
             if fields_fn is not None:
                 diag = diag + tuple(fields_fn(fc))
+                if temp_fn is not None:  # thermal VTK frames carry T
+                    diag = diag + (temp_fn(fc),)
             return chunk(fc, solid), diag
 
         return lax.scan(interval, f, None, length=n_intervals)

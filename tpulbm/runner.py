@@ -84,9 +84,12 @@ class Runner:
         maxv_fn_ = diagnostics.max_velocity_fn(self.problem)
 
         nu_fn_ = None
+        self._temp = None
         if self.problem.thermal is not None:
-            from .ops.step_thermal import nusselt
+            from .ops.step_thermal import nusselt, temperature
             nu_fn_ = lambda s: nusselt(self.problem, s)  # noqa: E731
+            self._temp = jax.jit(
+                lambda s: temperature(self.problem, s))
         self._n_diag = 4 if nu_fn_ is not None else 3
 
         def _diag(f):
@@ -158,14 +161,14 @@ class Runner:
             fut.result()
         self._io_futures = []
 
-    def _submit_frame(self, rho, u, t):
+    def _submit_frame(self, rho, u, t, temp=None):
         """Queue one VTK frame on the writer thread and surface any
         exceptions from already-finished background writes."""
         p = self.params
         uz = u[2] if p.is_3d else None
         self._io_futures.append(self._io_pool.submit(
             io_mod.write_vtk_timestep, u[0], u[1], rho, p, t,
-            p.output_dir, uz, p.vtk_format))
+            p.output_dir, uz, p.vtk_format, temp))
         pending = []
         for fut in self._io_futures:
             if fut.done():
@@ -334,11 +337,12 @@ class Runner:
                         scalars = jax.device_get(diags[:self._n_diag])
                         forces_k, maxv_k, stable_k = scalars[:3]
                         nu_k = scalars[3] if self._n_diag > 3 else None
-                        rho_k = u_k = None
+                        rho_k = u_k = temp_k = None
                         if vtk_window:
                             # one collective gather for all K frames
-                            rho_k, u_k = multihost.fetch_tree(
+                            rho_k, u_k, *rest = multihost.fetch_tree(
                                 diags[self._n_diag:])
+                            temp_k = rest[0] if rest else None
                         aborted = False
                         for j in range(_SUPER_K):
                             tj = t + j * freq
@@ -359,8 +363,10 @@ class Runner:
                                 # np.array COPIES the per-frame slice — a
                                 # view would pin the whole K-frame window
                                 # stack in RAM while writes drain
-                                self._submit_frame(np.array(rho_k[j]),
-                                                   np.array(u_k[j]), tj)
+                                self._submit_frame(
+                                    np.array(rho_k[j]), np.array(u_k[j]), tj,
+                                    None if temp_k is None
+                                    else np.array(temp_k[j]))
                             if not bool(stable_k[j]):
                                 print(f"Simulation unstable at timestep {tj}")
                                 success = False
@@ -393,7 +399,10 @@ class Runner:
                         if t > 0 and p.enable_vtk and t >= p.vtk_start_step:
                             # collective on multi-host — every process joins
                             rho_f, u_f = multihost.fetch_tree(self._fields(f))
-                            frame = (np.asarray(rho_f), np.asarray(u_f))
+                            t_f = None if self._temp is None else \
+                                np.asarray(multihost.fetch_global(
+                                    self._temp(f)))
+                            frame = (np.asarray(rho_f), np.asarray(u_f), t_f)
                         if force_writer is not None:
                             fvec = np.asarray(fvec)
                             cd, cl = forces_mod.force_coefficients(problem, fvec)
@@ -403,7 +412,8 @@ class Runner:
                             if self.verbose:
                                 print(f"Timestep {t}: max_vel={float(mv):.6f}")
                             if frame is not None and self.primary:
-                                self._submit_frame(frame[0], frame[1], t)
+                                self._submit_frame(frame[0], frame[1], t,
+                                                   frame[2])
                         if not bool(stable):
                             print(f"Simulation unstable at timestep {t}")
                             success = False
@@ -479,10 +489,8 @@ class Runner:
             extra = ""
             if self.problem.thermal is not None:
                 from .models.rayleigh_benard import effective_height
-                from .ops.step_thermal import temperature
                 th = self.problem.thermal
-                T = np.asarray(multihost.fetch_global(
-                    jax.jit(lambda s: temperature(self.problem, s))(f)))
+                T = np.asarray(multihost.fetch_global(self._temp(f)))
                 io_mod.write_temperature_field(T, p, p.output_dir)
                 # Nu from the already-gathered host fields (multi-process
                 # safe — no eager op on a non-addressable sharded array)

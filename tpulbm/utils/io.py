@@ -104,12 +104,15 @@ def write_vtk_timestep(ux: np.ndarray, uy: np.ndarray, rho: np.ndarray,
                        params: SimulationParams, timestep: int,
                        out_dir: str = ".",
                        uz: np.ndarray | None = None,
-                       fmt: str = "ascii") -> str:
+                       fmt: str = "ascii",
+                       temp: np.ndarray | None = None) -> str:
     """Legacy VTK frame, file vtk_output/lbm_%06d.vtk
     (format parity: LBMIO.h:55-111). Arrays are (ny, nx), or (nz, ny, nx)
     with `uz` given — STRUCTURED_POINTS generalizes to nz > 1 with the same
     blocks (C-order ravel = x fastest, the VTK point order).
 
+    `temp` (thermal runs) appends a SCALARS temperature block — additive,
+    so isothermal frames stay byte-compatible with the reference.
     fmt="ascii" (default) is byte-compatible with the reference writer;
     fmt="binary" emits the legacy BINARY encoding (big-endian float64 blocks,
     same sections) — ~4x fewer bytes and ~30x faster to format, opt-in
@@ -150,6 +153,11 @@ def write_vtk_timestep(ux: np.ndarray, uy: np.ndarray, rho: np.ndarray,
             fh.write(mag.ravel().astype(">f8").tobytes())
             fh.write(b"\nSCALARS density double\nLOOKUP_TABLE default\n")
             fh.write(rho.ravel().astype(">f8").tobytes())
+            if temp is not None:
+                fh.write(b"\nSCALARS temperature double"
+                         b"\nLOOKUP_TABLE default\n")
+                fh.write(np.ascontiguousarray(temp, np.float64)
+                         .ravel().astype(">f8").tobytes())
             fh.write(b"\n")
         return path
     native = get_native_io()
@@ -169,9 +177,13 @@ def write_vtk_timestep(ux: np.ndarray, uy: np.ndarray, rho: np.ndarray,
             fh.writelines(f"{v:.8f}\n" for v in mag.ravel())
             fh.write("\nSCALARS density double\nLOOKUP_TABLE default\n")
             fh.writelines(f"{v:.8f}\n" for v in rho.ravel())
+            _append_temp_ascii(fh, temp)
         return path
     if native is not None:
         native.write_vtk(path, header, ux, uy, rho)
+        if temp is not None:
+            with open(path, "a") as fh:
+                _append_temp_ascii(fh, temp)
         return path
     mag = np.sqrt(ux * ux + uy * uy)
     with open(path, "w") as fh:
@@ -183,7 +195,16 @@ def write_vtk_timestep(ux: np.ndarray, uy: np.ndarray, rho: np.ndarray,
         fh.writelines(f"{v:.8f}\n" for v in mag.ravel())
         fh.write("\nSCALARS density double\nLOOKUP_TABLE default\n")
         fh.writelines(f"{v:.8f}\n" for v in rho.ravel())
+        _append_temp_ascii(fh, temp)
     return path
+
+
+def _append_temp_ascii(fh, temp) -> None:
+    if temp is None:
+        return
+    temp = np.ascontiguousarray(temp, dtype=np.float64)
+    fh.write("\nSCALARS temperature double\nLOOKUP_TABLE default\n")
+    fh.writelines(f"{v:.8f}\n" for v in temp.ravel())
 
 
 def write_velocity_field(ux: np.ndarray, uy: np.ndarray, rho: np.ndarray,
