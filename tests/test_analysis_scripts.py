@@ -77,3 +77,27 @@ def test_scripts_run_on_solver_artifacts(tmp_path):
                         "--prominence", "0.0001"],
                        capture_output=True, text=True, env=env, timeout=300)
     assert (tmp_path / "lift_coefficient_plot.png").exists(), r.stderr
+
+
+def test_nusselt_script_on_thermal_artifacts(tmp_path):
+    params = SimulationParams(nx=32, ny=32, problem="rayleigh-benard",
+                              tau=0.6, thermal_tau=0.6, rayleigh=3000.0,
+                              periodic_x=True, cylinder_radius=0.0,
+                              inlet_velocity=0.0, num_timesteps=200,
+                              output_frequency=50, enable_vtk=False,
+                              output_dir=str(tmp_path), backend="jax")
+    assert Runner(params, verbose=False).run().success
+
+    env = dict(os.environ, MPLBACKEND="Agg")
+    r = subprocess.run([sys.executable, os.path.join(SCRIPTS, "nusselt.py"),
+                        "--dir", str(tmp_path)], capture_output=True,
+                       text=True, env=env, timeout=300)
+    assert r.returncode == 0, r.stderr
+    assert "Steady-state Nusselt number" in r.stdout
+    assert (tmp_path / "nusselt_history.png").exists()
+    # thermal runs also feed the 4-panel visualiser (temperature panel)
+    r = subprocess.run([sys.executable,
+                        os.path.join(SCRIPTS, "visualise_results.py"),
+                        "--dir", str(tmp_path)], capture_output=True,
+                       text=True, env=env, timeout=300)
+    assert r.returncode == 0, r.stderr
