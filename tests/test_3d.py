@@ -20,6 +20,28 @@ def _params(**kw):
     return SimulationParams(**d)
 
 
+def test_3d_force_coefficients_use_frontal_area():
+    # 3-D (sphere) drag/lift coefficients normalize by q = 1/2 U^2 pi r^2
+    # (standard sphere convention — the 2-D reference normalization
+    # q = 1/2 U^2 (2 r) applies only to the cylinder, LBMIO.h:171-178)
+    from tpulbm.ops.forces import force_coefficients
+    problem = make_problem(_params(ny=64, cylinder_radius=0.1))
+    r = problem.params.get_cylinder_radius_cells()
+    assert r > 0
+    U = problem.params.inlet_velocity
+    q = 0.5 * U * U * np.pi * r * r
+    cd, cl = force_coefficients(problem, np.array([2.0 * q, -q, 0.5 * q]))
+    assert cd == pytest.approx(2.0)
+    assert cl == pytest.approx(-1.0)
+
+    problem2d = make_problem(SimulationParams(nx=64, ny=32, tau=0.6,
+                                              inlet_velocity=0.05))
+    r2 = problem2d.params.get_cylinder_radius_cells()
+    q2 = 0.5 * 0.05 * 0.05 * 2.0 * r2
+    cd2, _ = force_coefficients(problem2d, np.array([3.0 * q2, 0.0]))
+    assert cd2 == pytest.approx(3.0)
+
+
 def test_3d_step_runs_and_conserves_sanity():
     problem = make_problem(_params())
     assert problem.lattice is D3Q19

@@ -56,13 +56,25 @@ def momentum_exchange(problem: Problem, f_post: jnp.ndarray,
 
 
 def force_coefficients(problem: Problem, force: np.ndarray) -> tuple[float, float]:
-    """C_D, C_L with the reference normalization q = ½ ρ U² D,
-    D = 2 * int(cylinder_radius * ny) cells (LBMIO.h:171-178 — note this uses
-    the integer cell radius, the reference's quirk #4)."""
+    """C_D, C_L.
+
+    2-D: the reference normalization q = ½ ρ U² D per unit span,
+    D = 2 * int(cylinder_radius * ny) cells (LBMIO.h:171-178 — note this
+    uses the integer cell radius, the reference's quirk #4).
+
+    3-D (sphere — no reference analog, the C++ code is strictly 2-D): the
+    standard aerodynamic convention q = ½ ρ U² A with the frontal area
+    A = π r², so the reported C_D is comparable to the sphere drag-curve
+    literature (Schiller-Naumann et al.) rather than to the 2-D cylinder
+    convention."""
     p = problem.params
     U = p.inlet_velocity
-    Dref = 2.0 * p.get_cylinder_radius_cells()
-    q = 0.5 * 1.0 * U * U * Dref
+    r = float(p.get_cylinder_radius_cells())
+    if problem.lattice.D == 3:
+        area = np.pi * r * r
+    else:
+        area = 2.0 * r
+    q = 0.5 * 1.0 * U * U * area
     if q <= 1e-12:
         return 0.0, 0.0
     return float(force[0] / q), float(force[1] / q)

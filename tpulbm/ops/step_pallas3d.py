@@ -374,9 +374,15 @@ def make_local_step_pallas3d(problem: Problem,
                         ob[oslot, i] = eq_plane[i]
 
             # ---- ghost sanitize (see module docstring) ----
+            # x-edge columns are skipped when the inlet/outlet BC rewrites
+            # the full column below: _solid_touches_x_edges guarantees no
+            # solid on those columns, so the (possibly fluid-masked)
+            # inlet/outlet overwrite covers every cell the sanitize would
+            # have written — the strip writes are dead work in the hot loop.
             for i in range(Q):
                 cx, cy, cz = cfg.c[i]
-                if cx:
+                if cx and not (cfg.inlet_equilibrium if cx > 0
+                               else cfg.outlet_zero_grad):
                     xc = 0 if cx > 0 else nx - 1
                     # x-edge ghost: 0, unless the source also left z range
                     if cz > 0:
@@ -886,10 +892,15 @@ def make_local_step_pallas3d_tiled(problem: Problem,
             ghost sanitize → walls → inlet/outlet → obstacle)."""
             # ghost sanitize — x edges only on shards at the physical x
             # boundary (always true for full-width shards); y edges only on
-            # the tile holding the physical boundary row
+            # the tile holding the physical boundary row. As in the
+            # full-plane kernel, an x-edge column is skipped when the
+            # inlet/outlet BC below rewrites it entirely (no solid can sit
+            # on those columns — _solid_touches_x_edges), saving the strip
+            # writes every substep.
             for i in range(Q):
                 cx, cy, cz = cfg.c[i]
-                if cx:
+                if cx and not (cfg.inlet_equilibrium if cx > 0
+                               else cfg.outlet_zero_grad):
                     xc = xlc if cx > 0 else xrc
                     fe = fxl if cx > 0 else fxr
                     if cz > 0:
