@@ -59,6 +59,15 @@ class SimulationParams:
     # smagorinsky_inv_tau) — adds eddy viscosity where the flow is
     # under-resolved, stabilizing high-Re runs the reference cannot reach.
     smagorinsky: float = 0.0
+    # Non-Newtonian power-law (Ostwald-de Waele) rheology (new capability —
+    # the reference is strictly Newtonian): apparent viscosity
+    # nu(γ̇) = k γ̇^(n-1). n = 1 is Newtonian (off); n < 1 shear-thinning
+    # (blood, polymer melts), n > 1 shear-thickening. power_law_k = 0
+    # derives the consistency index from tau: k = (tau - 1/2)/3, i.e. the
+    # apparent viscosity at unit shear rate equals the Newtonian one.
+    # BGK-only; per-cell tau_eff via physics.power_law_inv_tau.
+    power_law_n: float = 1.0
+    power_law_k: float = 0.0
     # Thermal (double-population) coupling — the rayleigh-benard problem.
     # thermal_tau sets the diffusivity alpha = (thermal_tau - 1/2)/3;
     # rayleigh (if > 0) derives the Boussinesq buoyancy from
@@ -96,6 +105,14 @@ class SimulationParams:
             return self.inlet_velocity * (self.nx - 1) / self.nu()
         D = 2.0 * self.cylinder_radius * self.ny
         return (self.inlet_velocity * D) / self.nu()
+
+    def power_law(self) -> tuple[float, float] | None:
+        """(k, n) for the power-law rheology, or None when Newtonian.
+        k = 0 derives the consistency index from tau (nu at unit shear)."""
+        if self.power_law_n == 1.0:
+            return None
+        k = self.power_law_k if self.power_law_k else self.nu()
+        return (k, self.power_law_n)
 
     def get_cylinder_x(self) -> int:
         return int(self.cylinder_x * self.nx)
@@ -215,7 +232,8 @@ def add_cli_args(parser: argparse.ArgumentParser) -> None:
                         help="path to a JSON file with SimulationParams fields")
     # individual overrides
     for field in ("tau", "inlet_velocity", "cylinder_x", "cylinder_y",
-                  "cylinder_radius", "smagorinsky", "thermal_tau", "t_hot",
+                  "cylinder_radius", "smagorinsky", "power_law_n",
+                  "power_law_k", "thermal_tau", "t_hot",
                   "t_cold", "rayleigh", "buoyancy"):
         parser.add_argument(f"--{field.replace('_', '-')}", type=float, default=None)
     for field in ("nx", "ny", "nz", "num_timesteps", "output_frequency",
@@ -262,7 +280,8 @@ def params_from_args(args: argparse.Namespace) -> SimulationParams:
 
     overrides: dict[str, Any] = {}
     for field in ("tau", "inlet_velocity", "cylinder_x", "cylinder_y",
-                  "cylinder_radius", "smagorinsky", "thermal_tau", "t_hot",
+                  "cylinder_radius", "smagorinsky", "power_law_n",
+                  "power_law_k", "thermal_tau", "t_hot",
                   "t_cold", "rayleigh", "buoyancy", "nx", "ny", "nz",
                   "num_timesteps",
                   "output_frequency", "vtk_start_step", "checkpoint_every",
@@ -322,3 +341,22 @@ def validate_params(params: SimulationParams) -> None:
                 "the Smagorinsky closure is implemented for collision="
                 f"'bgk' only (got {params.collision!r}); TRT/MRT would "
                 "need their own per-cell rate plumbing")
+    if params.power_law_n != 1.0:
+        if params.power_law_n <= 0:
+            raise ValueError(
+                f"power_law_n must be > 0, got {params.power_law_n}")
+        if params.collision != "bgk":
+            raise ValueError(
+                "power-law rheology is implemented for collision='bgk' "
+                f"only (got {params.collision!r})")
+        if params.smagorinsky:
+            raise ValueError(
+                "power-law rheology and the Smagorinsky closure both set "
+                "a per-cell relaxation rate; enable at most one")
+        if params.thermal_tau:
+            raise ValueError(
+                "power-law rheology is not wired into the thermal "
+                "(rayleigh-benard) kernels")
+    if params.power_law_k < 0:
+        raise ValueError(
+            f"power_law_k must be >= 0, got {params.power_law_k}")

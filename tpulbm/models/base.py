@@ -76,6 +76,7 @@ class Problem:
     trt_magic: float = 3.0 / 16.0
     mrt_rates: tuple = ()             # ((moment, rate), ...) ghost overrides
     smagorinsky: float = 0.0          # LES constant Cs (physics.smagorinsky_inv_tau)
+    power_law: tuple = ()             # (k, n) rheology (physics.power_law_inv_tau)
     thermal: ThermalConfig | None = None  # double-population thermal coupling
 
     @property

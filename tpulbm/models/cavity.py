@@ -47,6 +47,7 @@ def make_problem(params: SimulationParams) -> Problem:
         obstacle_bc=params.obstacle_bc,
         collision=params.collision,
         smagorinsky=params.smagorinsky,
+        power_law=params.power_law() or (),
         trt_magic=params.trt_magic,
         mrt_rates=params.mrt_rates,
     )

@@ -31,6 +31,7 @@ def make_problem(params: SimulationParams) -> Problem:
         obstacle_bc=params.obstacle_bc,
         collision=params.collision,
         smagorinsky=params.smagorinsky,
+        power_law=params.power_law() or (),
         trt_magic=params.trt_magic,
         mrt_rates=params.mrt_rates,
     )
@@ -50,3 +51,23 @@ def analytic_profile(params: SimulationParams) -> np.ndarray:
     F = params.body_force[0] if params.body_force else 1e-5
     y = np.arange(ny, dtype=np.float64)
     return F / (2.0 * nu) * y * (ny - 1 - y)
+
+
+def analytic_profile_power_law(params: SimulationParams) -> np.ndarray:
+    """Steady-state analytic ux(y) for the power-law (Ostwald-de Waele)
+    channel, nu(γ̇) = k γ̇^(n-1) (no reference analog — the C++ code is
+    strictly Newtonian). Same wall convention as analytic_profile (no-slip
+    at the nodes y = 0 and y = ny-1, half-width h = (ny-1)/2):
+
+        sigma(y) = F (h - |y - h|)  =>  |du/dy| = (F s / k)^(1/n)
+        u(s) = n/(n+1) (F/k)^(1/n) (h^(1+1/n) - s^(1+1/n)),  s = |y - h|
+
+    n = 1 reduces to the parabola above."""
+    plaw = params.power_law()
+    k, n = plaw if plaw else (params.nu(), 1.0)
+    ny = params.ny
+    F = params.body_force[0] if params.body_force else 1e-5
+    h = (ny - 1) / 2.0
+    s = np.abs(np.arange(ny, dtype=np.float64) - h)
+    e = 1.0 + 1.0 / n
+    return n / (n + 1.0) * (F / k) ** (1.0 / n) * (h ** e - s ** e)

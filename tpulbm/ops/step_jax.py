@@ -52,6 +52,11 @@ def _collide_block(problem: Problem, f: jnp.ndarray,
         f_post = physics.collide_mrt(problem.lattice, f, inv_tau,
                                      problem.body_force,
                                      overrides=dict(problem.mrt_rates) or None)
+    elif problem.power_law:
+        f_post = physics.collide_power_law(problem.lattice, f,
+                                           problem.power_law[0],
+                                           problem.power_law[1],
+                                           problem.body_force)
     elif problem.smagorinsky:
         f_post = physics.collide_smagorinsky(problem.lattice, f, inv_tau,
                                              problem.smagorinsky,

@@ -68,6 +68,7 @@ class _Cfg:
     omega_minus: float | None  # TRT odd-moment rate; None → BGK
     mrt_uv: tuple | None       # MRT rank-r correction (U rows, V rows); None → BGK/TRT
     smag: float                # Smagorinsky Cs; 0 → plain BGK
+    plaw: tuple | None         # power-law (k, n); None → Newtonian
     u_in: float
     eq_in: tuple        # frozen ghost equilibrium per direction
     src: tuple | None   # body-force source term per direction
@@ -166,6 +167,46 @@ def _collide_rows(cfg: _Cfg, fw, solid_rows):
                 if uik == 0.0 or t[k] is None:
                     continue
                 fp = fp - uik * t[k]
+            if cfg.src is not None and cfg.src[i]:
+                fp = fp + cfg.src[i]
+            if cfg.bounce_back:
+                fp = jnp.where(solid_rows, fw[i], fp)
+            out.append(fp)
+        return out
+    if cfg.plaw is not None:
+        # BGK + power-law rheology (physics.power_law_inv_tau): per-cell
+        # tau_eff solves tau = 1/2 + 3k γ̇(tau)^(n-1) by damped Picard
+        # iteration on the same non-equilibrium stress norm Q̄ the LES
+        # branch uses; tau clamped to the truncated-power-law bounds.
+        from .. import physics as _ph
+        devs = []
+        for i in range(cfg.Q):
+            cx, cy = cfg.c[i]
+            cu = (cx * ux if cx else 0.0) + (cy * uy if cy else 0.0)
+            if cx or cy:
+                feq = cfg.w[i] * rho * (base + 3.0 * cu + 4.5 * cu * cu)
+            else:
+                feq = cfg.w[i] * rho * base
+            devs.append(fw[i] - feq)
+        pxx = devs[1] + devs[3] + devs[5] + devs[6] + devs[7] + devs[8]
+        pyy = devs[2] + devs[4] + devs[5] + devs[6] + devs[7] + devs[8]
+        pxy = devs[5] - devs[6] + devs[7] - devs[8]
+        # accumulation order (xx, xy, yy) matches physics.power_law_inv_tau
+        qbar = jnp.sqrt(2.0 * (pxx * pxx + 2.0 * (pxy * pxy) + pyy * pyy))
+        k, n = cfg.plaw
+        gfac = 1.5 * qbar * inv_rho
+        tau = jnp.full_like(gfac, float(np.clip(
+            0.5 + 3.0 * k, _ph.PLAW_TAU_MIN, _ph.PLAW_TAU_MAX)))
+        nm1, k3 = n - 1.0, 3.0 * k
+        for _ in range(_ph.PLAW_ITERS):
+            gam = jnp.maximum(gfac / tau, _ph.PLAW_GAMMA_FLOOR)
+            p = k3 * jnp.exp(nm1 * jnp.log(gam))
+            h = tau - 0.5 - p
+            hp = 1.0 + nm1 * p / tau
+            tau = jnp.clip(tau - h / hp, _ph.PLAW_TAU_MIN, _ph.PLAW_TAU_MAX)
+        inv_t = 1.0 / tau
+        for i in range(cfg.Q):
+            fp = fw[i] - inv_t * devs[i]
             if cfg.src is not None and cfg.src[i]:
                 fp = fp + cfg.src[i]
             if cfg.bounce_back:
@@ -622,6 +663,8 @@ def _physics_cfg_fields(problem: Problem) -> dict:
         inv_tau=1.0 / problem.params.tau,
         omega_minus=omega_minus, mrt_uv=mrt_uv,
         smag=float(problem.smagorinsky),
+        plaw=(tuple(float(v) for v in problem.power_law)
+              if problem.power_law else None),
         u_in=float(problem.init_u[0]),
         eq_in=tuple(float(v) for v in problem.ghost_ring_values()),
         src=src, has_solid=has_solid,

@@ -58,6 +58,8 @@ class _Cfg3d:
     nz: int
     ny: int
     nx: int
+    # power-law rheology (k, n); None → Newtonian
+    plaw: tuple | None = None
     # do wall/inlet/outlet strips need a solid-mask guard? (static geometry:
     # False when no solid cell touches a domain face — then the mask's only
     # consumer is the obstacle pinning, which solid-free tiles can skip)
@@ -140,6 +142,51 @@ def _collide_planes(cfg: _Cfg3d, fw, solid):
                     continue
                 fp = fp - uik * t[k]
             out[i] = finish(i, fp)
+        return out
+
+    if cfg.plaw is not None:
+        # BGK + power-law rheology (physics.power_law_inv_tau): per-cell
+        # tau_eff solves tau = 1/2 + 3k γ̇(tau)^(n-1) by damped Picard
+        # iteration on the non-equilibrium stress norm Q̄ (built generically
+        # from the velocity set like the LES branch below), with tau
+        # clamped to the truncated-power-law bounds.
+        from .. import physics as _ph
+        devs = []
+        for i in range(Q):
+            cu = cu_of(i)
+            wr = cfg.w[i] * rho
+            feq = wr * base if cu is None else wr * (base + 3.0 * cu
+                                                     + 4.5 * cu * cu)
+            devs.append(fw[i] - feq)
+        ssum = None
+        for a in range(3):
+            for b in range(a, 3):
+                acc = None
+                for i in range(Q):
+                    coef = cfg.c[i][a] * cfg.c[i][b]
+                    if coef == 0:
+                        continue
+                    term = devs[i] if coef == 1 else (
+                        -devs[i] if coef == -1 else coef * devs[i])
+                    acc = term if acc is None else acc + term
+                wgt = 1.0 if a == b else 2.0
+                term = (acc * acc) if wgt == 1.0 else wgt * (acc * acc)
+                ssum = term if ssum is None else ssum + term
+        qbar = jnp.sqrt(2.0 * ssum)
+        k, n = cfg.plaw
+        gfac = 1.5 * qbar * inv_rho
+        tau = jnp.full_like(gfac, float(np.clip(
+            0.5 + 3.0 * k, _ph.PLAW_TAU_MIN, _ph.PLAW_TAU_MAX)))
+        nm1, k3 = n - 1.0, 3.0 * k
+        for _ in range(_ph.PLAW_ITERS):
+            gam = jnp.maximum(gfac / tau, _ph.PLAW_GAMMA_FLOOR)
+            p = k3 * jnp.exp(nm1 * jnp.log(gam))
+            h = tau - 0.5 - p
+            hp = 1.0 + nm1 * p / tau
+            tau = jnp.clip(tau - h / hp, _ph.PLAW_TAU_MIN, _ph.PLAW_TAU_MAX)
+        inv_t = 1.0 / tau
+        for i in range(Q):
+            out[i] = finish(i, fw[i] - inv_t * devs[i])
         return out
 
     if cfg.smag:
@@ -277,6 +324,8 @@ def make_local_step_pallas3d(problem: Problem,
         inv_tau=1.0 / problem.params.tau, omega_minus=omega_minus,
         mrt_uv=mrt_uv,
         smag=float(problem.smagorinsky),
+        plaw=(tuple(float(v) for v in problem.power_law)
+              if problem.power_law else None),
         eq_in=tuple(float(v) for v in problem.ghost_ring_values()),
         src=src, has_solid=has_solid,
         bounce_back=has_solid and problem.obstacle_bc == "bounce_back",
@@ -673,6 +722,8 @@ def make_local_step_pallas3d_tiled(problem: Problem,
         inv_tau=1.0 / problem.params.tau, omega_minus=omega_minus,
         mrt_uv=mrt_uv,
         smag=float(problem.smagorinsky),
+        plaw=(tuple(float(v) for v in problem.power_law)
+              if problem.power_law else None),
         eq_in=tuple(float(v) for v in problem.ghost_ring_values()),
         src=src, has_solid=has_solid,
         bounce_back=bounce_back,

@@ -407,6 +407,85 @@ def smagorinsky_inv_tau(lat: Lattice, inv_rho: jnp.ndarray, devs,
                                   + (18.0 * cs * cs) * qbar * inv_rho))
 
 
+# Truncated power-law bounds (Gabbanelli, Drazer & Koplik 2005): outside
+# [GAMMA_FLOOR, ...] the apparent viscosity is clamped via tau in
+# [PLAW_TAU_MIN, PLAW_TAU_MAX] — shear-thinning fluids (n < 1) diverge at
+# zero shear, shear-thickening (n > 1) lose stability at tau -> 1/2.
+PLAW_TAU_MIN = 0.5005
+PLAW_TAU_MAX = 20.0
+PLAW_ITERS = 8
+PLAW_GAMMA_FLOOR = 1e-12
+
+
+def power_law_inv_tau(lat: Lattice, inv_rho: jnp.ndarray, devs,
+                      k: float, n: float) -> jnp.ndarray:
+    """Per-cell effective relaxation rate 1/tau_eff for an Ostwald-de
+    Waele (power-law) fluid: nu(γ̇) = k γ̇^(n-1) (new capability — the
+    reference is strictly Newtonian).
+
+    By Chapman-Enskog the shear rate is γ̇ = |S| = Q̄ / (2 rho cs² tau_eff)
+    with Q̄ = sqrt(2 Σ_ab Pi_ab²), Pi_ab = Σ_i c_ia c_ib (f_i − feq_i) —
+    the same non-equilibrium stress norm the Smagorinsky closure uses. But
+    where LES gives a closed-form root, nu = k γ̇^(n-1) makes
+    tau = 1/2 + 3 k γ̇(tau)^(n-1) an implicit root; it is solved per cell
+    with PLAW_ITERS clamped Newton iterations on
+    h(tau) = tau - 1/2 - 3k γ̇(tau)^(n-1) (branch-free — one exp/log pair
+    per iteration on the VPU; h' = 1 + (n-1)·3k γ̇^(n-1)/tau > 0 for all
+    n > 0, so the iteration is globally monotone-safe), with tau clamped
+    to [PLAW_TAU_MIN, PLAW_TAU_MAX] (truncated power-law: n < 1 diverges
+    at zero shear, n > 1 approaches the tau = 1/2 stability limit).
+
+    devs: sequence of Q (f_i − feq_i) blocks. n = 1 reduces to constant
+    tau = 1/2 + 3k (Newtonian)."""
+    c = lat.c
+    ssum = None
+    for a in range(lat.D):
+        for b in range(a, lat.D):
+            acc = None
+            for i in range(lat.Q):
+                coef = int(c[i, a]) * int(c[i, b])
+                if coef == 0:
+                    continue
+                term = devs[i] if coef == 1 else (
+                    -devs[i] if coef == -1 else coef * devs[i])
+                acc = term if acc is None else acc + term
+            w = 1.0 if a == b else 2.0
+            term = w * (acc * acc)
+            ssum = term if ssum is None else ssum + term
+    qbar = jnp.sqrt(2.0 * ssum)
+    # γ̇ · tau = 3 Q̄ / (2 rho)  (cs² = 1/3)
+    gfac = 1.5 * qbar * inv_rho
+    tau = jnp.full_like(gfac, float(np.clip(0.5 + 3.0 * k,
+                                            PLAW_TAU_MIN, PLAW_TAU_MAX)))
+    nm1 = float(n) - 1.0
+    k3 = 3.0 * float(k)
+    for _ in range(PLAW_ITERS):
+        gam = jnp.maximum(gfac / tau, PLAW_GAMMA_FLOOR)
+        p = k3 * jnp.exp(nm1 * jnp.log(gam))
+        h = tau - 0.5 - p
+        hp = 1.0 + nm1 * p / tau
+        tau = jnp.clip(tau - h / hp, PLAW_TAU_MIN, PLAW_TAU_MAX)
+    return 1.0 / tau
+
+
+def collide_power_law(lat: Lattice, f: jnp.ndarray, k: float, n: float,
+                      force: tuple[float, ...] = ()) -> jnp.ndarray:
+    """BGK collision with the per-cell power-law relaxation rate of
+    power_law_inv_tau."""
+    rho, u = moments(lat, f)
+    feq = equilibrium(lat, rho, u)
+    devs = f - feq
+    inv_t = power_law_inv_tau(lat, 1.0 / rho, devs, k, n)
+    f_post = f - inv_t[None] * devs
+    if force:
+        c = lat.c.astype(np.float64)
+        F = np.asarray(force, dtype=np.float64)
+        src = np.asarray(3.0 * lat.w * (c @ F))
+        f_post = f_post + jnp.asarray(src, f.dtype).reshape(
+            _wshape(lat, rho.ndim))
+    return f_post
+
+
 def collide_smagorinsky(lat: Lattice, f: jnp.ndarray, inv_tau: float,
                         cs: float,
                         force: tuple[float, ...] = ()) -> jnp.ndarray:
