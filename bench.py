@@ -35,7 +35,7 @@ import time
 def bench(nx=2048, ny=512, backend="pallas", chunk_len=280, chunks=8,
           warmup=2, precision="f32", mesh_shape=(1, 1), verbose=False,
           reynolds=200.0, repeats=3, nz=0, collision="bgk",
-          smagorinsky=0.0, thermal=False):
+          smagorinsky=0.0, thermal=False, power_law_n=1.0):
     import jax
     import numpy as np
 
@@ -63,6 +63,7 @@ def bench(nx=2048, ny=512, backend="pallas", chunk_len=280, chunks=8,
                                   precision=precision, backend=backend,
                                   mesh_shape=mesh_shape, collision=collision,
                                   smagorinsky=smagorinsky,
+                                  power_law_n=power_law_n,
                                   inlet_velocity=0.05)
     else:
         # the driver metric is at Re=200 (the re200 preset's stable params)
@@ -70,6 +71,7 @@ def bench(nx=2048, ny=512, backend="pallas", chunk_len=280, chunks=8,
                                   backend=backend, mesh_shape=mesh_shape,
                                   inlet_velocity=0.05, collision=collision,
                                   smagorinsky=smagorinsky,
+                                  power_law_n=power_law_n,
                                   tau=tau_for_reynolds(reynolds, 0.05, ny))
     problem = make_problem(params)
     n_dev = mesh_shape[0] * mesh_shape[1]
@@ -126,7 +128,7 @@ def run_one(args, mesh_shape, nx, ny, label=None):
               verbose=args.verbose, mesh_shape=mesh_shape,
               repeats=args.repeats, reynolds=args.reynolds,
               collision=args.collision, smagorinsky=args.smagorinsky,
-              thermal=args.thermal)
+              thermal=args.thermal, power_law_n=args.power_law)
     try:
         mlups, dt, steps = bench(backend=backend, **kw)
     except Exception as e:  # pallas unavailable → honest fallback, flagged
@@ -152,6 +154,8 @@ def run_one(args, mesh_shape, nx, ny, label=None):
         default_label += f" {args.collision}"
     if args.smagorinsky:
         default_label += f" les(Cs={args.smagorinsky:g})"
+    if args.power_law != 1.0:
+        default_label += f" power-law(n={args.power_law:g})"
     rec = {
         "metric": label or default_label,
         "value": round(mlups / n_dev, 1),
@@ -193,6 +197,9 @@ def main():
     ap.add_argument("--smagorinsky", type=float, default=0.0,
                     help="Smagorinsky Cs (0 = off; extra kernel rows for "
                          "the BENCH.md operator ladder)")
+    ap.add_argument("--power-law", type=float, default=1.0,
+                    help="power-law exponent n (1 = Newtonian/off; extra "
+                         "kernel rows for the BENCH.md operator ladder)")
     ap.add_argument("--reynolds", type=float, default=200.0,
                     help="2-D Reynolds number (tau via tau_for_reynolds); "
                          "lower it on small grids where Re=200 BGK is "
