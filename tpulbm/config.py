@@ -68,6 +68,10 @@ class SimulationParams:
     # BGK-only; per-cell tau_eff via physics.power_law_inv_tau.
     power_law_n: float = 1.0
     power_law_k: float = 0.0
+    # 3-D velocity set: "d3q19" (default, the bandwidth-optimal standard)
+    # or "d3q27" (full third-order-isotropic set — better rotational
+    # isotropy for high-fidelity turbulence at ~1.4x the state size).
+    lattice3d: str = "d3q19"
     # Thermal (double-population) coupling — the rayleigh-benard problem.
     # thermal_tau sets the diffusivity alpha = (thermal_tau - 1/2)/3;
     # rayleigh (if > 0) derives the Boussinesq buoyancy from
@@ -249,6 +253,9 @@ def add_cli_args(parser: argparse.ArgumentParser) -> None:
                         default=None)
     parser.add_argument("--collision", choices=["bgk", "trt", "mrt"],
                         default=None)
+    parser.add_argument("--lattice3d", choices=["d3q19", "d3q27"],
+                        default=None,
+                        help="3-D velocity set (d3q27: full isotropic set)")
     parser.add_argument("--mrt-rates", type=str, default=None,
                         help="MRT ghost-moment rate overrides, e.g. "
                              "'e=1.64,qx=1.2' (moment names per "
@@ -286,7 +293,8 @@ def params_from_args(args: argparse.Namespace) -> SimulationParams:
                   "num_timesteps",
                   "output_frequency", "vtk_start_step", "checkpoint_every",
                   "problem", "precision", "backend", "output_dir",
-                  "checkpoint_dir", "vtk_format", "zou_he_corners"):
+                  "checkpoint_dir", "vtk_format", "zou_he_corners",
+                  "lattice3d"):
         val = getattr(args, field, None)
         if val is not None:
             overrides[field] = val
@@ -360,3 +368,10 @@ def validate_params(params: SimulationParams) -> None:
     if params.power_law_k < 0:
         raise ValueError(
             f"power_law_k must be >= 0, got {params.power_law_k}")
+    if params.lattice3d not in ("d3q19", "d3q27"):
+        raise ValueError(
+            f"lattice3d must be 'd3q19' or 'd3q27', got {params.lattice3d!r}")
+    if params.lattice3d == "d3q27" and params.collision == "mrt":
+        raise ValueError(
+            "MRT is implemented for D2Q9/D3Q19 only (physics._mrt_basis); "
+            "use bgk or trt with lattice3d='d3q27'")

@@ -10,7 +10,7 @@ from __future__ import annotations
 
 from ..config import SimulationParams
 from ..geometry import sphere_mask
-from ..lattice import D3Q19
+from ..lattice import D3Q19, D3Q27
 from .base import Problem
 
 
@@ -19,7 +19,7 @@ def make_problem(params: SimulationParams) -> Problem:
         raise ValueError("cylinder3d requires nz > 0")
     return Problem(
         params=params,
-        lattice=D3Q19,
+        lattice=D3Q27 if params.lattice3d == "d3q27" else D3Q19,
         solid=sphere_mask(params),
         init_rho=1.0,
         init_u=(params.inlet_velocity, 0.0, 0.0),
