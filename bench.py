@@ -73,6 +73,15 @@ def bench(nx=2048, ny=512, backend="pallas", chunk_len=280, chunks=8,
                                   smagorinsky=smagorinsky,
                                   power_law_n=power_law_n,
                                   tau=tau_for_reynolds(reynolds, 0.05, ny))
+    # reject silently-no-op combinations (e.g. --thermal --power-law, whose
+    # thermal branch above never threads power_law_n, or --power-law with
+    # --collision trt) so a ladder row never claims physics that didn't run
+    from tpulbm.config import validate_params
+    if thermal and power_law_n != 1.0:
+        raise ValueError("--thermal does not support --power-law "
+                         "(power-law rheology is not wired into the "
+                         "thermal kernels)")
+    validate_params(params)
     problem = make_problem(params)
     n_dev = mesh_shape[0] * mesh_shape[1]
     mesh = make_mesh(mesh_shape, devices=jax.devices()[:n_dev])

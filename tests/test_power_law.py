@@ -67,6 +67,61 @@ def test_fixed_point_satisfied():
                (tau < physics.PLAW_TAU_MAX - 1e-6)
     assert interior.any()
     assert np.max(np.abs(resid[interior])) < 2e-4
+    # a clamped cell must be clamped for a reason: the true root has to lie
+    # at or beyond the clamp, i.e. h(TAU_MIN) >= 0 on low-clamped cells and
+    # h(TAU_MAX) <= 0 on high-clamped cells (h(t) = t - 1/2 - 3k γ̇(t)^(n-1))
+    def h_at(t):
+        gam_t = np.maximum(1.5 * qbar / np.asarray(rho) / t,
+                           physics.PLAW_GAMMA_FLOOR)
+        return t - 0.5 - 3.0 * k * gam_t ** (n - 1.0)
+    lo = tau <= physics.PLAW_TAU_MIN + 1e-6
+    hi = tau >= physics.PLAW_TAU_MAX - 1e-6
+    assert np.all(h_at(physics.PLAW_TAU_MIN)[lo] >= -1e-6)
+    assert np.all(h_at(physics.PLAW_TAU_MAX)[hi] <= 1e-6)
+
+
+def _true_tau(gfac, k, n):
+    """Reference root of (tau-1/2) tau^(n-1) = 3k gfac^(n-1) by bisection
+    (the function is strictly increasing in tau for every n > 0)."""
+    g = max(gfac, physics.PLAW_GAMMA_FLOOR)
+    lo, hi = physics.PLAW_TAU_MIN, physics.PLAW_TAU_MAX
+    def h(t):
+        return (t - 0.5) * t ** (n - 1.0) - 3.0 * k * g ** (n - 1.0)
+    if h(lo) >= 0:
+        return lo
+    if h(hi) <= 0:
+        return hi
+    for _ in range(200):
+        mid = 0.5 * (lo + hi)
+        if h(mid) > 0:
+            hi = mid
+        else:
+            lo = mid
+    return 0.5 * (lo + hi)
+
+
+def test_low_shear_shear_thinning_hits_the_high_clamp():
+    """Regression for the tau-space Newton bug: for n < 1 at low shear the
+    apparent viscosity DIVERGES, so tau must run to the truncated-power-law
+    HIGH clamp (or the interior root), never to TAU_MIN. The original
+    tau-space iteration had h' < 0 there and drove every low-shear cell to
+    the minimum-viscosity clamp — the exact opposite physics."""
+    k, n = 4.04e-3, 0.5
+    gfacs = np.array([0.0, 1e-5, 4.9e-5, 1e-3, 1e-1], np.float64)
+    got = 1.0 / np.asarray(
+        physics.power_law_inv_tau_from_gfac(gfacs, k, n), np.float64)
+    want = np.array([_true_tau(g, k, n) for g in gfacs])
+    np.testing.assert_allclose(got, want, rtol=1e-6)
+    assert got[0] == pytest.approx(physics.PLAW_TAU_MAX)  # zero shear
+    assert got[2] > 3.5  # the reviewer-verified case: root ~3.93, not 0.5005
+
+    # shear-thickening mirror: low shear drives nu -> 0, tau -> TAU_MIN
+    k2, n2 = 1.67, 1.5
+    gfacs2 = np.array([0.0, 1e-8, 1e-3, 1e-1], np.float64)
+    got2 = 1.0 / np.asarray(
+        physics.power_law_inv_tau_from_gfac(gfacs2, k2, n2), np.float64)
+    want2 = np.array([_true_tau(g, k2, n2) for g in gfacs2])
+    np.testing.assert_allclose(got2, want2, rtol=1e-6)
 
 
 def _run_plaw_poiseuille(ny, n, k, F, steps):

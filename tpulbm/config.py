@@ -69,7 +69,7 @@ class SimulationParams:
     power_law_n: float = 1.0
     power_law_k: float = 0.0
     # 3-D velocity set: "d3q19" (default, the bandwidth-optimal standard)
-    # or "d3q27" (full third-order-isotropic set — better rotational
+    # or "d3q27" (full fourth-order-isotropic set — better rotational
     # isotropy for high-fidelity turbulence at ~1.4x the state size).
     lattice3d: str = "d3q19"
     # Thermal (double-population) coupling — the rayleigh-benard problem.
@@ -368,6 +368,11 @@ def validate_params(params: SimulationParams) -> None:
     if params.power_law_k < 0:
         raise ValueError(
             f"power_law_k must be >= 0, got {params.power_law_k}")
+    if params.power_law_k and params.power_law_n == 1.0:
+        raise ValueError(
+            "power_law_k is set but power_law_n == 1 (Newtonian), so it "
+            "would be silently ignored; set power_law_n != 1 or drop "
+            "power_law_k (viscosity comes from tau)")
     if params.lattice3d not in ("d3q19", "d3q27"):
         raise ValueError(
             f"lattice3d must be 'd3q19' or 'd3q27', got {params.lattice3d!r}")

@@ -106,7 +106,7 @@ D3Q19 = Lattice(
     weights=(1.0 / 3.0,) + (1.0 / 18.0,) * 6 + (1.0 / 36.0,) * 12,
 )
 
-# D3Q27 — the full third-order-isotropic 3-D lattice (new capability; the
+# D3Q27 — the full fourth-order-isotropic 3-D lattice (new capability; the
 # reference is 2-D only). Better rotational isotropy than D3Q19 — the
 # standard choice for high-fidelity turbulence where D3Q19's missing
 # corner links show as grid-aligned artifacts. Ordering: rest, the D3Q19

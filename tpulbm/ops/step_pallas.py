@@ -175,9 +175,9 @@ def _collide_rows(cfg: _Cfg, fw, solid_rows):
         return out
     if cfg.plaw is not None:
         # BGK + power-law rheology (physics.power_law_inv_tau): per-cell
-        # tau_eff solves tau = 1/2 + 3k γ̇(tau)^(n-1) by damped Picard
-        # iteration on the same non-equilibrium stress norm Q̄ the LES
-        # branch uses; tau clamped to the truncated-power-law bounds.
+        # tau_eff solves tau = 1/2 + 3k γ̇(tau)^(n-1) by the shared
+        # log-space Newton solver (physics.power_law_inv_tau_from_gfac)
+        # on the same non-equilibrium stress norm Q̄ the LES branch uses.
         from .. import physics as _ph
         devs = []
         for i in range(cfg.Q):
@@ -194,17 +194,7 @@ def _collide_rows(cfg: _Cfg, fw, solid_rows):
         # accumulation order (xx, xy, yy) matches physics.power_law_inv_tau
         qbar = jnp.sqrt(2.0 * (pxx * pxx + 2.0 * (pxy * pxy) + pyy * pyy))
         k, n = cfg.plaw
-        gfac = 1.5 * qbar * inv_rho
-        tau = jnp.full_like(gfac, float(np.clip(
-            0.5 + 3.0 * k, _ph.PLAW_TAU_MIN, _ph.PLAW_TAU_MAX)))
-        nm1, k3 = n - 1.0, 3.0 * k
-        for _ in range(_ph.PLAW_ITERS):
-            gam = jnp.maximum(gfac / tau, _ph.PLAW_GAMMA_FLOOR)
-            p = k3 * jnp.exp(nm1 * jnp.log(gam))
-            h = tau - 0.5 - p
-            hp = 1.0 + nm1 * p / tau
-            tau = jnp.clip(tau - h / hp, _ph.PLAW_TAU_MIN, _ph.PLAW_TAU_MAX)
-        inv_t = 1.0 / tau
+        inv_t = _ph.power_law_inv_tau_from_gfac(1.5 * qbar * inv_rho, k, n)
         for i in range(cfg.Q):
             fp = fw[i] - inv_t * devs[i]
             if cfg.src is not None and cfg.src[i]:

@@ -146,10 +146,10 @@ def _collide_planes(cfg: _Cfg3d, fw, solid):
 
     if cfg.plaw is not None:
         # BGK + power-law rheology (physics.power_law_inv_tau): per-cell
-        # tau_eff solves tau = 1/2 + 3k γ̇(tau)^(n-1) by damped Picard
-        # iteration on the non-equilibrium stress norm Q̄ (built generically
-        # from the velocity set like the LES branch below), with tau
-        # clamped to the truncated-power-law bounds.
+        # tau_eff solves tau = 1/2 + 3k γ̇(tau)^(n-1) by the shared
+        # log-space Newton solver (physics.power_law_inv_tau_from_gfac)
+        # on the non-equilibrium stress norm Q̄ (built generically from
+        # the velocity set like the LES branch below).
         from .. import physics as _ph
         devs = []
         for i in range(Q):
@@ -174,17 +174,7 @@ def _collide_planes(cfg: _Cfg3d, fw, solid):
                 ssum = term if ssum is None else ssum + term
         qbar = jnp.sqrt(2.0 * ssum)
         k, n = cfg.plaw
-        gfac = 1.5 * qbar * inv_rho
-        tau = jnp.full_like(gfac, float(np.clip(
-            0.5 + 3.0 * k, _ph.PLAW_TAU_MIN, _ph.PLAW_TAU_MAX)))
-        nm1, k3 = n - 1.0, 3.0 * k
-        for _ in range(_ph.PLAW_ITERS):
-            gam = jnp.maximum(gfac / tau, _ph.PLAW_GAMMA_FLOOR)
-            p = k3 * jnp.exp(nm1 * jnp.log(gam))
-            h = tau - 0.5 - p
-            hp = 1.0 + nm1 * p / tau
-            tau = jnp.clip(tau - h / hp, _ph.PLAW_TAU_MIN, _ph.PLAW_TAU_MAX)
-        inv_t = 1.0 / tau
+        inv_t = _ph.power_law_inv_tau_from_gfac(1.5 * qbar * inv_rho, k, n)
         for i in range(Q):
             out[i] = finish(i, fw[i] - inv_t * devs[i])
         return out

@@ -417,6 +417,43 @@ PLAW_ITERS = 8
 PLAW_GAMMA_FLOOR = 1e-12
 
 
+def power_law_inv_tau_from_gfac(gfac: jnp.ndarray, k: float,
+                                n: float) -> jnp.ndarray:
+    """Per-cell 1/tau_eff from gfac = γ̇·tau = 3 Q̄ / (2 rho) (cs² = 1/3).
+
+    Solves the implicit truncated power-law root
+        (tau − 1/2) · tau^(n−1) = 3k · gfac^(n−1)
+    by PLAW_ITERS Newton iterations on λ = log(tau − 1/2):
+        R(λ) = λ + (n−1)·log tau − log(3k) − (n−1)·log gfac,
+        R'(λ) = 1 + (n−1)(tau − 1/2)/tau  ∈  [min(n,1), max(n,1)].
+    The λ-space slope is bounded away from 0 and ∞ for every n > 0 and
+    EVERY tau (a Newton step on tau itself is not: its h' = 1 + (n−1)p/tau
+    turns negative for shear-thinning fluids at low shear, where
+    p = 3k γ̇^(n−1) blows up, and drives cells to the minimum-viscosity
+    clamp instead of the maximum — the exact opposite of the Gabbanelli
+    truncation), so the iteration is globally well-conditioned; iterates
+    are clamped to λ ∈ [log(TAU_MIN − 1/2), log(TAU_MAX − 1/2)].
+
+    This single solver is shared verbatim by the jax tier and all three
+    Pallas kernels (the kernels only differ in how they assemble gfac from
+    plane lists), so the tiers cannot drift apart.
+    """
+    nm1 = float(n) - 1.0
+    lam_lo = float(np.log(PLAW_TAU_MIN - 0.5))
+    lam_hi = float(np.log(PLAW_TAU_MAX - 0.5))
+    # constant part of the residual; k > 0 always (config derives k from
+    # tau when unset, and tau > 1/2)
+    gl = jnp.log(jnp.maximum(gfac, PLAW_GAMMA_FLOOR))
+    const = float(np.log(3.0 * k))
+    lam = jnp.zeros_like(gfac)
+    for _ in range(PLAW_ITERS):
+        tau = 0.5 + jnp.exp(lam)
+        r = lam + nm1 * jnp.log(tau) - const - nm1 * gl
+        rp = 1.0 + nm1 * (tau - 0.5) / tau
+        lam = jnp.clip(lam - r / rp, lam_lo, lam_hi)
+    return 1.0 / (0.5 + jnp.exp(lam))
+
+
 def power_law_inv_tau(lat: Lattice, inv_rho: jnp.ndarray, devs,
                       k: float, n: float) -> jnp.ndarray:
     """Per-cell effective relaxation rate 1/tau_eff for an Ostwald-de
@@ -427,13 +464,8 @@ def power_law_inv_tau(lat: Lattice, inv_rho: jnp.ndarray, devs,
     with Q̄ = sqrt(2 Σ_ab Pi_ab²), Pi_ab = Σ_i c_ia c_ib (f_i − feq_i) —
     the same non-equilibrium stress norm the Smagorinsky closure uses. But
     where LES gives a closed-form root, nu = k γ̇^(n-1) makes
-    tau = 1/2 + 3 k γ̇(tau)^(n-1) an implicit root; it is solved per cell
-    with PLAW_ITERS clamped Newton iterations on
-    h(tau) = tau - 1/2 - 3k γ̇(tau)^(n-1) (branch-free — one exp/log pair
-    per iteration on the VPU; h' = 1 + (n-1)·3k γ̇^(n-1)/tau > 0 for all
-    n > 0, so the iteration is globally monotone-safe), with tau clamped
-    to [PLAW_TAU_MIN, PLAW_TAU_MAX] (truncated power-law: n < 1 diverges
-    at zero shear, n > 1 approaches the tau = 1/2 stability limit).
+    tau = 1/2 + 3 k γ̇(tau)^(n-1) implicit; power_law_inv_tau_from_gfac
+    solves it (see there for the solver and its clamps).
 
     devs: sequence of Q (f_i − feq_i) blocks. n = 1 reduces to constant
     tau = 1/2 + 3k (Newtonian)."""
@@ -455,17 +487,7 @@ def power_law_inv_tau(lat: Lattice, inv_rho: jnp.ndarray, devs,
     qbar = jnp.sqrt(2.0 * ssum)
     # γ̇ · tau = 3 Q̄ / (2 rho)  (cs² = 1/3)
     gfac = 1.5 * qbar * inv_rho
-    tau = jnp.full_like(gfac, float(np.clip(0.5 + 3.0 * k,
-                                            PLAW_TAU_MIN, PLAW_TAU_MAX)))
-    nm1 = float(n) - 1.0
-    k3 = 3.0 * float(k)
-    for _ in range(PLAW_ITERS):
-        gam = jnp.maximum(gfac / tau, PLAW_GAMMA_FLOOR)
-        p = k3 * jnp.exp(nm1 * jnp.log(gam))
-        h = tau - 0.5 - p
-        hp = 1.0 + nm1 * p / tau
-        tau = jnp.clip(tau - h / hp, PLAW_TAU_MIN, PLAW_TAU_MAX)
-    return 1.0 / tau
+    return power_law_inv_tau_from_gfac(gfac, k, n)
 
 
 def collide_power_law(lat: Lattice, f: jnp.ndarray, k: float, n: float,
