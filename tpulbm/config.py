@@ -72,6 +72,13 @@ class SimulationParams:
     # or "d3q27" (full fourth-order-isotropic set — better rotational
     # isotropy for high-fidelity turbulence at ~1.4x the state size).
     lattice3d: str = "d3q19"
+    # Shan-Chen multiphase (the "multiphase" problem; new capability): the
+    # pseudopotential interaction strength g (g < -4 separates phases for
+    # the standard psi with rho0 = 1; 0 = off) and the initial
+    # liquid/vapor densities (both relax to the EOS coexistence values).
+    shan_chen_g: float = 0.0
+    mp_rho_liquid: float = 2.0
+    mp_rho_vapor: float = 0.15
     # Thermal (double-population) coupling — the rayleigh-benard problem.
     # thermal_tau sets the diffusivity alpha = (thermal_tau - 1/2)/3;
     # rayleigh (if > 0) derives the Boussinesq buoyancy from
@@ -237,7 +244,8 @@ def add_cli_args(parser: argparse.ArgumentParser) -> None:
     # individual overrides
     for field in ("tau", "inlet_velocity", "cylinder_x", "cylinder_y",
                   "cylinder_radius", "smagorinsky", "power_law_n",
-                  "power_law_k", "thermal_tau", "t_hot",
+                  "power_law_k", "shan_chen_g", "mp_rho_liquid",
+                  "mp_rho_vapor", "thermal_tau", "t_hot",
                   "t_cold", "rayleigh", "buoyancy"):
         parser.add_argument(f"--{field.replace('_', '-')}", type=float, default=None)
     for field in ("nx", "ny", "nz", "num_timesteps", "output_frequency",
@@ -247,7 +255,7 @@ def add_cli_args(parser: argparse.ArgumentParser) -> None:
                         help="set tau to achieve this Reynolds number")
     parser.add_argument("--problem", choices=["cylinder", "poiseuille",
                                               "cavity", "rayleigh-benard",
-                                              "cylinder3d"],
+                                              "cylinder3d", "multiphase"],
                         default=None)
     parser.add_argument("--obstacle-bc", choices=["equilibrium", "bounce_back"],
                         default=None)
@@ -288,7 +296,8 @@ def params_from_args(args: argparse.Namespace) -> SimulationParams:
     overrides: dict[str, Any] = {}
     for field in ("tau", "inlet_velocity", "cylinder_x", "cylinder_y",
                   "cylinder_radius", "smagorinsky", "power_law_n",
-                  "power_law_k", "thermal_tau", "t_hot",
+                  "power_law_k", "shan_chen_g", "mp_rho_liquid",
+                  "mp_rho_vapor", "thermal_tau", "t_hot",
                   "t_cold", "rayleigh", "buoyancy", "nx", "ny", "nz",
                   "num_timesteps",
                   "output_frequency", "vtk_start_step", "checkpoint_every",
@@ -373,6 +382,19 @@ def validate_params(params: SimulationParams) -> None:
             "power_law_k is set but power_law_n == 1 (Newtonian), so it "
             "would be silently ignored; set power_law_n != 1 or drop "
             "power_law_k (viscosity comes from tau)")
+    if params.problem == "multiphase":
+        if not params.shan_chen_g:
+            raise ValueError("the multiphase problem needs --shan-chen-g "
+                             "(g < -4 separates phases)")
+        if params.collision != "bgk" or params.smagorinsky \
+                or params.power_law_n != 1.0 or params.thermal_tau:
+            raise ValueError(
+                "multiphase v1 is BGK-only (no TRT/MRT/LES/power-law/"
+                "thermal combination)")
+    elif params.shan_chen_g:
+        raise ValueError(
+            f"shan_chen_g only applies to problem='multiphase', not "
+            f"{params.problem!r}")
     if params.lattice3d not in ("d3q19", "d3q27"):
         raise ValueError(
             f"lattice3d must be 'd3q19' or 'd3q27', got {params.lattice3d!r}")

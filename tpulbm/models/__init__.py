@@ -21,4 +21,7 @@ def make_problem(params):
     if params.problem == "cylinder3d":
         from . import cylinder3d
         return cylinder3d.make_problem(params)
+    if params.problem == "multiphase":
+        from . import multiphase
+        return multiphase.make_problem(params)
     raise ValueError(f"unknown problem: {params.problem!r}")

@@ -77,6 +77,8 @@ class Problem:
     mrt_rates: tuple = ()             # ((moment, rate), ...) ghost overrides
     smagorinsky: float = 0.0          # LES constant Cs (physics.smagorinsky_inv_tau)
     power_law: tuple = ()             # (k, n) rheology (physics.power_law_inv_tau)
+    shan_chen: tuple = ()             # (g, rho0) multiphase (ops/step_multiphase.py)
+    init_rho_map: np.ndarray | None = None  # spatially varying initial rho (u = 0)
     thermal: ThermalConfig | None = None  # double-population thermal coupling
 
     @property
@@ -122,6 +124,13 @@ class Problem:
         equilibrium at the conductive profile plus a deterministic
         seed-mode perturbation underneath (see ThermalConfig)."""
         Q = self.lattice.Q
+        if self.init_rho_map is not None:
+            # spatially varying rho at u = 0: feq_i = w_i rho (multiphase
+            # droplet / band initialization)
+            w = self.lattice.w.astype(self.dtype)
+            f = (w.reshape((Q,) + (1,) * len(self.spatial_shape))
+                 * np.asarray(self.init_rho_map, self.dtype)[None])
+            return np.ascontiguousarray(f)
         feq = self.ghost_ring_values()[:Q]
         f = np.broadcast_to(
             feq.reshape((Q,) + (1,) * len(self.spatial_shape)),

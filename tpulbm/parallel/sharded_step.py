@@ -90,6 +90,19 @@ def make_chunk_fn(problem: Problem, mesh: Mesh, chunk_len: int,
             local_step = make_local_step_padded_thermal(problem, local_shape)
             backend = "jax"
 
+    mp_steps = None
+    if problem.shan_chen:
+        # Shan-Chen multiphase: the collision has a 1-cell psi stencil, so
+        # the chunk body exchanges halos TWICE per step (refresh -> collide
+        # interior -> refresh -> stream); jax tier only in v1.
+        if backend == "pallas":
+            import warnings
+            warnings.warn("multiphase (Shan-Chen) runs on the jax tier in "
+                          "v1; falling back to backend='jax'")
+            backend = "jax"
+        from ..ops.step_multiphase import make_local_steps_multiphase
+        mp_steps = make_local_steps_multiphase(problem, local_shape)
+
     pallas3d_step = None
     pallas3d_plan = None   # [(stepper, n_iters), ...] mixed blocking depths
     if backend == "pallas" and ndim == 3:
@@ -284,7 +297,8 @@ def make_chunk_fn(problem: Problem, mesh: Mesh, chunk_len: int,
                 backend = "jax"
                 local_step = make_local_step_padded(problem, local_shape)
     elif backend == "jax":
-        if problem.thermal is None:  # thermal local_step built above
+        if problem.thermal is None and mp_steps is None:
+            # (thermal / multiphase local steps are built above)
             local_step = make_local_step_padded(problem, local_shape)
     elif backend != "pallas":
         raise ValueError(f"unknown backend {backend!r}")
@@ -304,10 +318,23 @@ def make_chunk_fn(problem: Problem, mesh: Mesh, chunk_len: int,
                                       periodic_x=problem.periodic_x)
         fpad = halo.make_padded(f_local, eq_ring)
 
-        def one_step(fp, _):
-            fp = halo.refresh_ring(fp, **ring_kw)
-            fp = local_step(fp, solid_arg, offsets, solid_pad)
-            return fp, None
+        if mp_steps is not None:
+            collide_mp, stream_mp = mp_steps
+
+            def one_step(fp, _):
+                # double exchange: collide needs neighbor psi (pre-
+                # collision f), streaming needs the neighbors' POST-
+                # collision edges — see ops/step_multiphase.py
+                fp = halo.refresh_ring(fp, **ring_kw)
+                fp = collide_mp(fp, offsets)
+                fp = halo.refresh_ring(fp, **ring_kw)
+                fp = stream_mp(fp, offsets)
+                return fp, None
+        else:
+            def one_step(fp, _):
+                fp = halo.refresh_ring(fp, **ring_kw)
+                fp = local_step(fp, solid_arg, offsets, solid_pad)
+                return fp, None
 
         fpad, _ = lax.scan(one_step, fpad, None, length=chunk_len)
         center = (slice(None),) + (slice(1, -1),) * ndim
@@ -737,10 +764,11 @@ def shard_initial_state(problem: Problem, mesh: Mesh):
     """
     from .. import physics
 
-    if problem.thermal is not None:
-        # thermal initial state is not a uniform broadcast (conductive T
-        # profile + seed mode, models/base.initial_state) — build on host;
-        # thermal grids are far below the sizes this fast path targets
+    if problem.thermal is not None or problem.init_rho_map is not None:
+        # thermal (conductive T profile + seed mode) and multiphase
+        # (droplet/band rho map) initial states are not uniform broadcasts
+        # (models/base.initial_state) — build on host; those grids are far
+        # below the sizes this fast path targets
         return shard_state(mesh, problem.initial_state(), problem.solid)
 
     ndim = len(problem.spatial_shape)

@@ -528,6 +528,36 @@ def collide_smagorinsky(lat: Lattice, f: jnp.ndarray, inv_tau: float,
     return f_post
 
 
+def shan_chen_psi(rho: jnp.ndarray, rho0: float = 1.0) -> jnp.ndarray:
+    """Shan-Chen pseudopotential ψ(ρ) = ρ0 (1 − e^(−ρ/ρ0)) (Shan & Chen
+    1993, the standard exponential form — bounded, so the interaction
+    saturates in the liquid phase). New capability: the reference is
+    strictly single-phase."""
+    return rho0 * (1.0 - jnp.exp(-rho / rho0))
+
+
+def shan_chen_pressure(rho: jnp.ndarray, g: float,
+                       rho0: float = 1.0) -> jnp.ndarray:
+    """Bulk equation of state P = ρ cs² + (g cs²/2) ψ(ρ)² of the
+    pseudopotential fluid (cs² = 1/3) — what the Laplace-law gate
+    evaluates inside/outside a droplet."""
+    psi = shan_chen_psi(rho, rho0)
+    return rho / 3.0 + (g / 6.0) * psi * psi
+
+
+def collide_shan_chen(lat: Lattice, f: jnp.ndarray, inv_tau: float,
+                      F) -> jnp.ndarray:
+    """BGK collision with the Shan-Chen velocity-shift forcing: relax
+    toward equilibrium(ρ, u + τ F / ρ) (Shan & Chen 1993). The physical
+    (half-step-corrected) velocity for output is u + F/(2ρ); the shift
+    here is what generates the non-ideal pressure tensor. F: (D, *spatial)
+    force field (assembled by the step from ψ-neighbor sums)."""
+    rho, u = moments(lat, f)
+    u_eq = u + (1.0 / inv_tau) * F / rho
+    feq = equilibrium(lat, rho, u_eq)
+    return f - inv_tau * (f - feq)
+
+
 def thermal_equilibrium(lat_g: Lattice, T: jnp.ndarray,
                         u: jnp.ndarray) -> jnp.ndarray:
     """Advection-diffusion equilibrium for a passive scalar carried by the
