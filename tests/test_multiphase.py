@@ -113,6 +113,29 @@ def test_multiphase_sharded_matches_oracle(mesh_shape):
     np.testing.assert_allclose(got, f_ref, rtol=1e-12, atol=1e-14)
 
 
+@pytest.mark.parametrize("mesh_shape", [(1, 1), (2, 1)], ids=["single", "y"])
+def test_multiphase_pallas_matches_jax(mesh_shape):
+    # the fused kernel collides the inner depth-2 ring row in-kernel (one
+    # exchange/step) vs the jax tier's double-refresh padded body — both
+    # must produce the same trajectory
+    params = _params(nx=64, ny=32, cylinder_radius=0.2, precision="f32")
+    problem = make_problem(params)
+
+    def run(backend, mesh_shape):
+        n_dev = mesh_shape[0] * mesh_shape[1]
+        mesh = make_mesh(mesh_shape, devices=jax.devices()[:n_dev])
+        chunk = make_chunk_fn(problem, mesh, 5, backend=backend)
+        f, solid = shard_state(mesh, problem.initial_state(),
+                               np.zeros(problem.spatial_shape, bool))
+        for _ in range(2):
+            f = chunk(f, solid)
+        return np.asarray(jax.device_get(f))
+
+    ref = run("jax", (1, 1))
+    got = run("pallas", mesh_shape)
+    np.testing.assert_allclose(got, ref, rtol=2e-5, atol=1e-7)
+
+
 def test_shard_initial_state_honors_rho_map():
     # the runner uses the on-device initial-state builder, which must fall
     # back to the host path for non-uniform (rho-map) initial states —

@@ -91,17 +91,31 @@ def make_chunk_fn(problem: Problem, mesh: Mesh, chunk_len: int,
             backend = "jax"
 
     mp_steps = None
+    mp_pallas = None
     if problem.shan_chen:
-        # Shan-Chen multiphase: the collision has a 1-cell psi stencil, so
-        # the chunk body exchanges halos TWICE per step (refresh -> collide
-        # interior -> refresh -> stream); jax tier only in v1.
+        # Shan-Chen multiphase: the collision has a 1-cell psi stencil.
+        # The fused kernel takes depth-2 pre-collision rings and collides
+        # the inner ring row in-kernel (one exchange per step); the jax
+        # tier's padded body exchanges halos TWICE per step instead
+        # (refresh -> collide interior -> refresh -> stream).
         if backend == "pallas":
-            import warnings
-            warnings.warn("multiphase (Shan-Chen) runs on the jax tier in "
-                          "v1; falling back to backend='jax'")
+            try:
+                if mesh_shape[1] != 1:
+                    raise ValueError(
+                        "multiphase pallas kernel needs an x-unsharded mesh")
+                from ..ops.step_multiphase_pallas import \
+                    make_local_step_multiphase_pallas
+                mp_pallas = make_local_step_multiphase_pallas(
+                    problem, local_shape)
+            except ValueError as e:
+                import warnings
+                warnings.warn(f"pallas backend unavailable for this "
+                              f"multiphase config ({e}); falling back to "
+                              f"backend='jax'")
+        if mp_pallas is None:
+            from ..ops.step_multiphase import make_local_steps_multiphase
+            mp_steps = make_local_steps_multiphase(problem, local_shape)
             backend = "jax"
-        from ..ops.step_multiphase import make_local_steps_multiphase
-        mp_steps = make_local_steps_multiphase(problem, local_shape)
 
     pallas3d_step = None
     pallas3d_plan = None   # [(stepper, n_iters), ...] mixed blocking depths
@@ -661,8 +675,26 @@ def make_chunk_fn(problem: Problem, mesh: Mesh, chunk_len: int,
         f_local, _ = lax.scan(one_step, f_local, None, length=chunk_len)
         return f_local
 
+    def body_multiphase_pallas(f_local, solid_local):
+        iy = lax.axis_index("y")
+        nyl = local_shape[-2]
+        y0 = iy * nyl
+        flags = jnp.stack([
+            (y0 == 0), (y0 + nyl == problem.params.ny),
+            jnp.array(True), jnp.array(True)]).astype(jnp.int32)
+
+        def one_step(f, _):
+            rb, rt = halo.ring_rows(f, eq_ring=eq_ring,
+                                    mesh_shape=mesh_shape, depth=2)
+            return mp_pallas(f, rb, rt, flags), None
+
+        f_local, _ = lax.scan(one_step, f_local, None, length=chunk_len)
+        return f_local
+
     if thermal_pallas is not None:
         body = body_thermal_pallas
+    elif mp_pallas is not None:
+        body = body_multiphase_pallas
     elif backend == "pallas":
         if ndim == 3:
             body = (body_pallas3d if pallas3d_step is not None
