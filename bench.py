@@ -35,7 +35,8 @@ import time
 def bench(nx=2048, ny=512, backend="pallas", chunk_len=280, chunks=8,
           warmup=2, precision="f32", mesh_shape=(1, 1), verbose=False,
           reynolds=200.0, repeats=3, nz=0, collision="bgk",
-          smagorinsky=0.0, thermal=False, power_law_n=1.0):
+          smagorinsky=0.0, thermal=False, power_law_n=1.0,
+          multiphase=False):
     import jax
     import numpy as np
 
@@ -48,7 +49,16 @@ def bench(nx=2048, ny=512, backend="pallas", chunk_len=280, chunks=8,
     from tpulbm.parallel.sharded_step import (make_chunk_fn,
                                               shard_initial_state)
 
-    if thermal:
+    if multiphase:
+        # Shan-Chen droplet in a channel through the fused multiphase
+        # kernel (f32, aligned nx; psi-stencil collision)
+        params = SimulationParams(nx=nx, ny=ny, problem="multiphase",
+                                  precision=precision, backend=backend,
+                                  mesh_shape=mesh_shape, tau=1.0,
+                                  shan_chen_g=-5.0, cylinder_radius=0.15,
+                                  cylinder_x=0.5, cylinder_y=0.5,
+                                  inlet_velocity=0.0)
+    elif thermal:
         # Rayleigh-Benard at Ra=1e4 on an (ny, nx) grid: 14-plane stacked
         # state through the fused thermal pallas kernel (f32, aligned nx)
         params = SimulationParams(nx=nx, ny=ny, problem="rayleigh-benard",
@@ -77,6 +87,10 @@ def bench(nx=2048, ny=512, backend="pallas", chunk_len=280, chunks=8,
     # thermal branch above never threads power_law_n, or --power-law with
     # --collision trt) so a ladder row never claims physics that didn't run
     from tpulbm.config import validate_params
+    if multiphase and (power_law_n != 1.0 or thermal or collision != "bgk"
+                       or smagorinsky):
+        raise ValueError("--multiphase composes with none of "
+                         "--power-law/--thermal/--collision/--smagorinsky")
     if thermal and power_law_n != 1.0:
         raise ValueError("--thermal does not support --power-law "
                          "(power-law rheology is not wired into the "
@@ -137,7 +151,8 @@ def run_one(args, mesh_shape, nx, ny, label=None):
               verbose=args.verbose, mesh_shape=mesh_shape,
               repeats=args.repeats, reynolds=args.reynolds,
               collision=args.collision, smagorinsky=args.smagorinsky,
-              thermal=args.thermal, power_law_n=args.power_law)
+              thermal=args.thermal, power_law_n=args.power_law,
+              multiphase=args.multiphase)
     try:
         mlups, dt, steps = bench(backend=backend, **kw)
     except Exception as e:  # pallas unavailable → honest fallback, flagged
@@ -159,6 +174,9 @@ def run_one(args, mesh_shape, nx, ny, label=None):
     if args.thermal:
         default_label = (f"MLUPS/chip, thermal Rayleigh-Benard Ra=1e4 "
                          f"{grid} {args.precision} (14-plane state)")
+    if args.multiphase:
+        default_label = (f"MLUPS/chip, Shan-Chen multiphase droplet "
+                         f"{grid} {args.precision}")
     if args.collision != "bgk":
         default_label += f" {args.collision}"
     if args.smagorinsky:
@@ -174,7 +192,7 @@ def run_one(args, mesh_shape, nx, ny, label=None):
         "wall_seconds": round(dt, 3),
         "wall_clock_per_1k_steps_s": round(dt / steps * 1000, 4),
     }
-    if not nz and not args.thermal:
+    if not nz and not args.thermal and not args.multiphase:
         # The 5000-MLUPS north star is a 2-D D2Q9 target; a D3Q19 (2.1x
         # per-cell work) or thermal (14-plane) run would make the ratio
         # meaningless.
@@ -203,6 +221,9 @@ def main():
     ap.add_argument("--thermal", action="store_true",
                     help="bench the thermal (Rayleigh-Benard) model "
                          "instead of the cylinder")
+    ap.add_argument("--multiphase", action="store_true",
+                    help="bench the Shan-Chen multiphase model instead "
+                         "of the cylinder")
     ap.add_argument("--smagorinsky", type=float, default=0.0,
                     help="Smagorinsky Cs (0 = off; extra kernel rows for "
                          "the BENCH.md operator ladder)")
