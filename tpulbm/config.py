@@ -224,6 +224,15 @@ def _presets() -> dict[str, SimulationParams]:
             thermal_tau=0.5704, rayleigh=1e4, inlet_velocity=0.0,
             periodic_x=True, cylinder_radius=0.0, num_timesteps=60000,
             output_frequency=2000, enable_vtk=False),
+        # de Vahl Davis (1983) differentially heated square cavity at
+        # Ra=10^4, Pr≈0.71 (rotated frame: hot/cold Dirichlet walls in y,
+        # adiabatic no-slip walls in x, gravity along -x); benchmark
+        # Nu = 2.243.
+        "heated-cavity": base.replace(
+            problem="heated-cavity", nx=96, ny=96, tau=0.55,
+            thermal_tau=0.5704, rayleigh=1e4, inlet_velocity=0.0,
+            periodic_x=False, cylinder_radius=0.0, num_timesteps=120000,
+            output_frequency=2000, enable_vtk=False),
         # Multi-million-cell sharded scaling config (BASELINE config 4).
         "scale-8m": base.replace(nx=4096, ny=2048, num_timesteps=2000,
                                  output_frequency=500),
@@ -255,6 +264,7 @@ def add_cli_args(parser: argparse.ArgumentParser) -> None:
                         help="set tau to achieve this Reynolds number")
     parser.add_argument("--problem", choices=["cylinder", "poiseuille",
                                               "cavity", "rayleigh-benard",
+                                              "heated-cavity",
                                               "cylinder3d", "multiphase"],
                         default=None)
     parser.add_argument("--obstacle-bc", choices=["equilibrium", "bounce_back"],

@@ -15,7 +15,7 @@ def make_problem(params):
     if params.problem == "cavity":
         from . import cavity
         return cavity.make_problem(params)
-    if params.problem == "rayleigh-benard":
+    if params.problem in ("rayleigh-benard", "heated-cavity"):
         from . import rayleigh_benard
         return rayleigh_benard.make_problem(params)
     if params.problem == "cylinder3d":

@@ -34,6 +34,13 @@ class ThermalConfig:
     t_top: float = 0.0
     buoyancy: float = 0.0     # beta·g product (Boussinesq)
     perturb: float = 1e-3     # deterministic seed-mode amplitude (×ΔT)
+    # Buoyancy axis: 1 = +y (Rayleigh-Bénard — gravity opposes the wall
+    # gradient) or 0 = +x (side-heated cavity: the Dirichlet walls still
+    # sit in y, but gravity is PERPENDICULAR to the gradient; the domain
+    # is then wall-bounded in x too — adiabatic, no-slip — instead of
+    # periodic; de Vahl Davis (1983) benchmark geometry, rotated so the
+    # existing Dirichlet machinery carries over unchanged)
+    buoyancy_axis: int = 1
 
     @property
     def t_ref(self) -> float:

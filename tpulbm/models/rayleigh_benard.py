@@ -53,12 +53,22 @@ def make_problem(params: SimulationParams) -> Problem:
     buoyancy = params.buoyancy
     if not buoyancy and params.rayleigh:
         buoyancy = buoyancy_for_rayleigh(params.rayleigh, params)
+    # "heated-cavity" = the de Vahl Davis (1983) differentially heated
+    # square cavity, ROTATED into this module's frame so the Dirichlet
+    # machinery carries over: the hot/cold walls stay the y walls, the
+    # formerly-periodic x direction becomes adiabatic no-slip walls, and
+    # gravity acts along −x (buoyancy force +x on hot fluid, axis 0).
+    cavity = params.problem == "heated-cavity"
     thermal = ThermalConfig(
         lattice=D2Q5,
         tau_g=params.thermal_tau,
         t_bottom=params.t_hot,
         t_top=params.t_cold,
         buoyancy=buoyancy,
+        buoyancy_axis=0 if cavity else 1,
+        # the side-heated base state is already convective (no onset
+        # bifurcation) — no seed mode needed
+        perturb=0.0 if cavity else ThermalConfig.perturb,
     )
     return Problem(
         params=params,
@@ -69,7 +79,8 @@ def make_problem(params: SimulationParams) -> Problem:
         inlet_zou_he=False,
         outlet_zou_he=False,
         walls_y=True,
-        periodic_x=True,
+        walls_x=cavity,
+        periodic_x=not cavity,
         # NOT closed_box: the runner's mass gauge rescales the whole state,
         # which is exact only for homogeneous steps — the buoyancy source
         # is affine in T (the −t_ref offset), so rescaling would not be a

@@ -56,18 +56,20 @@ def collide_thermal(problem: Problem, s: jnp.ndarray) -> jnp.ndarray:
         f_post = f - inv_t[None] * devs
     else:
         f_post = f - inv_tau * (f - feq)
-    # Boussinesq buoyancy: F = (0, buoyancy·(T − t_ref)); S_i = 3 w_i c_iy F_y
+    # Boussinesq buoyancy along th.buoyancy_axis (1 = y for Rayleigh-
+    # Bénard, 0 = x for the side-heated cavity):
+    # S_i = 3 w_i c_i,axis · buoyancy·(T − t_ref)
     if th.buoyancy:
         fy = th.buoyancy * (T - th.t_ref)
-        cy = lat.c[:, 1]
+        ca = lat.c[:, th.buoyancy_axis]
         planes = []
         for i in range(Qf):
-            ciy = int(cy[i])
-            if ciy == 0:
+            cia = int(ca[i])
+            if cia == 0:
                 planes.append(f_post[i])
             else:
                 planes.append(f_post[i]
-                              + (3.0 * float(lat.w[i]) * ciy) * fy)
+                              + (3.0 * float(lat.w[i]) * cia) * fy)
         f_post = jnp.stack(planes)
 
     geq = physics.thermal_equilibrium(lg, T, u)
@@ -94,14 +96,17 @@ def make_step_thermal(problem: Problem) -> Callable[[jnp.ndarray],
     lat, lg, th = _thermal_parts(problem)
     Qf = lat.Q
     ny, nx = problem.spatial_shape
-    if not problem.periodic_x:
-        raise NotImplementedError("thermal models are periodic in x")
+    walls_x = problem.walls_x
+    if not problem.periodic_x and not walls_x:
+        raise NotImplementedError("thermal models are periodic in x or "
+                                  "x-walled (side-heated cavity)")
     c_all = np.concatenate([lat.c, lg.c], axis=0)
     ghost_bottom, ghost_top = _ghost_rows(problem)
 
     def step(s: jnp.ndarray) -> jnp.ndarray:
         s_post = collide_thermal(problem, s)
         yy = jnp.arange(ny)[:, None]
+        xx = jnp.arange(nx)[None, :]
         planes = []
         for i in range(problem.state_q):
             cix, ciy = int(c_all[i, 0]), int(c_all[i, 1])
@@ -118,6 +123,26 @@ def make_step_thermal(problem: Problem) -> Callable[[jnp.ndarray],
             planes.append(plane)
         f_planes = planes[:Qf]
         g_planes = planes[Qf:]
+        if walls_x:
+            # adiabatic, no-slip x walls (side-heated cavity): BOTH f and g
+            # take exact-mass full-way bounce-back — the node's own
+            # post-collision outward values return, so the wall-normal
+            # momentum AND heat flux vanish identically (the g version IS
+            # the zero-flux/adiabatic closure). D2Q5 has no diagonals, so
+            # the Dirichlet y rows and these columns touch disjoint g
+            # populations at the corners; for f the corner double-write is
+            # consistent (both walls assign the same opposite).
+            opp_all = np.concatenate([lat.opposite, Qf + lg.opposite])
+            for i in range(problem.state_q):
+                cix = int(c_all[i, 0])
+                tgt = f_planes if i < Qf else g_planes
+                k = i if i < Qf else i - Qf
+                if cix > 0:
+                    tgt[k] = jnp.where(xx == 0, s_post[int(opp_all[i])],
+                                       tgt[k])
+                elif cix < 0:
+                    tgt[k] = jnp.where(xx == nx - 1, s_post[int(opp_all[i])],
+                                       tgt[k])
         # No-slip walls for f: full-way bounce-back with the node's OWN
         # post-collision outward values (what actually streamed out
         # through the wall comes straight back), which conserves mass at
@@ -158,11 +183,14 @@ def make_local_step_padded_thermal(problem: Problem,
     shape = local_shape or problem.spatial_shape
     nyl, nxl = shape
     p = problem.params
-    if not problem.periodic_x:
-        raise NotImplementedError("thermal models are periodic in x")
+    walls_x = problem.walls_x
+    if not problem.periodic_x and not walls_x:
+        raise NotImplementedError("thermal models are periodic in x or "
+                                  "x-walled (side-heated cavity)")
     c_all = np.concatenate([lat.c, lg.c], axis=0)
     ghost_bottom, ghost_top = _ghost_rows(problem)
     opp_f = lat.opposite
+    opp_all = np.concatenate([lat.opposite, Qf + lg.opposite])
 
     def step(spad, solid_local, offsets, solid_pad=None):
         dt = spad.dtype
@@ -198,6 +226,23 @@ def make_local_step_padded_thermal(problem: Problem,
             elif ciy < 0:
                 planes[i] = jnp.where(top, s_post[int(opp_f[i])][center],
                                       planes[i])
+        if walls_x:
+            # adiabatic, no-slip x walls (side-heated cavity): exact-mass
+            # full-way bounce-back for BOTH f and g on the physical x-edge
+            # columns (see make_step_thermal); disjoint from the g
+            # Dirichlet rows below (D2Q5 has no diagonals)
+            x0 = offsets[-1]
+            is_left, is_right = x0 == 0, x0 + nxl == p.nx
+            lft = jnp.zeros((1, nxl), bool).at[0, 0].set(is_left)
+            rgt = jnp.zeros((1, nxl), bool).at[0, -1].set(is_right)
+            for i in range(Qs):
+                cix = int(c_all[i, 0])
+                if cix > 0:
+                    planes[i] = jnp.where(lft, s_post[int(opp_all[i])][center],
+                                          planes[i])
+                elif cix < 0:
+                    planes[i] = jnp.where(rgt, s_post[int(opp_all[i])][center],
+                                          planes[i])
         g_planes = planes[Qf:]
         boundaries.apply_thermal_wall(lg, g_planes, bot, 1, +1,
                                       th.t_bottom, None)

@@ -146,6 +146,11 @@ def make_local_step_thermal_pallas(problem: Problem,
     if problem.dtype != np.float32:
         raise ValueError("thermal pallas kernel is f32; use backend='jax' "
                          "for f64")
+    if not problem.periodic_x or problem.walls_x \
+            or _thermal_parts(problem)[2].buoyancy_axis != 1:
+        raise ValueError("thermal pallas kernel covers the x-periodic "
+                         "Rayleigh-Bénard geometry; the side-heated "
+                         "cavity runs on the jax tier")
     nyl, nxl = local_shape
     if not interpret and nxl % 128 != 0:
         raise ValueError(f"pallas backend needs local nx % 128 == 0, "
