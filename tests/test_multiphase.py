@@ -113,6 +113,35 @@ def test_multiphase_sharded_matches_oracle(mesh_shape):
     np.testing.assert_allclose(got, f_ref, rtol=1e-12, atol=1e-14)
 
 
+@pytest.mark.slow
+def test_wall_wettability_controls_contact_angle():
+    """mp_wall_rho sets the phantom fluid the ψ stencil reads beyond the
+    walls: a wall denser than the reference fluid attracts the liquid
+    (contact angle < 90°, the sessile droplet spreads), a vapor-like wall
+    repels it (beads up). Gate: the spread width at the wall orders
+    strictly with wall density."""
+    def wall_width(wall_rho, steps=4000):
+        params = _params(nx=96, ny=48, cylinder_radius=0.25,
+                         cylinder_x=0.5, cylinder_y=0.0,
+                         mp_wall_rho=wall_rho)
+        problem = make_problem(params)
+        assert problem.init_rho == wall_rho
+        step = jax.jit(make_step_multiphase(problem))
+        f = problem.initial_state()
+        for _ in range(steps):
+            f = step(f)
+        rho = np.asarray(jax.device_get(f)).sum(axis=0)
+        assert np.isfinite(rho).all()
+        cut = 0.5 * (rho.max() + rho.min())
+        return int((rho[1] > cut).sum())   # liquid extent one row off the wall
+
+    w_wet = wall_width(1.6)
+    w_neutral = wall_width(1.0)
+    w_dry = wall_width(0.16)
+    assert w_wet > w_neutral > w_dry, (w_wet, w_neutral, w_dry)
+    assert w_dry >= 0 and w_wet < 96
+
+
 @pytest.mark.parametrize("mesh_shape", [(1, 1), (2, 1)], ids=["single", "y"])
 def test_multiphase_pallas_matches_jax(mesh_shape):
     # the fused kernel collides the inner depth-2 ring row in-kernel (one

@@ -79,6 +79,11 @@ class SimulationParams:
     shan_chen_g: float = 0.0
     mp_rho_liquid: float = 2.0
     mp_rho_vapor: float = 0.15
+    # Wall wettability: the phantom fluid density the psi stencil reads
+    # beyond the y walls (0 = neutral rho=1). Higher values attract the
+    # liquid (wetting, contact angle < 90 deg), lower repel it — the
+    # standard pseudopotential contact-angle control (Benzi et al. 2006).
+    mp_wall_rho: float = 0.0
     # Thermal (double-population) coupling — the rayleigh-benard problem.
     # thermal_tau sets the diffusivity alpha = (thermal_tau - 1/2)/3;
     # rayleigh (if > 0) derives the Boussinesq buoyancy from
@@ -254,7 +259,7 @@ def add_cli_args(parser: argparse.ArgumentParser) -> None:
     for field in ("tau", "inlet_velocity", "cylinder_x", "cylinder_y",
                   "cylinder_radius", "smagorinsky", "power_law_n",
                   "power_law_k", "shan_chen_g", "mp_rho_liquid",
-                  "mp_rho_vapor", "thermal_tau", "t_hot",
+                  "mp_rho_vapor", "mp_wall_rho", "thermal_tau", "t_hot",
                   "t_cold", "rayleigh", "buoyancy"):
         parser.add_argument(f"--{field.replace('_', '-')}", type=float, default=None)
     for field in ("nx", "ny", "nz", "num_timesteps", "output_frequency",
@@ -307,7 +312,7 @@ def params_from_args(args: argparse.Namespace) -> SimulationParams:
     for field in ("tau", "inlet_velocity", "cylinder_x", "cylinder_y",
                   "cylinder_radius", "smagorinsky", "power_law_n",
                   "power_law_k", "shan_chen_g", "mp_rho_liquid",
-                  "mp_rho_vapor", "thermal_tau", "t_hot",
+                  "mp_rho_vapor", "mp_wall_rho", "thermal_tau", "t_hot",
                   "t_cold", "rayleigh", "buoyancy", "nx", "ny", "nz",
                   "num_timesteps",
                   "output_frequency", "vtk_start_step", "checkpoint_every",

@@ -38,11 +38,15 @@ def make_problem(params: SimulationParams) -> Problem:
     else:
         liquid = (xx >= nx // 4) & (xx < 3 * nx // 4) & (yy == yy)
     rho_map = np.where(liquid, rho_l, rho_v).astype(np.float64)
+    # init_rho doubles as the phantom wall density the ψ stencil reads
+    # beyond the walls (it feeds ghost_ring_values, so the oracle, padded
+    # and pallas tiers all see the same wall fluid): > 1 wets, < 1 repels
+    wall_rho = params.mp_wall_rho or 1.0
     return Problem(
         params=params,
         lattice=D2Q9,
         solid=None,
-        init_rho=1.0,                  # phantom wall density (ψ wetting)
+        init_rho=wall_rho,
         init_u=(0.0, 0.0),
         init_rho_map=rho_map,
         walls_y=True,
