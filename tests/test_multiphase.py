@@ -165,6 +165,27 @@ def test_multiphase_pallas_matches_jax(mesh_shape):
     np.testing.assert_allclose(got, ref, rtol=2e-5, atol=1e-7)
 
 
+def test_fields_report_physical_velocity():
+    # runner/VTK output must carry the half-step-corrected u + F/(2rho)
+    # (the measurable momentum of the forced system), not bare moments —
+    # regression: velocity_field.csv shipped the uncorrected field
+    from tpulbm.ops import diagnostics
+    from tpulbm.ops.step_multiphase import physical_velocity
+    problem = make_problem(_params(cylinder_radius=0.2))
+    step = jax.jit(make_step_multiphase(problem))
+    f = problem.initial_state()
+    for _ in range(20):
+        f = step(f)
+    rho, u = jax.jit(diagnostics.fields_fn(problem))(f)
+    rho_p, u_p = physical_velocity(problem, f)
+    # jit-vs-eager fusion rounding only
+    np.testing.assert_allclose(np.asarray(u), np.asarray(u_p),
+                               rtol=1e-6, atol=1e-9)
+    _, u_bare = physics.moments(D2Q9, f)
+    # the correction is genuinely active (nonzero at the interfaces)
+    assert float(np.max(np.abs(np.asarray(u) - np.asarray(u_bare)))) > 1e-6
+
+
 def test_shard_initial_state_honors_rho_map():
     # the runner uses the on-device initial-state builder, which must fall
     # back to the host path for non-uniform (rho-map) initial states —

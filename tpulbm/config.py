@@ -410,6 +410,16 @@ def validate_params(params: SimulationParams) -> None:
         raise ValueError(
             f"shan_chen_g only applies to problem='multiphase', not "
             f"{params.problem!r}")
+    if params.problem != "multiphase" and (
+            params.mp_wall_rho or params.mp_rho_liquid != 2.0
+            or params.mp_rho_vapor != 0.15):
+        raise ValueError(
+            "mp_wall_rho/mp_rho_liquid/mp_rho_vapor only apply to "
+            f"problem='multiphase', not {params.problem!r}")
+    if params.lattice3d != "d3q19" and not params.is_3d:
+        raise ValueError(
+            f"lattice3d={params.lattice3d!r} only applies to 3-D problems "
+            "(nz > 0); it would be silently ignored here")
     if params.lattice3d not in ("d3q19", "d3q27"):
         raise ValueError(
             f"lattice3d must be 'd3q19' or 'd3q27', got {params.lattice3d!r}")

@@ -35,8 +35,9 @@ def make_problem(params: SimulationParams) -> Problem:
         r = params.cylinder_radius * ny
         cx_, cy_ = params.cylinder_x * nx, params.cylinder_y * ny
         liquid = (xx - cx_) ** 2 + (yy - cy_) ** 2 <= r * r
-    else:
-        liquid = (xx >= nx // 4) & (xx < 3 * nx // 4) & (yy == yy)
+    else:  # flat liquid band spanning the middle half of x, all rows
+        liquid = np.broadcast_to((xx >= nx // 4) & (xx < 3 * nx // 4),
+                                 (ny, nx))
     rho_map = np.where(liquid, rho_l, rho_v).astype(np.float64)
     # init_rho doubles as the phantom wall density the ψ stencil reads
     # beyond the walls (it feeds ghost_ring_values, so the oracle, padded

@@ -24,7 +24,14 @@ def fields_fn(problem: Problem):
     solid_np = problem.solid
 
     def fn(f):
-        rho, u = physics.moments(lat, f[:lat.Q])  # thermal stacks g below f
+        if problem.shan_chen:
+            # multiphase: the measurable momentum of the forced system is
+            # the half-step-corrected u + F/(2rho) (Shan & Chen 1993) —
+            # bare moments would be off by F/(2rho) at every interface cell
+            from .step_multiphase import physical_velocity
+            rho, u = physical_velocity(problem, f)
+        else:
+            rho, u = physics.moments(lat, f[:lat.Q])  # thermal stacks g under f
         if solid_np is not None:
             solid = jnp.asarray(solid_np)
             rho = jnp.where(solid, jnp.asarray(1.0, rho.dtype), rho)

@@ -133,8 +133,6 @@ def make_local_steps_multiphase(problem: Problem,
     opp = lat.opposite
 
     def collide_fn(spad, offsets):
-        y0 = offsets[-2]
-        is_bottom, is_top = y0 == 0, y0 + nyl == p.ny
         rho = jnp.sum(spad, axis=0)
         psi = physics.shan_chen_psi(rho, rho0)
         # force valid on the interior (the pad ring's own neighbors are
@@ -182,7 +180,7 @@ def physical_velocity(problem: Problem, f: jnp.ndarray):
     lat, g, rho0 = _mp_parts(problem)
     rho, u = physics.moments(lat, f)
     psi = physics.shan_chen_psi(rho, rho0)
-    wall_psi = float(np.asarray(
-        physics.shan_chen_psi(jnp.asarray(float(problem.init_rho)), rho0)))
+    # host-side constant (this function is called under jit)
+    wall_psi = rho0 * (1.0 - float(np.exp(-problem.init_rho / rho0)))
     F = shan_chen_force(lat, psi, g, wall_psi)
     return rho, u + F / (2.0 * rho)

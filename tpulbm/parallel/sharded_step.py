@@ -181,7 +181,13 @@ def make_chunk_fn(problem: Problem, mesh: Mesh, chunk_len: int,
             warnings.warn("no 3-D pallas tile fits the VMEM budget; "
                           "falling back to backend='jax'")
             backend = "jax"
-    if backend == "pallas" and ndim == 2:
+    # generic single-phase 2-D kernel ladder — skipped when a dedicated
+    # fused kernel (thermal / multiphase) already owns the body: building
+    # the generic steppers for those stacked/stencil states would be
+    # wasted work and could emit a spurious fallback warning
+    generic2d = (backend == "pallas" and ndim == 2
+                 and thermal_pallas is None and mp_pallas is None)
+    if generic2d:
         from ..ops.step_pallas import (make_local_step_pallas,
                                        make_local_step_pallas2)
         from ..ops.step_pallas_tiled import make_local_step_tiled
@@ -245,7 +251,7 @@ def make_chunk_fn(problem: Problem, mesh: Mesh, chunk_len: int,
                 # kernel (block below) covers wide rows; keep pallas alive
                 pallas_step = None
     pallas_ranged = None
-    if backend == "pallas" and ndim == 2:
+    if generic2d:
         # Halo-overlap mode (TPULBM_HALO_OVERLAP, flag-gated): split each
         # step into an interior kernel with NO data dependency on the
         # ppermute'd rings plus two edge-slab kernels that consume them, so
@@ -262,7 +268,7 @@ def make_chunk_fn(problem: Problem, mesh: Mesh, chunk_len: int,
                 pallas_ranged = None
             if pallas_ranged is not None and pallas_ranged.n_ty < 3:
                 pallas_ranged = None  # no interior slabs to overlap with
-    if backend == "pallas" and ndim == 2:
+    if generic2d:
         # temporal blocking: N timesteps per HBM round trip when the chunk
         # length divides by N and the local block has enough slabs. Prefer
         # the deepest blocking that fits — full-width slabs first, x-tiled
