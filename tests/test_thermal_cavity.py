@@ -107,10 +107,41 @@ def test_heated_cavity_sharded_matches_oracle(mesh_shape):
     np.testing.assert_allclose(got, s_ref, rtol=1e-12, atol=1e-14)
 
 
-def test_pallas_falls_back_for_cavity():
+@pytest.mark.parametrize("mesh_shape,cs", [((1, 1), 0.0), ((2, 1), 0.0),
+                                           ((2, 1), 0.17)],
+                         ids=["single", "y-sharded", "les"])
+def test_cavity_pallas_matches_oracle(mesh_shape, cs):
+    # fused thermal pallas kernel on the x-WALLED cavity (buoyancy axis x,
+    # adiabatic x walls, lane-padded 48-wide grid) vs the rolled oracle —
+    # interpret mode exercises the exact padded program TPU runs
+    params = _params(nx=48, ny=32, smagorinsky=cs)
+    pr = make_problem(params)
+    step = jax.jit(make_step_thermal(pr))
+    s_ref = pr.initial_state()
+    for _ in range(12):
+        s_ref = step(s_ref)
+    s_ref = np.asarray(jax.device_get(s_ref))
+
+    n_dev = mesh_shape[0] * mesh_shape[1]
+    mesh = make_mesh(mesh_shape, devices=jax.devices()[:n_dev])
+    import warnings as _w
+    with _w.catch_warnings():
+        _w.simplefilter("error")      # a fallback warning = lost coverage
+        chunk = make_chunk_fn(pr, mesh, 6, backend="pallas")
+    s, solid = shard_state(mesh, pr.initial_state(),
+                           np.zeros(pr.spatial_shape, bool))
+    for _ in range(2):
+        s = chunk(s, solid)
+    np.testing.assert_allclose(np.asarray(jax.device_get(s)), s_ref,
+                               rtol=2e-5, atol=1e-6)
+
+
+def test_pallas_falls_back_for_x_sharded_cavity():
+    # x-sharded meshes stay on the jax tier (lane rolls are local to the
+    # shard width; the fused kernel has no x-ring plumbing)
     pr = make_problem(_params(nx=32, ny=32))
-    mesh = make_mesh((1, 1), devices=jax.devices()[:1])
-    with pytest.warns(UserWarning, match="jax"):
+    mesh = make_mesh((1, 2), devices=jax.devices()[:2])
+    with pytest.warns(UserWarning, match="x-unsharded"):
         chunk = make_chunk_fn(pr, mesh, 2, backend="pallas")
     s, solid = shard_state(mesh, pr.initial_state(),
                            np.zeros(pr.spatial_shape, bool))

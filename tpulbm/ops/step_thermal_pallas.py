@@ -18,6 +18,16 @@ structure: f takes the node's OWN post-collision outward populations
 they are at hand), g takes the half-link anti-bounce-back Dirichlet
 closure against the just-streamed opposite.
 
+The side-heated (de Vahl Davis) cavity is covered too: walls_x problems
+get adiabatic no-slip x walls (BOTH populations take the post-collision
+opposite on the edge columns, applied as full-width lane selects) and
+the Boussinesq source rides whichever axis th.buoyancy_axis names.
+Because x-walled grids never wrap, unaligned widths are lane-padded
+(pad_x dead trailing columns pinned each step to their collision fixed
+point: rest-equilibrium f, w_g*t_ref g), so e.g. the 96² benchmark grid
+runs fused — the lane rolls push pad garbage only into edge columns the
+wall BCs immediately rewrite.
+
 No reference analog (the reference is isothermal and CPU-only).
 Equivalence vs the jax tier: tests/test_thermal.py (interpret mode) and
 the TPU probe.
@@ -53,6 +63,10 @@ class _CfgT:
     inv_tau_g: float
     smag: float             # Smagorinsky Cs; 0 → plain BGK
     buoyancy: float
+    baxis: int              # buoyancy axis: 1 = y (R-B), 0 = x (cavity)
+    walls_x: bool           # adiabatic no-slip x walls (side-heated cavity)
+    pad_x: int              # dead trailing lane-pad columns (walls_x only)
+    pad_vals: tuple         # per-plane pad-column fixed point
     t_ref: float
     t_bottom: float
     t_top: float
@@ -103,10 +117,10 @@ def _collide_thermal_rows(cfg: _CfgT, fw):
         inv_t = 2.0 / (tau0 + jnp.sqrt(
             tau0 * tau0 + (18.0 * cfg.smag * cfg.smag) * qbar * inv_rho))
         for i in range(Qf):
-            cy = cfg.c[i][1]
+            cb = cfg.c[i][cfg.baxis]
             fp = fw[i] - inv_t * devs[i]
-            if fy is not None and cy:
-                fp = fp + (3.0 * cfg.w_f[i] * cy) * fy
+            if fy is not None and cb:
+                fp = fp + (3.0 * cfg.w_f[i] * cb) * fy
             out.append(fp)
     else:
         for i in range(Qf):
@@ -117,8 +131,8 @@ def _collide_thermal_rows(cfg: _CfgT, fw):
             else:
                 feq = cfg.w_f[i] * rho * base
             fp = fw[i] - cfg.inv_tau * (fw[i] - feq)
-            if fy is not None and cy:
-                fp = fp + (3.0 * cfg.w_f[i] * cy) * fy
+            if fy is not None and cfg.c[i][cfg.baxis]:
+                fp = fp + (3.0 * cfg.w_f[i] * cfg.c[i][cfg.baxis]) * fy
             out.append(fp)
     for k in range(cfg.Qs - Qf):
         i = Qf + k
@@ -132,12 +146,16 @@ def _collide_thermal_rows(cfg: _CfgT, fw):
 
 def make_local_step_thermal_pallas(problem: Problem,
                                    local_shape: tuple[int, ...],
-                                   interpret: bool | None = None):
+                                   interpret: bool | None = None,
+                                   pad_x: int = 0):
     """1-step fused thermal kernel: step(s, rb, rt, flags) -> s_new.
 
     s: (Qs, nyl, nxl); rb/rt: (Qs, 1, nxl) ring rows; flags: (4,) int32
-    [is_bottom, is_top, _, _]. Raises ValueError for configurations the
-    kernel does not cover (f64, unaligned nx, LES) — the chunk builder
+    [is_bottom, is_top, _, _]. local_shape is the (possibly lane-padded)
+    buffer shape; pad_x of its trailing columns are dead padding (only
+    legal for walls_x problems — a periodic grid's lane rolls would wrap
+    through the pad). Raises ValueError for configurations the kernel
+    does not cover (f64, unaligned periodic nx) — the chunk builder
     degrades to the jax tier with a warning.
     """
     if interpret is None:
@@ -146,20 +164,28 @@ def make_local_step_thermal_pallas(problem: Problem,
     if problem.dtype != np.float32:
         raise ValueError("thermal pallas kernel is f32; use backend='jax' "
                          "for f64")
-    if not problem.periodic_x or problem.walls_x \
-            or _thermal_parts(problem)[2].buoyancy_axis != 1:
-        raise ValueError("thermal pallas kernel covers the x-periodic "
-                         "Rayleigh-Bénard geometry; the side-heated "
-                         "cavity runs on the jax tier")
+    walls_x = bool(problem.walls_x)
+    if not problem.periodic_x and not walls_x:
+        raise ValueError("thermal pallas kernel covers x-periodic "
+                         "(Rayleigh-Bénard) and x-walled (side-heated "
+                         "cavity) geometries")
+    if pad_x and not walls_x:
+        raise ValueError("lane padding needs x walls (periodic lane rolls "
+                         "would wrap through the pad)")
     nyl, nxl = local_shape
     if not interpret and nxl % 128 != 0:
-        raise ValueError(f"pallas backend needs local nx % 128 == 0, "
+        raise ValueError(f"pallas backend needs padded local nx % 128 == 0, "
                          f"got {nxl}")
     Qf, Qs = lat.Q, problem.state_q
     c_all = np.concatenate([lat.c, lg.c], axis=0)
     opp = tuple(int(v) for v in lat.opposite) + tuple(
         Qf + int(v) for v in lg.opposite)
     gb, gt = _ghost_rows(problem)
+    # pad-column fixed point: rest-equilibrium f (collides to itself at
+    # rho=1, u=0), w_g*t_ref g (buoyancy source vanishes at T = t_ref)
+    from .. import physics
+    pad_vals = np.concatenate([physics.rest_equilibrium(lat, np.float32),
+                               (lg.w * th.t_ref).astype(np.float32)])
 
     def usage(ty):
         return (4 + 2) * Qs * ty * nxl * 4
@@ -181,6 +207,10 @@ def make_local_step_thermal_pallas(problem: Problem,
         inv_tau_g=1.0 / th.tau_g,
         smag=float(problem.smagorinsky),
         buoyancy=float(th.buoyancy),
+        baxis=int(th.buoyancy_axis),
+        walls_x=walls_x,
+        pad_x=int(pad_x),
+        pad_vals=tuple(float(v) for v in pad_vals),
         t_ref=float(th.t_ref),
         t_bottom=float(th.t_bottom),
         t_top=float(th.t_top),
@@ -248,6 +278,8 @@ def make_local_step_thermal_pallas(problem: Problem,
                 out_dma(t - 2).wait()
 
             cur = t % 4
+            col = lax.broadcasted_iota(jnp.int32, (Ty, nxl), 1)
+            xr = nxl - 1 - cfg.pad_x   # physical east-wall column
             for i in range(Qs):
                 cx, cy = cfg.c[i]
                 if cy == 0:
@@ -264,6 +296,16 @@ def make_local_step_thermal_pallas(problem: Problem,
                                            axis=0)
                 if cx:
                     rows = pltpu.roll(rows, cx % nxl, axis=1)
+                if cfg.walls_x and cx:
+                    # adiabatic no-slip x walls: BOTH populations take the
+                    # node's own post-collision opposite on the physical
+                    # edge column (ops/step_thermal.make_step_thermal);
+                    # the lane roll put wrap/pad garbage exactly here
+                    rows = jnp.where(col == (0 if cx > 0 else xr),
+                                     fsl[cur, cfg.opp[i]], rows)
+                if cfg.pad_x:
+                    # re-pin the dead pad columns to their fixed point
+                    rows = jnp.where(col > xr, cfg.pad_vals[i], rows)
                 ob[oslot, i] = rows
 
             # wall BCs (ops/step_thermal conventions)
@@ -321,4 +363,6 @@ def make_local_step_thermal_pallas(problem: Problem,
 
     step.tile_height = Ty
     step.n_ty = n_ty
+    step.pad_x = int(pad_x)
+    step.pad_vals = pad_vals
     return step
