@@ -65,12 +65,16 @@ def make_chunk_fn(problem: Problem, mesh: Mesh, chunk_len: int,
     eq_ring = problem.ghost_ring_values()
     has_solid = problem.solid is not None
 
+    if backend not in ("jax", "pallas"):
+        raise ValueError(f"unknown backend {backend!r}")
+    local_step = None
     thermal_pallas = None
     if problem.thermal is not None:
         # double-population (thermal) problems: fused 1-step pallas kernel
-        # (f32, aligned nx, y-sharded meshes — x pulls are full-width lane
-        # rolls), else their dedicated padded step through the SAME generic
-        # ring/scan body below — only the collision/BC core differs.
+        # (f32, y-sharded meshes — x pulls are full-width lane rolls;
+        # x-walled cavities lane-pad unaligned widths, periodic grids need
+        # aligned nx), else their dedicated padded step through the SAME
+        # generic ring/scan body below — only the collision/BC core differs.
         if backend == "pallas":
             try:
                 if mesh_shape[1] != 1:
@@ -78,8 +82,10 @@ def make_chunk_fn(problem: Problem, mesh: Mesh, chunk_len: int,
                         "thermal pallas kernel needs an x-unsharded mesh")
                 from ..ops.step_thermal_pallas import \
                     make_local_step_thermal_pallas
+                th_pad = (-local_shape[-1]) % 128 if problem.walls_x else 0
                 thermal_pallas = make_local_step_thermal_pallas(
-                    problem, local_shape)
+                    problem, (local_shape[0], local_shape[1] + th_pad),
+                    pad_x=th_pad)
             except ValueError as e:
                 import warnings
                 warnings.warn(f"pallas backend unavailable for this "
@@ -251,7 +257,7 @@ def make_chunk_fn(problem: Problem, mesh: Mesh, chunk_len: int,
                 # kernel (block below) covers wide rows; keep pallas alive
                 pallas_step = None
     pallas_ranged = None
-    if generic2d:
+    if generic2d and backend == "pallas":
         # Halo-overlap mode (TPULBM_HALO_OVERLAP, flag-gated): split each
         # step into an interior kernel with NO data dependency on the
         # ppermute'd rings plus two edge-slab kernels that consume them, so
@@ -268,7 +274,7 @@ def make_chunk_fn(problem: Problem, mesh: Mesh, chunk_len: int,
                 pallas_ranged = None
             if pallas_ranged is not None and pallas_ranged.n_ty < 3:
                 pallas_ranged = None  # no interior slabs to overlap with
-    if generic2d:
+    if generic2d and backend == "pallas":
         # temporal blocking: N timesteps per HBM round trip when the chunk
         # length divides by N and the local block has enough slabs. Prefer
         # the deepest blocking that fits — full-width slabs first, x-tiled
@@ -316,12 +322,11 @@ def make_chunk_fn(problem: Problem, mesh: Mesh, chunk_len: int,
                               "block; falling back to backend='jax'")
                 backend = "jax"
                 local_step = make_local_step_padded(problem, local_shape)
-    elif backend == "jax":
-        if problem.thermal is None and mp_steps is None:
-            # (thermal / multiphase local steps are built above)
-            local_step = make_local_step_padded(problem, local_shape)
-    elif backend != "pallas":
-        raise ValueError(f"unknown backend {backend!r}")
+    if (backend == "jax" and local_step is None
+            and problem.thermal is None and mp_steps is None):
+        # plain jax tier, or a pallas request demoted above (layout/dtype);
+        # thermal / multiphase local steps are built in their own blocks
+        local_step = make_local_step_padded(problem, local_shape)
 
     ring_kw = dict(eq_ring=eq_ring, mesh_shape=mesh_shape,
                    periodic_x=problem.periodic_x)
@@ -672,6 +677,17 @@ def make_chunk_fn(problem: Problem, mesh: Mesh, chunk_len: int,
         flags = jnp.stack([
             (y0 == 0), (y0 + nyl == problem.params.ny),
             jnp.array(True), jnp.array(True)]).astype(jnp.int32)
+        padx = thermal_pallas.pad_x
+        nxl = local_shape[-1]
+        if padx:
+            # x-walled cavity on an unaligned width: append the dead pad
+            # columns at their fixed-point values (the kernel re-pins them
+            # every step; no wrap reads them — walls_x only)
+            pad = jnp.broadcast_to(
+                jnp.asarray(thermal_pallas.pad_vals,
+                            f_local.dtype)[:, None, None],
+                (f_local.shape[0], nyl, padx))
+            f_local = jnp.concatenate([f_local, pad], axis=-1)
 
         def one_step(f, _):
             rb, rt = halo.ring_rows(f, eq_ring=eq_ring,
@@ -679,7 +695,7 @@ def make_chunk_fn(problem: Problem, mesh: Mesh, chunk_len: int,
             return thermal_pallas(f, rb, rt, flags), None
 
         f_local, _ = lax.scan(one_step, f_local, None, length=chunk_len)
-        return f_local
+        return f_local[..., :nxl] if padx else f_local
 
     def body_multiphase_pallas(f_local, solid_local):
         iy = lax.axis_index("y")
