@@ -1,0 +1,203 @@
+"""Bouzidi interpolated (curved-wall) bounce-back gates (ops/bouzidi.py).
+
+New capability — the reference voxelizes the cylinder and reflects on the
+voxel boundary (LBMGrid.h:152-183, LBMSolver.h:240-263). Gates: the q
+table is exact against the closed-form circle-line intersection; a
+channel whose walls sit at FRACTIONAL positions between lattice rows
+recovers those positions from the flow itself (the staircase scheme
+cannot, by construction — it always sees the half-way wall); sharded ==
+oracle; pallas requests demote with a warning.
+"""
+import warnings
+
+import jax
+import numpy as np
+import pytest
+
+from tpulbm import physics
+from tpulbm.config import SimulationParams
+from tpulbm.lattice import D2Q9
+from tpulbm.models import make_problem
+from tpulbm.models.base import Problem
+from tpulbm.ops.bouzidi import link_q
+from tpulbm.ops.step_jax import make_step_rolled
+from tpulbm.parallel.mesh import make_mesh
+from tpulbm.parallel.sharded_step import make_chunk_fn, shard_state
+
+
+def _cyl_params(**kw):
+    d = dict(nx=64, ny=32, precision="f64", obstacle_bc="bouzidi")
+    d.update(kw)
+    return SimulationParams(**d)
+
+
+def test_link_q_matches_closed_form_circle():
+    # bisection vs the exact quadratic |p0 + t c_i - center| = r
+    params = _cyl_params(nx=128, ny=64)
+    pr = make_problem(params)
+    q = link_q(pr)
+    lat = pr.lattice
+    cx, cy = params.get_cylinder_x(), params.get_cylinder_y()
+    r = float(params.get_cylinder_radius_cells())
+    checked = 0
+    for j in range(1, lat.Q):
+        for (yy, xx) in np.argwhere(q[j] >= 0):
+            ci = -lat.c[j].astype(np.float64)
+            px, py = float(xx), float(yy)
+            a = ci @ ci
+            b = 2.0 * (ci[0] * (px - cx) + ci[1] * (py - cy))
+            c0 = (px - cx) ** 2 + (py - cy) ** 2 - r * r
+            t = (-b - np.sqrt(b * b - 4 * a * c0)) / (2 * a)
+            got = float(q[j, yy, xx])
+            if got == 0.5 and abs(t - 0.5) > 1e-6:
+                continue  # upstream-solid fallback substitution
+            assert abs(got - t) < 1e-6, (j, yy, xx, got, t)
+            checked += 1
+    assert checked > 30  # the perimeter produced real links
+    # links exist exactly where the pull source is solid and the cell fluid
+    fluid = ~pr.solid
+    for j in range(1, lat.Q):
+        cjx, cjy = int(lat.c[j, 0]), int(lat.c[j, 1])
+        src_solid = np.roll(pr.solid, (cjy, cjx), (0, 1))
+        np.testing.assert_array_equal(q[j] >= 0, fluid & src_solid)
+
+
+def _fractional_channel(qb, qt, bc, ny=24, nx=8, tau=0.8, F=2e-6,
+                        steps=6000):
+    """Body-force channel with solid slabs whose true wall planes sit at
+    y = 2-qb and y = ny-3+qt. Returns (relative RMSE vs the analytic
+    parabola, recovered wall roots, true wall positions)."""
+    params = SimulationParams(nx=nx, ny=ny, tau=tau, problem="poiseuille",
+                              periodic_x=True, body_force=(F, 0.0),
+                              inlet_velocity=0.0, precision="f64",
+                              obstacle_bc=bc)
+    solid = np.zeros((ny, nx), bool)
+    solid[:2] = True
+    solid[-2:] = True
+    y0, y1 = 2.0 - qb, (ny - 3.0) + qt
+
+    def sdf(p):
+        return np.minimum(p[..., 1] - y0, y1 - p[..., 1])
+
+    pr = Problem(params=params, lattice=D2Q9, solid=solid,
+                 obstacle_sdf=sdf, init_u=(0.0, 0.0), walls_y=False,
+                 periodic_x=True, body_force=(F, 0.0), obstacle_bc=bc)
+    step = jax.jit(make_step_rolled(pr))
+    f = pr.initial_state()
+    for _ in range(steps):
+        f = step(f)
+    rho, u = physics.moments(D2Q9, np.asarray(f))
+    ux = np.asarray(u[0])[:, 0]
+    nu = (tau - 0.5) / 3.0
+    yy = np.arange(ny, dtype=np.float64)
+    ana = np.where((yy > y0) & (yy < y1),
+                   F / (2 * nu) * (yy - y0) * (y1 - yy), 0.0)
+    fl = slice(2, ny - 2)
+    rel_rmse = np.sqrt(np.mean((ux[fl] - ana[fl]) ** 2)) / ana.max()
+    roots = np.sort(np.roots(np.polyfit(yy[4:-4], ux[4:-4], 2)))
+    return rel_rmse, roots, (y0, y1)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("qb,qt", [(0.25, 0.75), (0.9, 0.1)])
+def test_fractional_wall_position_recovered(qb, qt):
+    rel, roots, (y0, y1) = _fractional_channel(qb, qt, "bouzidi")
+    assert rel < 0.01, rel
+    assert abs(roots[0] - y0) < 0.05, (roots[0], y0)
+    assert abs(roots[1] - y1) < 0.05, (roots[1], y1)
+
+
+@pytest.mark.slow
+def test_staircase_cannot_resolve_fractional_walls():
+    # the full-way scheme sees the wall at the half-way plane regardless of
+    # q — Bouzidi's whole point; measured: 14x the profile error
+    rel_b, roots_b, (y0, y1) = _fractional_channel(0.25, 0.75, "bouzidi")
+    rel_s, roots_s, _ = _fractional_channel(0.25, 0.75, "bounce_back")
+    assert rel_s > 5 * rel_b, (rel_s, rel_b)
+    assert abs(roots_s[0] - 1.5) < 0.1     # staircase pins at half-way
+    assert abs(roots_b[0] - y0) < 0.05     # bouzidi tracks the true wall
+
+
+@pytest.mark.parametrize("mesh_shape", [(2, 1), (2, 2)], ids=["y", "2d"])
+def test_bouzidi_sharded_matches_oracle(mesh_shape):
+    pr = make_problem(_cyl_params())
+    step = jax.jit(make_step_rolled(pr))
+    s_ref = pr.initial_state()
+    for _ in range(10):
+        s_ref = step(s_ref)
+    s_ref = np.asarray(jax.device_get(s_ref))
+    n = mesh_shape[0] * mesh_shape[1]
+    mesh = make_mesh(mesh_shape, devices=jax.devices()[:n])
+    chunk = make_chunk_fn(pr, mesh, 5, backend="jax")
+    s, solid = shard_state(mesh, pr.initial_state(), pr.solid)
+    for _ in range(2):
+        s = chunk(s, solid)
+    np.testing.assert_allclose(np.asarray(jax.device_get(s)), s_ref,
+                               rtol=1e-12, atol=1e-14)
+
+
+def test_pallas_request_demotes_with_warning():
+    pr = make_problem(_cyl_params(precision="f32"))
+    mesh = make_mesh((1, 1), devices=jax.devices()[:1])
+    with pytest.warns(UserWarning, match="bouzidi"):
+        chunk = make_chunk_fn(pr, mesh, 4, backend="pallas")
+    s, solid = shard_state(mesh, pr.initial_state(), pr.solid)
+    s = chunk(s, solid)
+    assert np.isfinite(np.asarray(jax.device_get(s))).all()
+
+
+def test_super_chunk_and_runner_smoke(tmp_path):
+    # end-to-end: the runner's super-chunk path threads the q table
+    from tpulbm.runner import Runner
+    rp = _cyl_params(precision="f32").replace(
+        num_timesteps=200, output_frequency=50, enable_vtk=False,
+        output_dir=str(tmp_path), backend="jax")
+    res = Runner(rp, verbose=False).run(resume=False)
+    assert res.success
+    assert (tmp_path / "forces.csv").exists()
+
+
+def test_sphere_3d_links_and_smoke():
+    # D3Q19 sphere: q table exact vs the closed-form sphere-line
+    # intersection; the oracle stays finite under the curved-wall closure
+    params = SimulationParams(nx=48, ny=24, nz=24, problem="cylinder3d",
+                              precision="f64", obstacle_bc="bouzidi",
+                              inlet_velocity=0.05, tau=0.6,
+                              cylinder_radius=0.23)  # fractional r: real q
+    pr = make_problem(params)
+    q = link_q(pr)
+    lat = pr.lattice
+    cx, cy = params.get_cylinder_x(), params.get_cylinder_y()
+    cz = params.nz // 2
+    r = float(params.get_cylinder_radius_cells())
+    center = np.array([cx, cy, cz], np.float64)
+    checked = 0
+    for j in range(1, lat.Q):
+        for (zz, yy, xx) in np.argwhere(q[j] >= 0)[:8]:
+            ci = -lat.c[j].astype(np.float64)
+            p0 = np.array([xx, yy, zz], np.float64)
+            a = ci @ ci
+            b = 2.0 * ci @ (p0 - center)
+            c0 = (p0 - center) @ (p0 - center) - r * r
+            t = (-b - np.sqrt(b * b - 4 * a * c0)) / (2 * a)
+            got = float(q[j, zz, yy, xx])
+            if got == 0.5 and abs(t - 0.5) > 1e-6:
+                continue
+            assert abs(got - t) < 1e-6, (j, zz, yy, xx, got, t)
+            checked += 1
+    assert checked > 50
+    step = jax.jit(make_step_rolled(pr))
+    f = pr.initial_state()
+    for _ in range(50):
+        f = step(f)
+    f = np.asarray(f)
+    assert np.isfinite(f).all()
+
+
+def test_missing_sdf_raises():
+    import dataclasses
+    params = SimulationParams(nx=32, ny=16, precision="f32",
+                              obstacle_bc="bouzidi")
+    pr = dataclasses.replace(make_problem(params), obstacle_sdf=None)
+    with pytest.raises(ValueError, match="obstacle_sdf"):
+        link_q(pr)

@@ -47,7 +47,8 @@ class SimulationParams:
 
     # --- new capabilities (absent from the reference) ---
     problem: str = "cylinder"        # "cylinder" | "poiseuille" | "cavity" | "cylinder3d"
-    obstacle_bc: str = "equilibrium"  # "equilibrium" (reference parity) | "bounce_back"
+    obstacle_bc: str = "equilibrium"  # "equilibrium" (reference parity) |
+    # "bounce_back" (full-way) | "bouzidi" (curved-wall interpolated, jax tier)
     collision: str = "bgk"           # "bgk" (reference parity) | "trt" | "mrt" (new: stable at low tau)
     trt_magic: float = 3.0 / 16.0    # TRT magic parameter Λ
     # MRT ghost-moment rate overrides as ((moment, rate), ...) pairs, e.g.
@@ -272,7 +273,8 @@ def add_cli_args(parser: argparse.ArgumentParser) -> None:
                                               "heated-cavity",
                                               "cylinder3d", "multiphase"],
                         default=None)
-    parser.add_argument("--obstacle-bc", choices=["equilibrium", "bounce_back"],
+    parser.add_argument("--obstacle-bc",
+                        choices=["equilibrium", "bounce_back", "bouzidi"],
                         default=None)
     parser.add_argument("--collision", choices=["bgk", "trt", "mrt"],
                         default=None)

@@ -78,6 +78,10 @@ class Problem:
     periodic_x: bool = False
     body_force: tuple[float, ...] = ()
     obstacle_bc: str = "equilibrium"  # see ops/step_jax.py for semantics
+    # analytic signed distance to the obstacle surface (positive in fluid),
+    # pts (..., D) in (x, y[, z]) coords -> (...,); required by the
+    # "bouzidi" curved-wall mode (ops/bouzidi.py), ignored otherwise
+    obstacle_sdf: object = None
     collision: str = "bgk"            # "bgk" | "trt" | "mrt" (physics.collide_*)
     clean_corners: bool = False       # Zou-He corner closure (2-D; opt-in)
     trt_magic: float = 3.0 / 16.0

@@ -13,11 +13,27 @@ from ..lattice import D2Q9
 from .base import Problem
 
 
+def _cylinder_sdf(params: SimulationParams):
+    """Analytic circle surface for the Bouzidi curved-wall mode: positive
+    outside the cylinder, matching geometry.cylinder_mask's inclusive
+    dist^2 <= r^2 voxelization (solid cells have sdf <= 0)."""
+    import numpy as np
+    cx, cy = params.get_cylinder_x(), params.get_cylinder_y()
+    r = float(params.get_cylinder_radius_cells())
+
+    def sdf(pts):
+        d = np.hypot(pts[..., 0] - cx, pts[..., 1] - cy)
+        return d - r
+
+    return sdf
+
+
 def make_problem(params: SimulationParams) -> Problem:
     return Problem(
         params=params,
         lattice=D2Q9,
         solid=cylinder_mask(params),
+        obstacle_sdf=_cylinder_sdf(params),
         init_rho=1.0,
         init_u=(params.inlet_velocity, 0.0),
         inlet_zou_he=True,

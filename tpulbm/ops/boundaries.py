@@ -321,6 +321,17 @@ def apply_all(problem: Problem, planes: list, coords: dict) -> list:
     if getattr(problem, "clean_corners", False) and lat.D == 2:
         apply_zou_he_corners(planes, yy, xx, ny, nx, solid)
     from .. import physics
-    apply_obstacle(lat, planes, solid, problem.obstacle_bc,
-                   physics.rest_equilibrium(lat))
+    if problem.obstacle_bc == "bouzidi" and solid is not None:
+        # curved-wall interpolated bounce-back on the cut links (needs the
+        # pre-stream post-collision planes and the q table the step builder
+        # put in coords), then rest-eq pin on the solid interior — nothing
+        # dynamical reads it once every cut link is rewritten
+        from . import bouzidi
+        bouzidi.apply_bouzidi(lat, planes, coords["f_post"],
+                              coords["bz_q"])
+        apply_obstacle(lat, planes, solid, "equilibrium",
+                       physics.rest_equilibrium(lat))
+    else:
+        apply_obstacle(lat, planes, solid, problem.obstacle_bc,
+                       physics.rest_equilibrium(lat))
     return planes

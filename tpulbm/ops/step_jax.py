@@ -99,12 +99,19 @@ def make_step_rolled(problem: Problem) -> Callable[[jnp.ndarray], jnp.ndarray]:
     eq_ring = problem.ghost_ring_values()
     solid_np = problem.solid
     p = problem.params
+    bz_q = None
+    if problem.obstacle_bc == "bouzidi" and solid_np is not None:
+        from .bouzidi import link_q
+        bz_q = link_q(problem)
 
     def step(f: jnp.ndarray) -> jnp.ndarray:
         solid = None if solid_np is None else jnp.asarray(solid_np)
         f_post = _collide_block(problem, f, solid)
         coords = _coords(problem)
         coords["solid"] = solid
+        if bz_q is not None:
+            coords["f_post"] = [f_post[i] for i in range(lat.Q)]
+            coords["bz_q"] = jnp.asarray(bz_q)
         planes = []
         for i in range(lat.Q):
             cix, ciy = int(c[i, 0]), int(c[i, 1])
@@ -210,7 +217,7 @@ def make_local_step_padded(problem: Problem,
                 jnp.where(is_right, cols, f_post[:, :, -1]))
         return f_post
 
-    def step(fpad, solid_local, offsets, solid_pad=None):
+    def step(fpad, solid_local, offsets, solid_pad=None, bz_q=None):
         # Collide the whole padded block (pointwise; halo cells produce the
         # same post-collision values their owner computes).
         if problem.obstacle_bc == "bounce_back" and solid_local is not None:
@@ -218,6 +225,7 @@ def make_local_step_padded(problem: Problem,
         else:
             f_post = _collide_block(problem, fpad, None)
         f_post = _overwrite_physical_ghosts(f_post, offsets[-2:])
+        center = (slice(1, -1),) * ndim
         planes = []
         for i in range(lat.Q):
             comps = tuple(int(c[i, d]) for d in range(lat.D))  # (cx, cy[, cz])
@@ -226,6 +234,11 @@ def make_local_step_padded(problem: Problem,
             planes.append(f_post[(i,) + slicer])
         coords = _coords(problem, offsets, shape)
         coords["solid"] = solid_local
+        if bz_q is not None:
+            # bouzidi curved-wall mode: the pre-stream post-collision center
+            # planes + the local q table (ops/bouzidi.py)
+            coords["f_post"] = [f_post[(i,) + center] for i in range(lat.Q)]
+            coords["bz_q"] = bz_q
         planes = boundaries.apply_all(problem, planes, coords)
         center = jnp.stack(planes)
         pad_slicer = (slice(None),) + (slice(1, -1),) * ndim

@@ -68,6 +68,16 @@ def make_chunk_fn(problem: Problem, mesh: Mesh, chunk_len: int,
     if backend not in ("jax", "pallas"):
         raise ValueError(f"unknown backend {backend!r}")
     local_step = None
+    bz_q = None
+    if problem.obstacle_bc == "bouzidi" and has_solid:
+        if backend == "pallas":
+            import warnings
+            warnings.warn("obstacle_bc='bouzidi' (curved-wall interpolated "
+                          "bounce-back) runs on the jax tier; falling back "
+                          "to backend='jax'")
+            backend = "jax"
+        from ..ops.bouzidi import link_q
+        bz_q = link_q(problem)
     thermal_pallas = None
     if problem.thermal is not None:
         # double-population (thermal) problems: fused 1-step pallas kernel
@@ -331,7 +341,7 @@ def make_chunk_fn(problem: Problem, mesh: Mesh, chunk_len: int,
     ring_kw = dict(eq_ring=eq_ring, mesh_shape=mesh_shape,
                    periodic_x=problem.periodic_x)
 
-    def body_jax(f_local, solid_local):
+    def body_jax(f_local, solid_local, bz_local=None):
         iy = lax.axis_index("y")
         ix = lax.axis_index("x")
         offsets = (0,) * (ndim - 2) + (iy * local_shape[-2], ix * local_shape[-1])
@@ -358,7 +368,11 @@ def make_chunk_fn(problem: Problem, mesh: Mesh, chunk_len: int,
         else:
             def one_step(fp, _):
                 fp = halo.refresh_ring(fp, **ring_kw)
-                fp = local_step(fp, solid_arg, offsets, solid_pad)
+                if bz_local is None:
+                    fp = local_step(fp, solid_arg, offsets, solid_pad)
+                else:
+                    fp = local_step(fp, solid_arg, offsets, solid_pad,
+                                    bz_local)
                 return fp, None
 
         fpad, _ = lax.scan(one_step, fpad, None, length=chunk_len)
@@ -736,11 +750,29 @@ def make_chunk_fn(problem: Problem, mesh: Mesh, chunk_len: int,
     spec_f = P(*((None,) + (None,) * (ndim - 2) + ("y", "x")))
     spec_m = P(*((None,) * (ndim - 2) + ("y", "x")))
     # check_vma=False: pallas_call out_shapes don't carry vma annotations
-    sharded = shard_map(body, mesh=mesh, in_specs=(spec_f, spec_m),
+    if bz_q is None:
+        sharded = shard_map(body, mesh=mesh, in_specs=(spec_f, spec_m),
+                            out_specs=spec_f, check_vma=False)
+        if _raw:
+            return sharded
+        return jax.jit(sharded, donate_argnums=(0,))
+    # bouzidi: the q table rides as a third REAL argument sharded like f
+    # (passing it by closure would bake a grid-sized constant into the
+    # program); raw callers read .bouzidi_q and thread it themselves
+    # (make_super_chunk_fn), the jitted wrapper binds it here
+    sharded = shard_map(body, mesh=mesh, in_specs=(spec_f, spec_m, spec_f),
                         out_specs=spec_f, check_vma=False)
+    q_dev = jax.device_put(bz_q, NamedSharding(mesh, spec_f))
+    sharded.bouzidi_q = q_dev
     if _raw:
         return sharded
-    return jax.jit(sharded, donate_argnums=(0,))
+    jitted = jax.jit(sharded, donate_argnums=(0,))
+
+    def chunk(f, solid):
+        return jitted(f, solid, q_dev)
+
+    chunk.bouzidi_q = q_dev
+    return chunk
 
 
 def make_super_chunk_fn(problem: Problem, mesh: Mesh, interval_len: int,
@@ -776,7 +808,9 @@ def make_super_chunk_fn(problem: Problem, mesh: Mesh, interval_len: int,
         nu_fn = lambda s: nusselt(problem, s)  # noqa: E731
         temp_fn = lambda s: temperature(problem, s)  # noqa: E731
 
-    def fn(f, solid):
+    q_dev = getattr(chunk, "bouzidi_q", None)
+
+    def fn(f, solid, qv=None):
         def interval(fc, _):
             force = forces_fn(fc) if forces_fn is not None else jnp.zeros(2)
             diag = (force, maxv_fn(fc), stable_fn(fc))
@@ -786,11 +820,15 @@ def make_super_chunk_fn(problem: Problem, mesh: Mesh, interval_len: int,
                 diag = diag + tuple(fields_fn(fc))
                 if temp_fn is not None:  # thermal VTK frames carry T
                     diag = diag + (temp_fn(fc),)
-            return chunk(fc, solid), diag
+            fnext = chunk(fc, solid) if qv is None else chunk(fc, solid, qv)
+            return fnext, diag
 
         return lax.scan(interval, f, None, length=n_intervals)
 
-    return jax.jit(fn, donate_argnums=(0,))
+    jitted = jax.jit(fn, donate_argnums=(0,))
+    if q_dev is None:
+        return jitted
+    return lambda f, solid: jitted(f, solid, q_dev)
 
 
 def shard_mask(mesh: Mesh, mask):
