@@ -62,13 +62,12 @@ def test_link_q_matches_closed_form_circle():
         np.testing.assert_array_equal(q[j] >= 0, fluid & src_solid)
 
 
-def _fractional_channel(qb, qt, bc, ny=24, nx=8, tau=0.8, F=2e-6,
-                        steps=6000):
+def _channel_problem(qb, qt, bc, ny=24, nx=8, tau=0.8, F_body=2e-6):
     """Body-force channel with solid slabs whose true wall planes sit at
-    y = 2-qb and y = ny-3+qt. Returns (relative RMSE vs the analytic
-    parabola, recovered wall roots, true wall positions)."""
+    y = 2-qb and y = ny-3+qt (between the last fluid and first solid
+    rows)."""
     params = SimulationParams(nx=nx, ny=ny, tau=tau, problem="poiseuille",
-                              periodic_x=True, body_force=(F, 0.0),
+                              periodic_x=True, body_force=(F_body, 0.0),
                               inlet_velocity=0.0, precision="f64",
                               obstacle_bc=bc)
     solid = np.zeros((ny, nx), bool)
@@ -79,9 +78,18 @@ def _fractional_channel(qb, qt, bc, ny=24, nx=8, tau=0.8, F=2e-6,
     def sdf(p):
         return np.minimum(p[..., 1] - y0, y1 - p[..., 1])
 
-    pr = Problem(params=params, lattice=D2Q9, solid=solid,
-                 obstacle_sdf=sdf, init_u=(0.0, 0.0), walls_y=False,
-                 periodic_x=True, body_force=(F, 0.0), obstacle_bc=bc)
+    return Problem(params=params, lattice=D2Q9, solid=solid,
+                   obstacle_sdf=sdf, init_u=(0.0, 0.0), walls_y=False,
+                   periodic_x=True, body_force=(F_body, 0.0),
+                   obstacle_bc=bc)
+
+
+def _fractional_channel(qb, qt, bc, ny=24, nx=8, tau=0.8, F=2e-6,
+                        steps=6000):
+    """Run _channel_problem to steady state. Returns (relative RMSE vs the
+    analytic parabola, recovered wall roots, true wall positions)."""
+    pr = _channel_problem(qb, qt, bc, ny=ny, nx=nx, tau=tau, F_body=F)
+    y0, y1 = 2.0 - qb, (ny - 3.0) + qt
     step = jax.jit(make_step_rolled(pr))
     f = pr.initial_state()
     for _ in range(steps):
@@ -116,6 +124,53 @@ def test_staircase_cannot_resolve_fractional_walls():
     assert rel_s > 5 * rel_b, (rel_s, rel_b)
     assert abs(roots_s[0] - 1.5) < 0.1     # staircase pins at half-way
     assert abs(roots_b[0] - y0) < 0.05     # bouzidi tracks the true wall
+
+
+def test_bouzidi_force_reduces_to_staircase_at_half():
+    # with every q = 1/2 the cut-link momentum exchange must equal the
+    # voxel form 2 c_i f̂_i exactly (f_j^new = f̂_i there)
+    from tpulbm.ops import forces as F
+    from tpulbm.ops.step_jax import _collide_block
+    pr = _channel_problem(0.5, 0.5, "bouzidi")
+    step = jax.jit(make_step_rolled(pr))
+    f = pr.initial_state()
+    for _ in range(200):
+        f = step(f)
+    fp = _collide_block(pr, f, None)
+    fb = np.asarray(F.bouzidi_momentum_exchange_fn(pr)(fp, link_q(pr)))
+    fv = np.asarray(F.momentum_exchange(pr, fp, np.asarray(pr.solid)))
+    np.testing.assert_allclose(fb, fv, atol=1e-14)
+
+
+@pytest.mark.slow
+def test_bouzidi_force_balances_injected_momentum():
+    # steady channel: the wall drag must equal the body-force momentum
+    # injected per step (G per fluid cell at rho ~ 1) — measured 1 - 2e-9
+    from tpulbm.ops import forces as F
+    G = 2e-6
+    pr = _channel_problem(0.25, 0.75, "bouzidi", F_body=G)
+    step = jax.jit(make_step_rolled(pr))
+    fn = jax.jit(F.forces_fn(pr))
+    f = pr.initial_state()
+    for _ in range(8000):
+        f = step(f)
+    drag = np.asarray(fn(f, link_q(pr)))
+    injected = G * (~pr.solid).sum()
+    assert abs(drag[0] / injected - 1.0) < 1e-6, (drag[0], injected)
+    assert abs(drag[1]) < 1e-12
+
+
+def test_bouzidi_force_zero_at_rest():
+    from tpulbm.ops import forces as F
+    from tpulbm.ops.step_jax import _collide_block
+    pr = make_problem(_cyl_params())
+    f0 = physics.uniform_equilibrium(D2Q9, 1.0, (0.0, 0.0),
+                                     dtype=np.float64)
+    f0 = np.broadcast_to(f0[:, None, None], (9,) + pr.spatial_shape)
+    fp = _collide_block(pr, np.ascontiguousarray(f0), None)
+    np.testing.assert_allclose(
+        np.asarray(F.bouzidi_momentum_exchange_fn(pr)(fp, link_q(pr))),
+        0.0, atol=1e-15)
 
 
 @pytest.mark.parametrize("mesh_shape", [(2, 1), (2, 2)], ids=["y", "2d"])

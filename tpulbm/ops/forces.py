@@ -80,16 +80,67 @@ def force_coefficients(problem: Problem, force: np.ndarray) -> tuple[float, floa
     return float(force[0] / q), float(force[1] / q)
 
 
+def bouzidi_momentum_exchange_fn(problem: Problem):
+    """Jittable (f_post, q) -> force: Ladd-style momentum exchange over the
+    CUT links of the Bouzidi closure, F = Σ_links c_i · (f̂_i + f_j^new),
+    where f_j^new is the very population ops/bouzidi.py will write (the
+    staircase form 2 c_i f̂_i is recovered exactly when every q = 1/2).
+    The q table is a real (traced) argument sharded like f, so the whole
+    sum is masked rolls/selects — SPMD-safe on any mesh, and no grid-sized
+    constant bakes into the program."""
+    lat = problem.lattice
+    opp = lat.opposite
+    ndim = len(problem.spatial_shape)
+
+    def fn(f_post, q):
+        dt = f_post.dtype
+        comps = [jnp.zeros((), dt) for _ in range(lat.D)]
+        for j in range(1, lat.Q):
+            i = int(opp[j])
+            qj = q[j].astype(dt)
+            has = qj >= 0.0
+            ltm = qj < 0.5
+            a = jnp.where(ltm, 2.0 * qj, 1.0 / (2.0 * jnp.maximum(qj, 0.5)))
+            b = jnp.where(ltm, 1.0 - 2.0 * qj, 0.0)
+            cc = jnp.where(ltm, 0.0,
+                           1.0 - 1.0 / (2.0 * jnp.maximum(qj, 0.5)))
+            fi = f_post[i]
+            # upstream node x_f + c_j; where b > 0 link_q guaranteed it is
+            # in-domain fluid, so any non-periodic wrap garbage is b=0-masked
+            per_axis = tuple(-int(v) for v in lat.c[j])[::-1]
+            fup = jnp.roll(fi, per_axis, tuple(range(ndim)))
+            fj_new = a * fi + b * fup + cc * f_post[j]
+            flux = jnp.where(has, fi + fj_new, 0.0)
+            s = jnp.sum(flux)
+            for d in range(lat.D):
+                cid = int(lat.c[i, d])
+                if cid:
+                    comps[d] = comps[d] + cid * s
+        return jnp.stack(comps)
+
+    return fn
+
+
 def forces_fn(problem: Problem):
     """Jittable f -> force vector: collide then momentum-exchange, matching
-    the reference's call point (post-collision, pre-streaming)."""
+    the reference's call point (post-collision, pre-streaming). The bouzidi
+    obstacle mode swaps in the cut-link form (bouzidi_momentum_exchange_fn)
+    so the reported drag sees the wall where the flow does; its returned fn
+    then takes (f, q) — callers thread the same sharded q table the chunk
+    steppers use."""
     from .step_jax import _collide_block
     solid_np = problem.solid
+    bz_fn = (bouzidi_momentum_exchange_fn(problem)
+             if problem.obstacle_bc == "bouzidi" else None)
 
-    def fn(f):
+    def fn(f, q=None):
         solid = jnp.asarray(solid_np)
         f_post = _collide_block(
             problem, f, solid if problem.obstacle_bc == "bounce_back" else None)
+        if bz_fn is not None:
+            if q is None:
+                raise TypeError("bouzidi forces need the q table: fn(f, q)")
+            return bz_fn(f_post, q)
         return momentum_exchange(problem, f_post, solid)
 
     return fn

@@ -812,7 +812,12 @@ def make_super_chunk_fn(problem: Problem, mesh: Mesh, interval_len: int,
 
     def fn(f, solid, qv=None):
         def interval(fc, _):
-            force = forces_fn(fc) if forces_fn is not None else jnp.zeros(2)
+            if forces_fn is None:
+                force = jnp.zeros(2)
+            elif qv is not None:
+                force = forces_fn(fc, qv)   # bouzidi cut-link form
+            else:
+                force = forces_fn(fc)
             diag = (force, maxv_fn(fc), stable_fn(fc))
             if nu_fn is not None:     # thermal: per-interval Nusselt trace
                 diag = diag + (nu_fn(fc),)

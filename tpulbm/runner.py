@@ -69,6 +69,14 @@ class Runner:
         self._chunk_cache: dict[int, object] = {}
         self._forces = jax.jit(forces_mod.forces_fn(self.problem)) \
             if self.problem.solid is not None else None
+        # bouzidi: the diagnostics force needs the same sharded q table the
+        # chunk steppers thread (ops/bouzidi.py); built once per run
+        self._bz_q = None
+        if (self.problem.obstacle_bc == "bouzidi"
+                and self.problem.solid is not None):
+            from .ops.bouzidi import link_q
+            from .parallel.sharded_step import shard_mask
+            self._bz_q = shard_mask(self.mesh, link_q(self.problem))
         self._fields = jax.jit(diagnostics.fields_fn(self.problem))
         self._stable = jax.jit(diagnostics.stability_fn(self.problem))
         self._max_vel = jax.jit(diagnostics.max_velocity_fn(self.problem))
@@ -92,8 +100,13 @@ class Runner:
                 lambda s: temperature(self.problem, s))
         self._n_diag = 4 if nu_fn_ is not None else 3
 
-        def _diag(f):
-            force = forces_fn_(f) if forces_fn_ is not None else jnp.zeros(2)
+        def _diag(f, qv=None):
+            if forces_fn_ is None:
+                force = jnp.zeros(2)
+            elif qv is not None:
+                force = forces_fn_(f, qv)
+            else:
+                force = forces_fn_(f)
             out = (force, maxv_fn_(f), stable_fn_(f))
             if nu_fn_ is not None:  # thermal: Nu rides the same round trip
                 out = out + (nu_fn_(f),)
@@ -391,7 +404,7 @@ class Runner:
                     # donated buffer — with the heavy ASCII formatting still
                     # pushed off-thread.
                     if t % freq == 0:
-                        dv = jax.device_get(self._diag(f))
+                        dv = jax.device_get(self._diag(f, self._bz_q))
                         fvec, mv, stable = dv[:3]
                         if nu_writer is not None:
                             nu_writer.record(t, float(dv[3]))
