@@ -49,7 +49,8 @@ class SimulationParams:
     problem: str = "cylinder"        # "cylinder" | "poiseuille" | "cavity" | "cylinder3d"
     obstacle_bc: str = "equilibrium"  # "equilibrium" (reference parity) |
     # "bounce_back" (full-way) | "bouzidi" (curved-wall interpolated, jax tier)
-    collision: str = "bgk"           # "bgk" (reference parity) | "trt" | "mrt" (new: stable at low tau)
+    collision: str = "bgk"           # "bgk" (reference parity) | "trt" |
+    # "mrt" | "regularized" (new: stable at low tau)
     trt_magic: float = 3.0 / 16.0    # TRT magic parameter Λ
     # MRT ghost-moment rate overrides as ((moment, rate), ...) pairs, e.g.
     # (("e", 1.5), ("qx", 1.2)). Row names per physics._mrt_basis; unset
@@ -276,7 +277,8 @@ def add_cli_args(parser: argparse.ArgumentParser) -> None:
     parser.add_argument("--obstacle-bc",
                         choices=["equilibrium", "bounce_back", "bouzidi"],
                         default=None)
-    parser.add_argument("--collision", choices=["bgk", "trt", "mrt"],
+    parser.add_argument("--collision",
+                        choices=["bgk", "trt", "mrt", "regularized"],
                         default=None)
     parser.add_argument("--lattice3d", choices=["d3q19", "d3q27"],
                         default=None,

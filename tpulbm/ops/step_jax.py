@@ -52,6 +52,9 @@ def _collide_block(problem: Problem, f: jnp.ndarray,
         f_post = physics.collide_mrt(problem.lattice, f, inv_tau,
                                      problem.body_force,
                                      overrides=dict(problem.mrt_rates) or None)
+    elif problem.collision == "regularized":
+        f_post = physics.collide_regularized(problem.lattice, f, inv_tau,
+                                             problem.body_force)
     elif problem.power_law:
         f_post = physics.collide_power_law(problem.lattice, f,
                                            problem.power_law[0],

@@ -67,6 +67,7 @@ class _Cfg:
     inv_tau: float
     omega_minus: float | None  # TRT odd-moment rate; None → BGK
     mrt_uv: tuple | None       # MRT rank-r correction (U rows, V rows); None → BGK/TRT
+    reg: bool                  # regularized BGK (Hermite-shell projection)
     smag: float                # Smagorinsky Cs; 0 → plain BGK
     plaw: tuple | None         # power-law (k, n); None → Newtonian
     u_in: float
@@ -167,6 +168,39 @@ def _collide_rows(cfg: _Cfg, fw, solid_rows):
                 if uik == 0.0 or t[k] is None:
                     continue
                 fp = fp - uik * t[k]
+            if cfg.src is not None and cfg.src[i]:
+                fp = fp + cfg.src[i]
+            if cfg.bounce_back:
+                fp = jnp.where(solid_rows, fw[i], fp)
+            out.append(fp)
+        return out
+    if cfg.reg:
+        # regularized BGK (physics.collide_regularized): the non-equilibrium
+        # part is replaced by its second-Hermite-shell projection
+        # (9/2) w_i Q_i:Π before relaxing — same Π_ab machinery as the LES
+        # branch, ghost modes discarded instead of relaxed
+        devs = []
+        for i in range(cfg.Q):
+            cx, cy = cfg.c[i]
+            cu = (cx * ux if cx else 0.0) + (cy * uy if cy else 0.0)
+            if cx or cy:
+                feq = cfg.w[i] * rho * (base + 3.0 * cu + 4.5 * cu * cu)
+            else:
+                feq = cfg.w[i] * rho * base
+            devs.append(fw[i] - feq)
+        pxx = devs[1] + devs[3] + devs[5] + devs[6] + devs[7] + devs[8]
+        pyy = devs[2] + devs[4] + devs[5] + devs[6] + devs[7] + devs[8]
+        pxy = devs[5] - devs[6] + devs[7] - devs[8]
+        keep = 1.0 - cfg.inv_tau
+        for i in range(cfg.Q):
+            cx, cy = cfg.c[i]
+            a = 4.5 * cfg.w[i] * (cx * cx - 1.0 / 3.0)
+            b = 4.5 * cfg.w[i] * (cy * cy - 1.0 / 3.0)
+            g = 9.0 * cfg.w[i] * cx * cy
+            proj = a * pxx + b * pyy
+            if g:
+                proj = proj + g * pxy
+            fp = (fw[i] - devs[i]) + keep * proj
             if cfg.src is not None and cfg.src[i]:
                 fp = fp + cfg.src[i]
             if cfg.bounce_back:
@@ -652,6 +686,7 @@ def _physics_cfg_fields(problem: Problem) -> dict:
         Q=Q, c=c, w=w, opp=tuple(int(v) for v in lat.opposite),
         inv_tau=1.0 / problem.params.tau,
         omega_minus=omega_minus, mrt_uv=mrt_uv,
+        reg=problem.collision == "regularized",
         smag=float(problem.smagorinsky),
         plaw=(tuple(float(v) for v in problem.power_law)
               if problem.power_law else None),

@@ -60,6 +60,8 @@ class _Cfg3d:
     nx: int
     # power-law rheology (k, n); None → Newtonian
     plaw: tuple | None = None
+    # regularized BGK (Hermite-shell projection of the non-equilibrium)
+    reg: bool = False
     # do wall/inlet/outlet strips need a solid-mask guard? (static geometry:
     # False when no solid cell touches a domain face — then the mask's only
     # consumer is the obstacle pinning, which solid-free tiles can skip)
@@ -142,6 +144,46 @@ def _collide_planes(cfg: _Cfg3d, fw, solid):
                     continue
                 fp = fp - uik * t[k]
             out[i] = finish(i, fp)
+        return out
+
+    if cfg.reg:
+        # regularized BGK (physics.collide_regularized): replace the
+        # non-equilibrium part by its second-Hermite-shell projection
+        # (9/2) w_i Q_i:Π before relaxing; the six Π_ab components built
+        # generically from the velocity set like the LES branch
+        devs = []
+        for i in range(Q):
+            cu = cu_of(i)
+            wr = cfg.w[i] * rho
+            feq = wr * base if cu is None else wr * (base + 3.0 * cu
+                                                     + 4.5 * cu * cu)
+            devs.append(fw[i] - feq)
+        pis = {}
+        for a in range(3):
+            for b in range(a, 3):
+                acc = None
+                for i in range(Q):
+                    coef = cfg.c[i][a] * cfg.c[i][b]
+                    if coef == 0:
+                        continue
+                    term = devs[i] if coef == 1 else (
+                        -devs[i] if coef == -1 else coef * devs[i])
+                    acc = term if acc is None else acc + term
+                pis[(a, b)] = acc
+        keep = 1.0 - cfg.inv_tau
+        for i in range(Q):
+            ci = cfg.c[i]
+            proj = None
+            for a in range(3):
+                coeff = 4.5 * cfg.w[i] * (ci[a] * ci[a] - 1.0 / 3.0)
+                term = coeff * pis[(a, a)]
+                proj = term if proj is None else proj + term
+            for a in range(3):
+                for b in range(a + 1, 3):
+                    g = 9.0 * cfg.w[i] * ci[a] * ci[b]
+                    if g and pis[(a, b)] is not None:
+                        proj = proj + g * pis[(a, b)]
+            out[i] = finish(i, (fw[i] - devs[i]) + keep * proj)
         return out
 
     if cfg.plaw is not None:
@@ -313,6 +355,7 @@ def make_local_step_pallas3d(problem: Problem,
         opp=tuple(int(v) for v in lat.opposite),
         inv_tau=1.0 / problem.params.tau, omega_minus=omega_minus,
         mrt_uv=mrt_uv,
+        reg=problem.collision == "regularized",
         smag=float(problem.smagorinsky),
         plaw=(tuple(float(v) for v in problem.power_law)
               if problem.power_law else None),
@@ -711,6 +754,7 @@ def make_local_step_pallas3d_tiled(problem: Problem,
         opp=tuple(int(v) for v in lat.opposite),
         inv_tau=1.0 / problem.params.tau, omega_minus=omega_minus,
         mrt_uv=mrt_uv,
+        reg=problem.collision == "regularized",
         smag=float(problem.smagorinsky),
         plaw=(tuple(float(v) for v in problem.power_law)
               if problem.power_law else None),
