@@ -36,7 +36,7 @@ def bench(nx=2048, ny=512, backend="pallas", chunk_len=280, chunks=8,
           warmup=2, precision="f32", mesh_shape=(1, 1), verbose=False,
           reynolds=200.0, repeats=3, nz=0, collision="bgk",
           smagorinsky=0.0, thermal=False, power_law_n=1.0,
-          multiphase=False):
+          multiphase=False, periodic=False):
     import jax
     import numpy as np
 
@@ -67,6 +67,18 @@ def bench(nx=2048, ny=512, backend="pallas", chunk_len=280, chunks=8,
                                   thermal_tau=0.5704, rayleigh=1e4,
                                   periodic_x=True, cylinder_radius=0.0,
                                   inlet_velocity=0.0)
+    elif periodic:
+        # fully periodic Taylor-Green box: ZERO boundary work (no wall
+        # strips, no inlet/outlet algebra, no edge sanitize, no obstacle)
+        # — the pure collide-stream kernel ceiling for the BENCH.md ladder
+        params = SimulationParams(nx=nx, ny=ny, problem="taylor-green",
+                                  precision=precision, backend=backend,
+                                  mesh_shape=mesh_shape, tau=0.8,
+                                  collision=collision,
+                                  smagorinsky=smagorinsky,
+                                  power_law_n=power_law_n,
+                                  inlet_velocity=0.04, periodic_x=True,
+                                  cylinder_radius=0.0)
     elif nz:
         # D3Q19 sphere-in-duct at the stable stock parameters (tau=0.6)
         params = SimulationParams(nx=nx, ny=ny, nz=nz, problem="cylinder3d",
@@ -95,6 +107,9 @@ def bench(nx=2048, ny=512, backend="pallas", chunk_len=280, chunks=8,
         raise ValueError("--thermal does not support --power-law "
                          "(power-law rheology is not wired into the "
                          "thermal kernels)")
+    if periodic and (multiphase or thermal or nz):
+        raise ValueError("--periodic is its own 2-D model row; it does "
+                         "not compose with --multiphase/--thermal/--nz")
     validate_params(params)
     problem = make_problem(params)
     n_dev = mesh_shape[0] * mesh_shape[1]
@@ -152,7 +167,8 @@ def run_one(args, mesh_shape, nx, ny, label=None):
               repeats=args.repeats, reynolds=args.reynolds,
               collision=args.collision, smagorinsky=args.smagorinsky,
               thermal=args.thermal, power_law_n=args.power_law,
-              multiphase=args.multiphase)
+              multiphase=args.multiphase,
+              periodic=getattr(args, "periodic", False))
     try:
         mlups, dt, steps = bench(backend=backend, **kw)
     except Exception as e:  # pallas unavailable → honest fallback, flagged
@@ -177,6 +193,9 @@ def run_one(args, mesh_shape, nx, ny, label=None):
     if args.multiphase:
         default_label = (f"MLUPS/chip, Shan-Chen multiphase droplet "
                          f"{grid} {args.precision}")
+    if getattr(args, "periodic", False):
+        default_label = (f"MLUPS/chip, periodic Taylor-Green box {grid} "
+                         f"{args.precision} (zero boundary work)")
     if args.collision != "bgk":
         default_label += f" {args.collision}"
     if args.smagorinsky:
@@ -224,6 +243,9 @@ def main():
     ap.add_argument("--multiphase", action="store_true",
                     help="bench the Shan-Chen multiphase model instead "
                          "of the cylinder")
+    ap.add_argument("--periodic", action="store_true",
+                    help="bench the fully periodic Taylor-Green box "
+                         "(zero boundary work — pure kernel ceiling)")
     ap.add_argument("--smagorinsky", type=float, default=0.0,
                     help="Smagorinsky Cs (0 = off; extra kernel rows for "
                          "the BENCH.md operator ladder)")

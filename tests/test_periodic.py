@@ -1,0 +1,149 @@
+"""Fully periodic boxes (models/periodic2d.py): Taylor-Green vortex +
+double shear layer. New capability — the reference has no periodic-y
+mode at all (its y rows are always bounce-back walls, LBMSolver.h:150-176).
+
+The Taylor-Green vortex is the sharpest accuracy gate in the suite: an
+exact Navier-Stokes solution, so the simulated field is compared against
+the analytic field AND the measured energy-decay rate must recover
+nu = (tau - 1/2)/3 to a fraction of a percent.
+"""
+import warnings
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax import lax
+
+from tpulbm import physics
+from tpulbm.config import SimulationParams
+from tpulbm.lattice import D2Q9
+from tpulbm.models import make_problem
+from tpulbm.models.periodic2d import taylor_green_fields
+from tpulbm.ops.step_jax import make_step_rolled
+from tpulbm.parallel.mesh import make_mesh
+from tpulbm.parallel.sharded_step import make_chunk_fn, shard_state
+
+
+def _params(**kw):
+    d = dict(nx=64, ny=64, tau=0.8, problem="taylor-green",
+             inlet_velocity=0.04, periodic_x=True, cylinder_radius=0.0,
+             precision="f64")
+    d.update(kw)
+    return SimulationParams(**d)
+
+
+@pytest.mark.slow
+def test_taylor_green_matches_analytic_solution():
+    # direct field comparison against the exact NS solution at t = 1200
+    params = _params()
+    pr = make_problem(params)
+    step = jax.jit(make_step_rolled(pr))
+    t_end = 1200
+    f = jnp.asarray(pr.initial_state())
+    f = lax.fori_loop(0, t_end, lambda i, x: step(x), f)
+    rho, u = physics.moments(D2Q9, f)
+    _, u_ana = taylor_green_fields(params, t=float(t_end))
+    u0 = params.inlet_velocity
+    err = np.max(np.abs(np.asarray(u) - u_ana)) / u0
+    assert err < 5e-3, err
+    # mass is conserved exactly in a periodic box (no open boundaries)
+    np.testing.assert_allclose(float(jnp.sum(f)), 64.0 * 64.0, rtol=1e-12)
+
+
+@pytest.mark.slow
+def test_taylor_green_recovers_viscosity():
+    # energy decay rate -> nu_eff == (tau - 1/2)/3 (measured 4e-5 rel)
+    params = _params(tau=0.8)
+    pr = make_problem(params)
+    step = jax.jit(make_step_rolled(pr))
+    f = jnp.asarray(pr.initial_state())
+
+    def energy(f):
+        rho, u = physics.moments(D2Q9, f)
+        return float(jnp.sum(rho * (u[0] ** 2 + u[1] ** 2)))
+
+    e, ts = [], []
+    for k in range(12):
+        f = lax.fori_loop(0, 150, lambda i, x: step(x), f)
+        e.append(energy(f))
+        ts.append((k + 1) * 150.0)
+    slope = np.polyfit(np.asarray(ts), np.log(np.asarray(e)), 1)[0]
+    k2 = 2.0 * (2.0 * np.pi / 64.0) ** 2
+    nu_eff = -slope / (2.0 * k2)
+    assert abs(nu_eff / params.nu() - 1.0) < 0.005, nu_eff
+
+
+@pytest.mark.parametrize("mesh_shape", [(2, 1), (2, 2)], ids=["y", "2d"])
+def test_periodic_sharded_matches_oracle(mesh_shape):
+    # the y-wrapping ppermute ring must reproduce the oracle bitwise (f64)
+    pr = make_problem(_params(nx=32, ny=32))
+    step = jax.jit(make_step_rolled(pr))
+    s_ref = pr.initial_state()
+    for _ in range(10):
+        s_ref = step(s_ref)
+    s_ref = np.asarray(jax.device_get(s_ref))
+    n = mesh_shape[0] * mesh_shape[1]
+    mesh = make_mesh(mesh_shape, devices=jax.devices()[:n])
+    chunk = make_chunk_fn(pr, mesh, 5, backend="jax")
+    s, solid = shard_state(mesh, pr.initial_state(),
+                           np.zeros(pr.spatial_shape, bool))
+    for _ in range(2):
+        s = chunk(s, solid)
+    np.testing.assert_allclose(np.asarray(jax.device_get(s)), s_ref,
+                               rtol=1e-13, atol=1e-15)
+
+
+@pytest.mark.parametrize("mesh_shape,ty", [((1, 1), None), ((4, 1), None),
+                                           ((1, 1), "8")],
+                         ids=["single", "y-sharded", "blocked"])
+def test_periodic_pallas_matches_oracle(mesh_shape, ty, monkeypatch):
+    # full-width kernels with wrapped rings; ty="8" forces small slabs so
+    # the N-step BLOCKED kernel engages in interpret mode (on TPU it
+    # engages naturally) — the temporal-blocking halo recompute must be
+    # wrap-correct too
+    if ty is not None:
+        monkeypatch.setenv("TPULBM_PALLAS_TY", ty)
+    pr = make_problem(_params(precision="f32"))
+    step = jax.jit(make_step_rolled(pr))
+    s_ref = pr.initial_state()
+    for _ in range(12):
+        s_ref = step(s_ref)
+    s_ref = np.asarray(jax.device_get(s_ref))
+    n = mesh_shape[0] * mesh_shape[1]
+    mesh = make_mesh(mesh_shape, devices=jax.devices()[:n])
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")      # no silent tier loss
+        chunk = make_chunk_fn(pr, mesh, 6, backend="pallas")
+    s, solid = shard_state(mesh, pr.initial_state(),
+                           np.zeros(pr.spatial_shape, bool))
+    for _ in range(2):
+        s = chunk(s, solid)
+    d = np.max(np.abs(np.asarray(jax.device_get(s)) - s_ref))
+    assert d < 1e-5, d
+
+
+def test_periodic_pallas_x_sharded_demotes():
+    pr = make_problem(_params(precision="f32"))
+    mesh = make_mesh((1, 2), devices=jax.devices()[:2])
+    with pytest.warns(UserWarning, match="x-unsharded"):
+        chunk = make_chunk_fn(pr, mesh, 4, backend="pallas")
+    s, solid = shard_state(mesh, pr.initial_state(),
+                           np.zeros(pr.spatial_shape, bool))
+    s = chunk(s, solid)
+    assert np.isfinite(np.asarray(jax.device_get(s))).all()
+
+
+def test_shear_layer_preset_runs(tmp_path):
+    # the preset pairs the stability benchmark with the regularized
+    # operator; short runner smoke (the full BGK-vs-regularized gate is
+    # tests/test_regularized.py)
+    from tpulbm.config import PRESETS
+    from tpulbm.runner import Runner
+    p = PRESETS["shear-layer"].replace(
+        nx=64, ny=64, num_timesteps=200, output_frequency=100,
+        output_dir=str(tmp_path), backend="jax", precision="f32")
+    assert p.collision == "regularized"
+    res = Runner(p, verbose=False).run(resume=False)
+    assert res.success
+    assert (tmp_path / "velocity_field.csv").exists()

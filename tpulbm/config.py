@@ -246,6 +246,19 @@ def _presets() -> dict[str, SimulationParams]:
         # 3-D D3Q19 cylinder/sphere flow (BASELINE config 5, stretch).
         "cylinder3d-small": base.replace(problem="cylinder3d", nx=128, ny=64, nz=64,
                                          num_timesteps=2000, output_frequency=200),
+        # Decaying Taylor-Green vortex: exact NS solution (viscosity gate).
+        "taylor-green": base.replace(
+            problem="taylor-green", nx=256, ny=256, tau=0.8,
+            inlet_velocity=0.04, periodic_x=True, cylinder_radius=0.0,
+            num_timesteps=20000, output_frequency=1000, enable_vtk=False),
+        # Minion-Brown double shear layer at Re=30k on 128²: the collision
+        # -operator stability benchmark (BGK diverges; regularized runs).
+        "shear-layer": base.replace(
+            problem="shear-layer", nx=128, ny=128,
+            tau=0.5 + 3.0 * (0.04 * 128.0 / 30000.0),
+            inlet_velocity=0.04, periodic_x=True, cylinder_radius=0.0,
+            collision="regularized",
+            num_timesteps=12000, output_frequency=1000, enable_vtk=False),
     }
 
 
@@ -272,7 +285,8 @@ def add_cli_args(parser: argparse.ArgumentParser) -> None:
     parser.add_argument("--problem", choices=["cylinder", "poiseuille",
                                               "cavity", "rayleigh-benard",
                                               "heated-cavity",
-                                              "cylinder3d", "multiphase"],
+                                              "cylinder3d", "multiphase",
+                                              "taylor-green", "shear-layer"],
                         default=None)
     parser.add_argument("--obstacle-bc",
                         choices=["equilibrium", "bounce_back", "bouzidi"],

@@ -76,6 +76,8 @@ class Problem:
     lid_u: float = 0.0                # moving-lid speed (+x) at the top wall (cavity)
     closed_box: bool = False          # no open BCs: runner renormalizes total mass
     periodic_x: bool = False
+    periodic_y: bool = False          # fully periodic box (Taylor-Green,
+    # shear layer); requires walls_y=False and periodic_x
     body_force: tuple[float, ...] = ()
     obstacle_bc: str = "equilibrium"  # see ops/step_jax.py for semantics
     # analytic signed distance to the obstacle surface (positive in fluid),
@@ -90,6 +92,9 @@ class Problem:
     power_law: tuple = ()             # (k, n) rheology (physics.power_law_inv_tau)
     shan_chen: tuple = ()             # (g, rho0) multiphase (ops/step_multiphase.py)
     init_rho_map: np.ndarray | None = None  # spatially varying initial rho (u = 0)
+    # general (rho(x), u(x)) initial condition -> equilibrium init
+    # (Taylor-Green / shear-layer); overrides init_rho/init_u/init_rho_map
+    init_fields: tuple | None = None  # (rho (*spatial), u (D, *spatial))
     thermal: ThermalConfig | None = None  # double-population thermal coupling
 
     @property
@@ -135,6 +140,21 @@ class Problem:
         equilibrium at the conductive profile plus a deterministic
         seed-mode perturbation underneath (see ThermalConfig)."""
         Q = self.lattice.Q
+        if self.init_fields is not None:
+            # general (rho(x), u(x)) equilibrium initialization — pure
+            # NumPy (host-side; a jnp version would cost a fresh device
+            # compile through the remote-TPU relay just to build f0)
+            rho0, u0 = self.init_fields
+            rho0 = np.asarray(rho0, np.float64)
+            u0 = np.asarray(u0, np.float64)
+            c = self.lattice.c.astype(np.float64)          # (Q, D)
+            w = self.lattice.w.astype(np.float64)
+            cu = np.tensordot(c, u0, axes=(1, 0))          # (Q, *spatial)
+            u2 = np.sum(u0 * u0, axis=0)
+            wq = w.reshape((Q,) + (1,) * u2.ndim)
+            f = wq * rho0[None] * (1.0 + 3.0 * cu + 4.5 * cu * cu
+                                   - 1.5 * u2[None])
+            return f.astype(self.dtype)
         if self.init_rho_map is not None:
             # spatially varying rho at u = 0: feq_i = w_i rho (multiphase
             # droplet / band initialization)

@@ -142,10 +142,11 @@ def make_step_rolled(problem: Problem) -> Callable[[jnp.ndarray], jnp.ndarray]:
                 elif cix < 0:
                     x_out = coords["xx"] == p.nx - 1
             y_out = None
-            if ciy > 0:
-                y_out = coords["yy"] == 0
-            elif ciy < 0:
-                y_out = coords["yy"] == p.ny - 1
+            if not problem.periodic_y:
+                if ciy > 0:
+                    y_out = coords["yy"] == 0
+                elif ciy < 0:
+                    y_out = coords["yy"] == p.ny - 1
             if lat.D == 3:
                 if ciz > 0:
                     y_out = (coords["zz"] == 0) if y_out is None \
@@ -197,6 +198,10 @@ def make_local_step_padded(problem: Problem,
         neighbor data already in fpad."""
         if ndim != 2:
             return f_post  # 3-D models overwrite all x-edge pops via BCs
+        if problem.periodic_y:
+            # fully periodic box: the ring holds real wrapped neighbor
+            # data (halo.refresh_ring periodic_y) — nothing to overwrite
+            return f_post
         nyl, nxl = shape
         Q = lat.Q
         dt = f_post.dtype

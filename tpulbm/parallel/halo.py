@@ -41,11 +41,13 @@ def _perm_bwd(n: int, periodic: bool):
 
 def refresh_ring_2d(fpad: jnp.ndarray, *, eq_ring: np.ndarray,
                     mesh_shape: tuple[int, int], periodic_x: bool,
+                    periodic_y: bool = False,
                     axis_names: tuple[str, str] = ("y", "x")) -> jnp.ndarray:
     """Refresh the 1-wide ring of a local padded block (Q, nyl+2, nxl+2).
 
     Must run inside shard_map over a mesh with the given axis names.
-    eq_ring is the (Q,) frozen ghost equilibrium used at physical edges.
+    eq_ring is the (Q,) frozen ghost equilibrium used at physical edges;
+    periodic_y wraps the y ring instead (fully periodic boxes).
     """
     my, mx = mesh_shape
     ay, ax = axis_names
@@ -77,13 +79,19 @@ def refresh_ring_2d(fpad: jnp.ndarray, *, eq_ring: np.ndarray,
     bottom_edge = fpad[:, 1, :]
     top_edge = fpad[:, -2, :]
     if my == 1:
-        south = north = eq_row
+        if periodic_y:
+            south, north = top_edge, bottom_edge
+        else:
+            south = north = eq_row
     else:
-        from_south = lax.ppermute(top_edge, ay, _perm_fwd(my, False))
-        from_north = lax.ppermute(bottom_edge, ay, _perm_bwd(my, False))
-        iy = lax.axis_index(ay)
-        south = jnp.where(iy > 0, from_south, eq_row)
-        north = jnp.where(iy < my - 1, from_north, eq_row)
+        from_south = lax.ppermute(top_edge, ay, _perm_fwd(my, periodic_y))
+        from_north = lax.ppermute(bottom_edge, ay, _perm_bwd(my, periodic_y))
+        if periodic_y:
+            south, north = from_south, from_north
+        else:
+            iy = lax.axis_index(ay)
+            south = jnp.where(iy > 0, from_south, eq_row)
+            north = jnp.where(iy < my - 1, from_north, eq_row)
     fpad = fpad.at[:, 0, :].set(south)
     fpad = fpad.at[:, -1, :].set(north)
     return fpad
@@ -91,6 +99,7 @@ def refresh_ring_2d(fpad: jnp.ndarray, *, eq_ring: np.ndarray,
 
 def refresh_ring_3d(fpad: jnp.ndarray, *, eq_ring: np.ndarray,
                     mesh_shape: tuple[int, int], periodic_x: bool,
+                    periodic_y: bool = False,
                     axis_names: tuple[str, str] = ("y", "x")) -> jnp.ndarray:
     """3-D variant: (Q, nz+2, nyl+2, nxl+2); mesh shards (y, x); z is
     unsharded, its ring always holds the frozen ghost equilibrium."""
@@ -124,13 +133,19 @@ def refresh_ring_3d(fpad: jnp.ndarray, *, eq_ring: np.ndarray,
     top_edge = fpad[:, 1:-1, -2, :]
     eq_row = jnp.broadcast_to(eq[:, None, None], bottom_edge.shape)
     if my == 1:
-        south = north = eq_row
+        if periodic_y:
+            south, north = top_edge, bottom_edge
+        else:
+            south = north = eq_row
     else:
-        from_south = lax.ppermute(top_edge, ay, _perm_fwd(my, False))
-        from_north = lax.ppermute(bottom_edge, ay, _perm_bwd(my, False))
-        iy = lax.axis_index(ay)
-        south = jnp.where(iy > 0, from_south, eq_row)
-        north = jnp.where(iy < my - 1, from_north, eq_row)
+        from_south = lax.ppermute(top_edge, ay, _perm_fwd(my, periodic_y))
+        from_north = lax.ppermute(bottom_edge, ay, _perm_bwd(my, periodic_y))
+        if periodic_y:
+            south, north = from_south, from_north
+        else:
+            iy = lax.axis_index(ay)
+            south = jnp.where(iy > 0, from_south, eq_row)
+            north = jnp.where(iy < my - 1, from_north, eq_row)
     fpad = fpad.at[:, 1:-1, 0, :].set(south)
     fpad = fpad.at[:, 1:-1, -1, :].set(north)
 
@@ -154,11 +169,13 @@ def _eq_block(eq_ring, dtype, shape):
 
 def ring_rows(f: jnp.ndarray, *, eq_ring: np.ndarray,
               mesh_shape: tuple[int, int], depth: int = 1,
+              periodic_y: bool = False,
               axis_names: tuple[str, str] = ("y", "x")
               ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """y-halo rows for the unpadded-state (pallas) path: (rb, rt), each
     (Q, ..., depth, nx) — the neighbor shard's edge rows (at every z plane
-    in 3-D); frozen ghost equilibrium at physical y edges. Rank-generic
+    in 3-D); frozen ghost equilibrium at physical y edges (wrapped
+    neighbor data instead when periodic_y). Rank-generic
     over (Q, nyl, nxl) and (Q, nz, nyl, nxl): rows/columns are always the
     last two axes. depth=2 feeds the fused two-step 2-D kernel; the 3-D
     kernels use the sublane-aligned halo height (8). mesh_x must be 1
@@ -169,13 +186,19 @@ def ring_rows(f: jnp.ndarray, *, eq_ring: np.ndarray,
         raise ValueError("ring_rows requires mesh_x == 1")
     ay = axis_names[0]
     nyl = f.shape[-2]
-    eq_rows = _eq_block(eq_ring, f.dtype, f.shape[:-2] + (depth, f.shape[-1]))
-    if my == 1:
-        return eq_rows, eq_rows
     top_edge = f[..., nyl - depth:nyl, :]
     bottom_edge = f[..., 0:depth, :]
-    from_below = lax.ppermute(top_edge, ay, _perm_fwd(my, False))
-    from_above = lax.ppermute(bottom_edge, ay, _perm_bwd(my, False))
+    if my == 1:
+        if periodic_y:
+            return top_edge, bottom_edge
+        eq_rows = _eq_block(eq_ring, f.dtype,
+                            f.shape[:-2] + (depth, f.shape[-1]))
+        return eq_rows, eq_rows
+    from_below = lax.ppermute(top_edge, ay, _perm_fwd(my, periodic_y))
+    from_above = lax.ppermute(bottom_edge, ay, _perm_bwd(my, periodic_y))
+    if periodic_y:
+        return from_below, from_above
+    eq_rows = _eq_block(eq_ring, f.dtype, f.shape[:-2] + (depth, f.shape[-1]))
     iy = lax.axis_index(ay)
     rb = jnp.where(iy > 0, from_below, eq_rows)
     rt = jnp.where(iy < my - 1, from_above, eq_rows)

@@ -249,6 +249,10 @@ def make_chunk_fn(problem: Problem, mesh: Mesh, chunk_len: int,
                 raise ValueError(
                     f"x-sharded lane padding needs local nx >= pad + 4, "
                     f"got nx={local_shape[-1]} pad={pad2}")
+            if problem.periodic_y and x_sharded:
+                raise ValueError(
+                    "periodic_y pallas needs an x-unsharded mesh (the "
+                    "x-tiled kernel's extended rings assume y walls)")
 
         try:
             _pallas_possible()
@@ -314,6 +318,11 @@ def make_chunk_fn(problem: Problem, mesh: Mesh, chunk_len: int,
                     pallas_step2 = stepper
                     pallas_substeps = n_sub
                     break
+                if problem.periodic_y:
+                    # the x-tiled kernel's extended halo rows assume y
+                    # walls; periodic boxes stay on the full-width kernels
+                    # (1-step below if no blocked depth fits)
+                    continue
                 stepper = make_local_step_tiled(problem, pal_shape, n_sub,
                                                 pad_x=pad2)
                 if stepper is not None:
@@ -323,8 +332,9 @@ def make_chunk_fn(problem: Problem, mesh: Mesh, chunk_len: int,
         if (pallas_step2 is None and pallas_tiled is None
                 and pallas_step is None and pallas_ranged is None):
             # x-sharded mesh with no fitting tiled depth: try depth 1
-            pallas_tiled = make_local_step_tiled(problem, pal_shape, 1,
-                                                 pad_x=pad2)
+            pallas_tiled = (None if problem.periodic_y else
+                            make_local_step_tiled(problem, pal_shape, 1,
+                                                  pad_x=pad2))
             pallas_substeps = 1
             if pallas_tiled is None:
                 import warnings
@@ -339,7 +349,8 @@ def make_chunk_fn(problem: Problem, mesh: Mesh, chunk_len: int,
         local_step = make_local_step_padded(problem, local_shape)
 
     ring_kw = dict(eq_ring=eq_ring, mesh_shape=mesh_shape,
-                   periodic_x=problem.periodic_x)
+                   periodic_x=problem.periodic_x,
+                   periodic_y=problem.periodic_y)
 
     def body_jax(f_local, solid_local, bz_local=None):
         iy = lax.axis_index("y")
@@ -469,8 +480,13 @@ def make_chunk_fn(problem: Problem, mesh: Mesh, chunk_len: int,
         iy = lax.axis_index("y")
         nyl, nxl = local_shape[-2], local_shape[-1]
         y0 = iy * nyl
+        # periodic_y: no shard owns a physical y edge — the kernels' y-edge
+        # ghost sanitize and wall strips are flag-driven and must stay off
+        # (the rings carry real wrapped data, halo.ring_rows periodic_y)
+        phys_y = not problem.periodic_y
         flags = jnp.stack([
-            (y0 == 0), (y0 + nyl == problem.params.ny),
+            (y0 == 0) & phys_y,
+            (y0 + nyl == problem.params.ny) & phys_y,
             jnp.array(True), jnp.array(True)]).astype(jnp.int32)
         if pad2:
             # lane-pad once per CHUNK: the scan carries the padded state
@@ -515,7 +531,8 @@ def make_chunk_fn(problem: Problem, mesh: Mesh, chunk_len: int,
 
             def n_steps(f, _):
                 rb, rt = halo.ring_rows(f, eq_ring=eq_ring,
-                                        mesh_shape=mesh_shape, depth=depth)
+                                        mesh_shape=mesh_shape, depth=depth,
+                                        periodic_y=problem.periodic_y)
                 return pallas_step2(f, rb, rt, flags, mask, mrb, mrt,
                                     sflags), None
 
@@ -528,7 +545,8 @@ def make_chunk_fn(problem: Problem, mesh: Mesh, chunk_len: int,
         sflags = sflags_for(pallas_step)
 
         def one_step(f, _):
-            rb, rt = halo.ring_rows(f, eq_ring=eq_ring, mesh_shape=mesh_shape)
+            rb, rt = halo.ring_rows(f, eq_ring=eq_ring, mesh_shape=mesh_shape,
+                                    periodic_y=problem.periodic_y)
             return pallas_step(f, rb, rt, flags, mask, mrb, mrt, sflags), None
 
         f_local, _ = lax.scan(one_step, f_local, None, length=chunk_len)
@@ -544,8 +562,10 @@ def make_chunk_fn(problem: Problem, mesh: Mesh, chunk_len: int,
         iy = lax.axis_index("y")
         nyl, nxl = local_shape[-2], local_shape[-1]
         y0 = iy * nyl
+        phys_y = not problem.periodic_y
         flags = jnp.stack([
-            (y0 == 0), (y0 + nyl == problem.params.ny),
+            (y0 == 0) & phys_y,
+            (y0 + nyl == problem.params.ny) & phys_y,
             jnp.array(True), jnp.array(True)]).astype(jnp.int32)
         if pad2:
             Qn = problem.lattice.Q
@@ -586,7 +606,8 @@ def make_chunk_fn(problem: Problem, mesh: Mesh, chunk_len: int,
         def one_step(carry, _):
             f, scratch = carry
             rb, rt = halo.ring_rows(f, eq_ring=eq_ring,
-                                    mesh_shape=mesh_shape)
+                                    mesh_shape=mesh_shape,
+                                    periodic_y=problem.periodic_y)
             # interior first: no ring dependency → overlaps the ppermute
             o = pallas_ranged(f, f[:, Ty - 1:Ty, :],
                               f[:, nyl - Ty:nyl - Ty + 1, :], flags, b_int,
