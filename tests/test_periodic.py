@@ -94,16 +94,23 @@ def test_periodic_sharded_matches_oracle(mesh_shape):
                                rtol=1e-13, atol=1e-15)
 
 
-@pytest.mark.parametrize("mesh_shape,ty", [((1, 1), None), ((4, 1), None),
-                                           ((1, 1), "8")],
-                         ids=["single", "y-sharded", "blocked"])
-def test_periodic_pallas_matches_oracle(mesh_shape, ty, monkeypatch):
+@pytest.mark.parametrize("mesh_shape,ty,tiled",
+                         [((1, 1), None, False), ((4, 1), None, False),
+                          ((1, 1), "8", False), ((1, 2), None, False),
+                          ((2, 2), None, False), ((1, 1), None, True)],
+                         ids=["single", "y-sharded", "blocked",
+                              "x-sharded", "2d-mesh", "forced-tiled"])
+def test_periodic_pallas_matches_oracle(mesh_shape, ty, tiled, monkeypatch):
     # full-width kernels with wrapped rings; ty="8" forces small slabs so
     # the N-step BLOCKED kernel engages in interpret mode (on TPU it
     # engages naturally) — the temporal-blocking halo recompute must be
-    # wrap-correct too
+    # wrap-correct too. x-sharded / forced-tiled cases route to the
+    # x-tiled kernel, whose extended rings wrap diagonally (two-phase
+    # composition: x columns first, then wrapped rows carry the corners).
     if ty is not None:
         monkeypatch.setenv("TPULBM_PALLAS_TY", ty)
+    if tiled:
+        monkeypatch.setenv("TPULBM_FORCE_TILED", "1")
     pr = make_problem(_params(precision="f32"))
     step = jax.jit(make_step_rolled(pr))
     s_ref = pr.initial_state()
@@ -123,15 +130,26 @@ def test_periodic_pallas_matches_oracle(mesh_shape, ty, monkeypatch):
     assert d < 1e-5, d
 
 
-def test_periodic_pallas_x_sharded_demotes():
-    pr = make_problem(_params(precision="f32"))
+def test_periodic_pallas_padded_x_sharded():
+    # unaligned width on an x-sharded periodic box: shadow-column lane
+    # padding + wrapped y rings compose
+    pr = make_problem(_params(nx=100, precision="f32"))
+    step = jax.jit(make_step_rolled(pr))
+    s_ref = pr.initial_state()
+    for _ in range(8):
+        s_ref = step(s_ref)
+    s_ref = np.asarray(jax.device_get(s_ref))
     mesh = make_mesh((1, 2), devices=jax.devices()[:2])
-    with pytest.warns(UserWarning, match="x-unsharded"):
+    import warnings as _w
+    with _w.catch_warnings():
+        _w.simplefilter("error")
         chunk = make_chunk_fn(pr, mesh, 4, backend="pallas")
     s, solid = shard_state(mesh, pr.initial_state(),
                            np.zeros(pr.spatial_shape, bool))
-    s = chunk(s, solid)
-    assert np.isfinite(np.asarray(jax.device_get(s))).all()
+    for _ in range(2):
+        s = chunk(s, solid)
+    d = np.max(np.abs(np.asarray(jax.device_get(s)) - s_ref))
+    assert d < 1e-5, d
 
 
 def test_shear_layer_preset_runs(tmp_path):

@@ -305,7 +305,7 @@ def ring_cols_padded(f: jnp.ndarray, *, eq_ring: np.ndarray,
 
 def ring_rows_ext(f: jnp.ndarray, rl: jnp.ndarray, rr: jnp.ndarray, *,
                   eq_ring: np.ndarray, mesh_shape: tuple[int, int],
-                  depth: int,
+                  depth: int, periodic_y: bool = False,
                   axis_names: tuple[str, str] = ("y", "x")
                   ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """y-halo rows extended across the x-halo regions: (rb, rt), each
@@ -315,23 +315,30 @@ def ring_rows_ext(f: jnp.ndarray, rl: jnp.ndarray, rr: jnp.ndarray, *,
     from block+columns) fills the corner regions with diagonal-neighbor data
     — the fix for the reference's never-exchanged corner ghosts (SURVEY §5
     deviation #1). Physical y edges hold the frozen ghost equilibrium across
-    the full extended width."""
+    the full extended width; periodic_y wraps instead (the x-first
+    composition then carries diagonally-WRAPPED corner data for free)."""
     my = mesh_shape[0]
     ay = axis_names[0]
     nyl = f.shape[-2]
     H = rl.shape[-1]
-    eq_rows = _eq_block(eq_ring, f.dtype,
-                        f.shape[:-2] + (depth, f.shape[-1] + 2 * H))
-    if my == 1:
-        return eq_rows, eq_rows
     ext_bottom = jnp.concatenate(
         [rl[..., 0:depth, :], f[..., 0:depth, :], rr[..., 0:depth, :]],
         axis=-1)
     ext_top = jnp.concatenate(
         [rl[..., nyl - depth:, :], f[..., nyl - depth:, :],
          rr[..., nyl - depth:, :]], axis=-1)
-    from_below = lax.ppermute(ext_top, ay, _perm_fwd(my, False))
-    from_above = lax.ppermute(ext_bottom, ay, _perm_bwd(my, False))
+    if my == 1:
+        if periodic_y:
+            return ext_top, ext_bottom
+        eq_rows = _eq_block(eq_ring, f.dtype,
+                            f.shape[:-2] + (depth, f.shape[-1] + 2 * H))
+        return eq_rows, eq_rows
+    from_below = lax.ppermute(ext_top, ay, _perm_fwd(my, periodic_y))
+    from_above = lax.ppermute(ext_bottom, ay, _perm_bwd(my, periodic_y))
+    if periodic_y:
+        return from_below, from_above
+    eq_rows = _eq_block(eq_ring, f.dtype,
+                        f.shape[:-2] + (depth, f.shape[-1] + 2 * H))
     iy = lax.axis_index(ay)
     rb = jnp.where(iy > 0, from_below, eq_rows)
     rt = jnp.where(iy < my - 1, from_above, eq_rows)

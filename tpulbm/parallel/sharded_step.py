@@ -249,10 +249,6 @@ def make_chunk_fn(problem: Problem, mesh: Mesh, chunk_len: int,
                 raise ValueError(
                     f"x-sharded lane padding needs local nx >= pad + 4, "
                     f"got nx={local_shape[-1]} pad={pad2}")
-            if problem.periodic_y and x_sharded:
-                raise ValueError(
-                    "periodic_y pallas needs an x-unsharded mesh (the "
-                    "x-tiled kernel's extended rings assume y walls)")
 
         try:
             _pallas_possible()
@@ -318,11 +314,6 @@ def make_chunk_fn(problem: Problem, mesh: Mesh, chunk_len: int,
                     pallas_step2 = stepper
                     pallas_substeps = n_sub
                     break
-                if problem.periodic_y:
-                    # the x-tiled kernel's extended halo rows assume y
-                    # walls; periodic boxes stay on the full-width kernels
-                    # (1-step below if no blocked depth fits)
-                    continue
                 stepper = make_local_step_tiled(problem, pal_shape, n_sub,
                                                 pad_x=pad2)
                 if stepper is not None:
@@ -332,9 +323,8 @@ def make_chunk_fn(problem: Problem, mesh: Mesh, chunk_len: int,
         if (pallas_step2 is None and pallas_tiled is None
                 and pallas_step is None and pallas_ranged is None):
             # x-sharded mesh with no fitting tiled depth: try depth 1
-            pallas_tiled = (None if problem.periodic_y else
-                            make_local_step_tiled(problem, pal_shape, 1,
-                                                  pad_x=pad2))
+            pallas_tiled = make_local_step_tiled(problem, pal_shape, 1,
+                                                 pad_x=pad2)
             pallas_substeps = 1
             if pallas_tiled is None:
                 import warnings
@@ -631,8 +621,10 @@ def make_chunk_fn(problem: Problem, mesh: Mesh, chunk_len: int,
         nyl, nxl = local_shape[-2], local_shape[-1]
         y0 = iy * nyl
         x0 = ix * nxl
+        phys_y = not problem.periodic_y   # periodic: every y edge interior
         flags = jnp.stack([
-            (y0 == 0), (y0 + nyl == problem.params.ny),
+            (y0 == 0) & phys_y,
+            (y0 + nyl == problem.params.ny) & phys_y,
             (x0 == 0), (x0 + nxl == problem.params.nx)]).astype(jnp.int32)
         N = pallas_tiled.depth
         H = pallas_tiled.halo_width
@@ -681,7 +673,8 @@ def make_chunk_fn(problem: Problem, mesh: Mesh, chunk_len: int,
                                           mesh_shape=mesh_shape, depth=N, H=H,
                                           periodic_x=problem.periodic_x)
             mrb3, mrt3 = halo.ring_rows_ext(mask[None], ml3, mr3, eq_ring=zr,
-                                            mesh_shape=mesh_shape, depth=N)
+                                            mesh_shape=mesh_shape, depth=N,
+                                            periodic_y=problem.periodic_y)
             ml, mr, mrb, mrt = ml3[0], mr3[0], mrb3[0], mrt3[0]
 
         def n_steps(f, _):
@@ -697,7 +690,8 @@ def make_chunk_fn(problem: Problem, mesh: Mesh, chunk_len: int,
                                         mesh_shape=mesh_shape, depth=N, H=H,
                                         periodic_x=problem.periodic_x)
             rb, rt = halo.ring_rows_ext(f, rl, rr, eq_ring=eq_ring,
-                                        mesh_shape=mesh_shape, depth=N)
+                                        mesh_shape=mesh_shape, depth=N,
+                                        periodic_y=problem.periodic_y)
             return pallas_tiled(f, rb, rt, rl, rr, flags, mask, mrb, mrt,
                                 ml, mr, sflags), None
 
