@@ -11,6 +11,7 @@ oracle; pallas requests demote with a warning.
 import warnings
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -210,6 +211,89 @@ def test_super_chunk_and_runner_smoke(tmp_path):
     res = Runner(rp, verbose=False).run(resume=False)
     assert res.success
     assert (tmp_path / "forces.csv").exists()
+
+
+def _couette(qb, qt, U=0.05, ny=20, nx=8, tau=0.8, steps=8000):
+    """Moving-wall channel: bottom wall at rest at y = 2-qb, top wall
+    translating with (U, 0) at y = ny-3+qt — both at FRACTIONAL lattice
+    positions. The linear Couette profile is exactly representable, so
+    the moving-wall Bouzidi closure must reproduce it to solver
+    convergence tolerance."""
+    from jax import lax
+    params = SimulationParams(nx=nx, ny=ny, tau=tau, problem="poiseuille",
+                              periodic_x=True, inlet_velocity=0.0,
+                              precision="f64", obstacle_bc="bouzidi")
+    solid = np.zeros((ny, nx), bool)
+    solid[:2] = True
+    solid[-2:] = True
+    y0, y1 = 2.0 - qb, (ny - 3.0) + qt
+
+    def sdf(p):
+        return np.minimum(p[..., 1] - y0, y1 - p[..., 1])
+
+    def uw(p):
+        mov = p[..., 1] > 0.5 * ny
+        return np.stack([np.where(mov, U, 0.0),
+                         np.zeros_like(p[..., 0])], axis=-1)
+
+    pr = Problem(params=params, lattice=D2Q9, solid=solid,
+                 obstacle_sdf=sdf, obstacle_velocity=uw, init_u=(0.0, 0.0),
+                 walls_y=False, periodic_x=True, obstacle_bc="bouzidi")
+    step = jax.jit(make_step_rolled(pr))
+    f = pr.initial_state()
+    f = lax.fori_loop(0, steps, lambda i, x: step(x), f)
+    rho, u = physics.moments(D2Q9, np.asarray(f))
+    ux = np.asarray(u[0])[:, 0]
+    yy = np.arange(ny, dtype=np.float64)
+    fl = slice(2, ny - 2)
+    ana = U * (yy - y0) / (y1 - y0)
+    err = np.max(np.abs(ux[fl] - ana[fl])) / U
+    co = np.polyfit(yy[fl], ux[fl], 1)
+    return err, -co[1] / co[0], (U - co[1]) / co[0], (y0, y1)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("qb,qt", [(0.25, 0.75), (0.9, 0.1)])
+def test_moving_wall_couette_exact(qb, qt):
+    # measured: profile exact to ~2e-8, wall positions to 4 decimals
+    err, yz, yU, (y0, y1) = _couette(qb, qt)
+    assert err < 1e-6, err
+    assert abs(yz - y0) < 1e-3, (yz, y0)
+    assert abs(yU - y1) < 1e-3, (yU, y1)
+
+
+@pytest.mark.slow
+def test_rotating_cylinder_magnus_lift():
+    # spinning cylinder in a stream: the lift must be nonzero and flip
+    # sign with the spin direction (Magnus effect) while the drag stays
+    # symmetric; obstacle_velocity rides --cylinder-omega
+    from jax import lax
+    from tpulbm.ops import forces as F
+
+    def run(omega):
+        params = SimulationParams(nx=200, ny=50, tau=0.62,
+                                  inlet_velocity=0.05,
+                                  cylinder_radius=0.08, cylinder_x=0.25,
+                                  cylinder_omega=omega, precision="f32",
+                                  obstacle_bc="bouzidi")
+        pr = make_problem(params)
+        step = jax.jit(make_step_rolled(pr))
+        ffn = jax.jit(F.forces_fn(pr))
+        from tpulbm.ops.bouzidi import link_tables
+        q = jnp.asarray(link_tables(pr))
+        f = jnp.asarray(pr.initial_state())
+        f = lax.fori_loop(0, 4000, lambda i, x: step(x), f)
+        force = np.asarray(ffn(f, q))
+        assert np.isfinite(np.asarray(f)).all()
+        return F.force_coefficients(pr, force)
+
+    om = 0.05 / 4.0                     # surface speed = inlet speed
+    cd_p, cl_p = run(+om)
+    cd_m, cl_m = run(-om)
+    assert abs(cl_p) > 0.1, cl_p        # real Magnus lift
+    assert cl_p * cl_m < 0              # flips with spin direction
+    assert abs(cl_p + cl_m) < 0.2 * abs(cl_p - cl_m)   # antisymmetric
+    assert abs(cd_p - cd_m) < 0.1 * (cd_p + cd_m)      # drag symmetric
 
 
 def test_sphere_3d_links_and_smoke():

@@ -41,6 +41,9 @@ class SimulationParams:
     cylinder_x: float = 0.2
     cylinder_y: float = 0.5
     cylinder_radius: float = 0.05
+    # spin rate of the cylinder surface (rad/timestep, +ccw); needs
+    # obstacle_bc="bouzidi" (the only mode with moving-wall machinery)
+    cylinder_omega: float = 0.0
 
     # VTK output (LBMConfig.h:51)
     vtk_start_step: int = 0
@@ -272,7 +275,7 @@ def add_cli_args(parser: argparse.ArgumentParser) -> None:
                         help="path to a JSON file with SimulationParams fields")
     # individual overrides
     for field in ("tau", "inlet_velocity", "cylinder_x", "cylinder_y",
-                  "cylinder_radius", "smagorinsky", "power_law_n",
+                  "cylinder_radius", "cylinder_omega", "smagorinsky", "power_law_n",
                   "power_law_k", "shan_chen_g", "mp_rho_liquid",
                   "mp_rho_vapor", "mp_wall_rho", "thermal_tau", "t_hot",
                   "t_cold", "rayleigh", "buoyancy"):
@@ -328,7 +331,7 @@ def params_from_args(args: argparse.Namespace) -> SimulationParams:
 
     overrides: dict[str, Any] = {}
     for field in ("tau", "inlet_velocity", "cylinder_x", "cylinder_y",
-                  "cylinder_radius", "smagorinsky", "power_law_n",
+                  "cylinder_radius", "cylinder_omega", "smagorinsky", "power_law_n",
                   "power_law_k", "shan_chen_g", "mp_rho_liquid",
                   "mp_rho_vapor", "mp_wall_rho", "thermal_tau", "t_hot",
                   "t_cold", "rayleigh", "buoyancy", "nx", "ny", "nz",
@@ -378,6 +381,15 @@ def validate_params(params: SimulationParams) -> None:
         raise ValueError(
             f"--zou-he-corners clean is only implemented for the 2-D "
             f"cylinder problem, not {params.problem!r}")
+    if params.cylinder_omega:
+        if params.obstacle_bc != "bouzidi":
+            raise ValueError(
+                "--cylinder-omega needs --obstacle-bc bouzidi (the voxel "
+                "modes have no moving-wall machinery)")
+        if params.problem != "cylinder":
+            raise ValueError(
+                f"--cylinder-omega only applies to the 2-D cylinder "
+                f"problem, not {params.problem!r}")
     if params.mrt_rates and params.collision != "mrt":
         raise ValueError(
             "--mrt-rates only applies to collision='mrt', not "

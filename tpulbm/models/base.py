@@ -84,6 +84,9 @@ class Problem:
     # pts (..., D) in (x, y[, z]) coords -> (...,); required by the
     # "bouzidi" curved-wall mode (ops/bouzidi.py), ignored otherwise
     obstacle_sdf: object = None
+    # wall velocity field for MOVING obstacles (rotating cylinder):
+    # pts (..., D) -> u (..., D); bouzidi mode only (ops/bouzidi.py)
+    obstacle_velocity: object = None
     collision: str = "bgk"            # "bgk" | "trt" | "mrt" (physics.collide_*)
     clean_corners: bool = False       # Zou-He corner closure (2-D; opt-in)
     trt_magic: float = 3.0 / 16.0

@@ -28,12 +28,29 @@ def _cylinder_sdf(params: SimulationParams):
     return sdf
 
 
+def _cylinder_spin(params: SimulationParams):
+    """Rigid-rotation wall velocity u_w = ω × (x − c) for a spinning
+    cylinder (cylinder_omega, rad/step; bouzidi mode only — the voxel
+    modes have no moving-wall machinery)."""
+    import numpy as np
+    cx, cy = params.get_cylinder_x(), params.get_cylinder_y()
+    om = float(params.cylinder_omega)
+
+    def uw(pts):
+        return np.stack([-om * (pts[..., 1] - cy),
+                         om * (pts[..., 0] - cx)], axis=-1)
+
+    return uw
+
+
 def make_problem(params: SimulationParams) -> Problem:
     return Problem(
         params=params,
         lattice=D2Q9,
         solid=cylinder_mask(params),
         obstacle_sdf=_cylinder_sdf(params),
+        obstacle_velocity=(_cylinder_spin(params)
+                           if params.cylinder_omega else None),
         init_rho=1.0,
         init_u=(params.inlet_velocity, 0.0),
         inlet_zou_he=True,

@@ -27,6 +27,20 @@ distance function (Problem.obstacle_sdf) by vectorized bisection along
 each cut link; q = 1/2 (exact half-way bounce-back) is substituted where
 the q<1/2 branch would need an upstream fluid node that does not exist
 (thin gaps / domain edges — the standard fallback).
+
+MOVING walls (Problem.obstacle_velocity — rotating cylinders, stirred
+boxes): the standard momentum term rides each cut link, evaluated at the
+actual intersection point x_f + q·c_i:
+
+    q < 1/2:  += 6 w_j (c_j · u_w)
+    q ≥ 1/2:  += (3/q) w_j (c_j · u_w)
+
+(both reduce to the half-way moving-wall term 6 w_j c_j·u_w at q = 1/2).
+The per-link scalar w_j (c_j · u_w) is precomputed into a second table
+stacked under q — link_tables returns (2Q, *spatial) then — so the
+runtime closure stays a pointwise select; the (3/q) factor is applied
+in-step where q is at hand. Verified against the exact fractional-wall
+Couette solution (tests/test_bouzidi.py).
 """
 from __future__ import annotations
 
@@ -121,13 +135,46 @@ def link_q(problem: Problem) -> np.ndarray:
     return q
 
 
+def link_tables(problem: Problem) -> np.ndarray:
+    """The full per-link table the chunk steppers thread: the q table,
+    with a second (Q, *spatial) block of moving-wall momentum scalars
+    w_j·(c_j · u_w(x_wall)) stacked under it when the problem's obstacle
+    moves (Problem.obstacle_velocity: pts (..., D) -> u (..., D) at the
+    wall intersection points). Stationary obstacles get just q — the
+    shapes tell apply_bouzidi which convention it received."""
+    q = link_q(problem)
+    uw_fn = getattr(problem, "obstacle_velocity", None)
+    if uw_fn is None:
+        return q
+    lat = problem.lattice
+    shape = problem.solid.shape
+    ndim = len(shape)
+    tw = np.zeros_like(q)
+    grids = np.meshgrid(*[np.arange(n, dtype=np.float64) for n in shape],
+                        indexing="ij")
+    for j in range(lat.Q):
+        cells = np.nonzero(q[j] >= 0)
+        if len(cells[0]) == 0:
+            continue
+        p0 = np.stack([grids[ndim - 1][cells], grids[ndim - 2][cells]]
+                      + ([grids[0][cells]] if ndim == 3 else []), axis=-1)
+        ci = -lat.c[j].astype(np.float64)          # into the wall
+        xw = p0 + q[j][cells][:, None] * ci[None, :]
+        uw = np.asarray(uw_fn(xw), np.float64)     # (n, D)
+        cj = lat.c[j].astype(np.float64)
+        tw[j][cells] = (float(lat.w[j]) * (uw @ cj)).astype(np.float32)
+    return np.concatenate([q, tw], axis=0)
+
+
 def apply_bouzidi(lat: Lattice, planes: list, f_post: list,
                   q: jnp.ndarray) -> None:
     """Overwrite every cut-link population in `planes` (post-stream) from
-    the q table (see module docstring). `f_post` is the pre-stream
+    the link table (see module docstring). `f_post` is the pre-stream
     post-collision plane list at the same cells; both lists are full
-    (local) arrays — the update is a pointwise select."""
+    (local) arrays — the update is a pointwise select. A (2Q, ...) table
+    carries the moving-wall momentum scalars in its second block."""
     opp = lat.opposite
+    moving = q.shape[0] == 2 * lat.Q
     snap = list(planes)
     for j in range(lat.Q):
         qj = q[j]
@@ -140,5 +187,9 @@ def apply_bouzidi(lat: Lattice, planes: list, f_post: list,
         val_lt = 2.0 * qv * f_post[i] + (1.0 - 2.0 * qv) * snap[i]
         inv2q = 1.0 / (2.0 * jnp.maximum(qv, 0.5))
         val_ge = inv2q * f_post[i] + (1.0 - inv2q) * f_post[j]
+        if moving:
+            tw = jnp.asarray(q[lat.Q + j], planes[j].dtype)
+            val_lt = val_lt + 6.0 * tw
+            val_ge = val_ge + (6.0 * inv2q) * tw   # = (3/q) w_j c_j·u_w
         planes[j] = jnp.where(lt, val_lt,
                               jnp.where(ge, val_ge, planes[j]))

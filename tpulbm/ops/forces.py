@@ -94,22 +94,27 @@ def bouzidi_momentum_exchange_fn(problem: Problem):
 
     def fn(f_post, q):
         dt = f_post.dtype
+        moving = q.shape[0] == 2 * lat.Q
         comps = [jnp.zeros((), dt) for _ in range(lat.D)]
         for j in range(1, lat.Q):
             i = int(opp[j])
             qj = q[j].astype(dt)
             has = qj >= 0.0
             ltm = qj < 0.5
-            a = jnp.where(ltm, 2.0 * qj, 1.0 / (2.0 * jnp.maximum(qj, 0.5)))
+            inv2q = 1.0 / (2.0 * jnp.maximum(qj, 0.5))
+            a = jnp.where(ltm, 2.0 * qj, inv2q)
             b = jnp.where(ltm, 1.0 - 2.0 * qj, 0.0)
-            cc = jnp.where(ltm, 0.0,
-                           1.0 - 1.0 / (2.0 * jnp.maximum(qj, 0.5)))
+            cc = jnp.where(ltm, 0.0, 1.0 - inv2q)
             fi = f_post[i]
             # upstream node x_f + c_j; where b > 0 link_q guaranteed it is
             # in-domain fluid, so any non-periodic wrap garbage is b=0-masked
             per_axis = tuple(-int(v) for v in lat.c[j])[::-1]
             fup = jnp.roll(fi, per_axis, tuple(range(ndim)))
             fj_new = a * fi + b * fup + cc * f_post[j]
+            if moving:
+                tw = q[lat.Q + j].astype(dt)
+                fj_new = fj_new + jnp.where(ltm, 6.0 * tw,
+                                            (6.0 * inv2q) * tw)
             flux = jnp.where(has, fi + fj_new, 0.0)
             s = jnp.sum(flux)
             for d in range(lat.D):

@@ -104,8 +104,8 @@ def make_step_rolled(problem: Problem) -> Callable[[jnp.ndarray], jnp.ndarray]:
     p = problem.params
     bz_q = None
     if problem.obstacle_bc == "bouzidi" and solid_np is not None:
-        from .bouzidi import link_q
-        bz_q = link_q(problem)
+        from .bouzidi import link_tables
+        bz_q = link_tables(problem)
 
     def step(f: jnp.ndarray) -> jnp.ndarray:
         solid = None if solid_np is None else jnp.asarray(solid_np)

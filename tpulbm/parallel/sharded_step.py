@@ -76,8 +76,8 @@ def make_chunk_fn(problem: Problem, mesh: Mesh, chunk_len: int,
                           "bounce-back) runs on the jax tier; falling back "
                           "to backend='jax'")
             backend = "jax"
-        from ..ops.bouzidi import link_q
-        bz_q = link_q(problem)
+        from ..ops.bouzidi import link_tables
+        bz_q = link_tables(problem)
     thermal_pallas = None
     if problem.thermal is not None:
         # double-population (thermal) problems: fused 1-step pallas kernel

@@ -74,9 +74,9 @@ class Runner:
         self._bz_q = None
         if (self.problem.obstacle_bc == "bouzidi"
                 and self.problem.solid is not None):
-            from .ops.bouzidi import link_q
+            from .ops.bouzidi import link_tables
             from .parallel.sharded_step import shard_mask
-            self._bz_q = shard_mask(self.mesh, link_q(self.problem))
+            self._bz_q = shard_mask(self.mesh, link_tables(self.problem))
         self._fields = jax.jit(diagnostics.fields_fn(self.problem))
         self._stable = jax.jit(diagnostics.stability_fn(self.problem))
         self._max_vel = jax.jit(diagnostics.max_velocity_fn(self.problem))
