@@ -27,20 +27,33 @@ def main() -> int:
                     help="steady-state start timestep")
     ap.add_argument("--prominence", type=float, default=0.5)
     ap.add_argument("--no-plot", action="store_true")
+    ap.add_argument("--signal", choices=["forces", "probe"],
+                    default="forces",
+                    help="shedding signal: the lift coefficient from "
+                         "forces.csv, or the cross-stream velocity of the "
+                         "first probe in probes.csv (--probe wake rake)")
+    ap.add_argument("--probe-index", type=int, default=0,
+                    help="which probe column to use with --signal probe")
     args = ap.parse_args()
 
-    forces_path = os.path.join(args.dir, "forces.csv")
     params_path = os.path.join(args.dir, "simulation_params.csv")
     try:
-        forces = read_forces_csv(forces_path)
+        if args.signal == "probe":
+            import csv as _csv
+            with open(os.path.join(args.dir, "probes.csv")) as fh:
+                rows = list(_csv.DictReader(fh))
+            t = np.array([float(r["timestep"]) for r in rows])
+            cl = np.array([float(r[f"p{args.probe_index}_uy"])
+                           for r in rows])
+        else:
+            forces = read_forces_csv(os.path.join(args.dir, "forces.csv"))
+            t = forces["timestep"]
+            cl = forces["lift_coeff"]
         params = read_params_csv(params_path)
     except OSError as e:
-        print(f"Error: {e}\nRun the solver first to produce forces.csv and "
-              f"simulation_params.csv.", file=sys.stderr)
+        print(f"Error: {e}\nRun the solver first to produce the CSVs.",
+              file=sys.stderr)
         return 1
-
-    t = forces["timestep"]
-    cl = forces["lift_coeff"]
     U = params["inlet_velocity"]
     D = 2.0 * params["cylinder_radius"]
     reynolds = params.get("reynolds_number")

@@ -108,6 +108,12 @@ class SimulationParams:
     output_dir: str = "."
     enable_vtk: bool = True
     vtk_format: str = "ascii"        # "ascii" (reference byte parity) | "binary" (4x smaller)
+    # Velocity/density point probes: ((x_frac, y_frac[, z_frac]), ...) as
+    # domain fractions (like cylinder_x/y). Each output interval the
+    # runner records rho and u at these cells to probes.csv — the
+    # standard way to extract shedding frequencies from a wake signal
+    # without dumping fields. () = off.
+    probe_points: tuple = ()
     # Zou-He corner treatment at the 4 wall-inlet/outlet cells:
     # "reference" composes the sequential edge updates exactly as the
     # reference does; "clean" applies the Zou & He (1997) corner-node
@@ -169,6 +175,9 @@ class SimulationParams:
             items = d["mrt_rates"].items() if isinstance(d["mrt_rates"], dict) \
                 else d["mrt_rates"]
             d["mrt_rates"] = tuple((str(k), float(v)) for k, v in items)
+        if isinstance(d.get("probe_points"), list):
+            d["probe_points"] = tuple(tuple(float(v) for v in pt)
+                                      for pt in d["probe_points"])
         return cls(**d)
 
     @classmethod
@@ -314,6 +323,10 @@ def add_cli_args(parser: argparse.ArgumentParser) -> None:
     parser.add_argument("--zou-he-corners",
                         choices=["reference", "clean"], default=None,
                         help="corner-cell treatment (clean = Zou-He 1997 corner closure)")
+    parser.add_argument("--probe", type=str, default=None,
+                        help="point probes as domain fractions, e.g. "
+                             "'0.3,0.5;0.8,0.5' — rho/u recorded per "
+                             "output interval to probes.csv")
     parser.add_argument("--vtk-format", choices=["ascii", "binary"],
                         default=None,
                         help="legacy VTK encoding: ascii is byte-compatible "
@@ -356,6 +369,10 @@ def params_from_args(args: argparse.Namespace) -> SimulationParams:
                     f"--mrt-rates entries must be name=value, got {item!r}")
             pairs.append((name.strip(), float(val)))
         overrides["mrt_rates"] = tuple(pairs)
+    if getattr(args, "probe", None):
+        overrides["probe_points"] = tuple(
+            tuple(float(v) for v in pt.split(","))
+            for pt in args.probe.split(";") if pt.strip())
     if args.no_vtk:
         overrides["enable_vtk"] = False
     params = params.replace(**overrides)

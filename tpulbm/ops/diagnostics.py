@@ -59,3 +59,44 @@ def max_velocity_fn(problem: Problem):
         return physics.max_velocity(lat, f[:lat.Q], solid)
 
     return fn
+
+
+def probe_cells(problem: Problem) -> tuple:
+    """Absolute ([z,] y, x) cell indices for params.probe_points (domain
+    fractions, (x, y[, z]) order — same convention as cylinder_x/y)."""
+    p = problem.params
+    cells = []
+    for pt in p.probe_points:
+        if len(pt) != (3 if p.is_3d else 2):
+            raise ValueError(f"probe point {pt} has wrong dimensionality")
+        x = min(int(pt[0] * p.nx), p.nx - 1)
+        y = min(int(pt[1] * p.ny), p.ny - 1)
+        idx = (min(int(pt[2] * p.nz), p.nz - 1), y, x) if p.is_3d else (y, x)
+        cells.append(idx)
+    return tuple(cells)
+
+
+def probes_fn(problem: Problem):
+    """Jittable f -> (n_probes, 1 + D) of [rho, u...] at the probe cells.
+
+    Static single-cell indexing — a slice on the sharded array, no
+    gather/collective; rides the super-chunk diagnostics round trip
+    (parallel/sharded_step.make_super_chunk_fn) so a probe trace costs no
+    extra host syncs. The standard instrument for extracting shedding
+    frequencies from a wake point signal (probes.csv; scripts/lift.py
+    accepts either signal). New capability — the reference has no probes.
+    """
+    lat = problem.lattice
+    c = jnp.asarray(lat.c.astype("float64"))
+    cells = probe_cells(problem)
+
+    def fn(f):
+        rows = []
+        for idx in cells:
+            fcol = f[(slice(None),) + idx][:lat.Q]      # (Q,)
+            rho = jnp.sum(fcol)
+            mom = jnp.asarray(c, fcol.dtype).T @ fcol   # (D,)
+            rows.append(jnp.concatenate([rho[None], mom / rho]))
+        return jnp.stack(rows)
+
+    return fn

@@ -822,6 +822,8 @@ def make_super_chunk_fn(problem: Problem, mesh: Mesh, interval_len: int,
         from ..ops.step_thermal import nusselt, temperature
         nu_fn = lambda s: nusselt(problem, s)  # noqa: E731
         temp_fn = lambda s: temperature(problem, s)  # noqa: E731
+    pr_fn = (diagnostics.probes_fn(problem)
+             if getattr(problem.params, "probe_points", ()) else None)
 
     q_dev = getattr(chunk, "bouzidi_q", None)
 
@@ -836,6 +838,8 @@ def make_super_chunk_fn(problem: Problem, mesh: Mesh, interval_len: int,
             diag = (force, maxv_fn(fc), stable_fn(fc))
             if nu_fn is not None:     # thermal: per-interval Nusselt trace
                 diag = diag + (nu_fn(fc),)
+            if pr_fn is not None:     # point probes ride the same trip
+                diag = diag + (pr_fn(fc),)
             if fields_fn is not None:
                 diag = diag + tuple(fields_fn(fc))
                 if temp_fn is not None:  # thermal VTK frames carry T

@@ -98,7 +98,12 @@ class Runner:
             nu_fn_ = lambda s: nusselt(self.problem, s)  # noqa: E731
             self._temp = jax.jit(
                 lambda s: temperature(self.problem, s))
-        self._n_diag = 4 if nu_fn_ is not None else 3
+        pr_fn_ = (diagnostics.probes_fn(self.problem)
+                  if params.probe_points else None)
+        self._nu_slot = 3 if nu_fn_ is not None else None
+        self._probe_slot = ((3 if nu_fn_ is None else 4)
+                            if pr_fn_ is not None else None)
+        self._n_diag = 3 + (nu_fn_ is not None) + (pr_fn_ is not None)
 
         def _diag(f, qv=None):
             if forces_fn_ is None:
@@ -110,6 +115,8 @@ class Runner:
             out = (force, maxv_fn_(f), stable_fn_(f))
             if nu_fn_ is not None:  # thermal: Nu rides the same round trip
                 out = out + (nu_fn_(f),)
+            if pr_fn_ is not None:
+                out = out + (pr_fn_(f),)
             return out
 
         self._diag = jax.jit(_diag)
@@ -297,6 +304,13 @@ class Runner:
             nu_writer = io_mod.NusseltWriter(
                 os.path.join(p.output_dir, "nusselt.csv"),
                 append=start_step > 0, resume_step=start_step)
+        probe_writer = None
+        if self._probe_slot is not None and self.primary:
+            probe_writer = io_mod.ProbeWriter(
+                os.path.join(p.output_dir, "probes.csv"),
+                n_probes=len(p.probe_points),
+                ndim=3 if p.is_3d else 2,
+                append=start_step > 0, resume_step=start_step)
 
         meter = ThroughputMeter(p.num_cells)
         if self.verbose:
@@ -349,7 +363,10 @@ class Runner:
                         # from every process, no collective gather needed
                         scalars = jax.device_get(diags[:self._n_diag])
                         forces_k, maxv_k, stable_k = scalars[:3]
-                        nu_k = scalars[3] if self._n_diag > 3 else None
+                        nu_k = (scalars[self._nu_slot]
+                                if self._nu_slot is not None else None)
+                        probes_k = (scalars[self._probe_slot]
+                                    if self._probe_slot is not None else None)
                         rho_k = u_k = temp_k = None
                         if vtk_window:
                             # one collective gather for all K frames
@@ -367,6 +384,9 @@ class Runner:
                                                     float(fv[1]), cd, cl)
                             if nu_writer is not None:
                                 nu_writer.record(tj, float(nu_k[j]))
+                            if probe_writer is not None:
+                                probe_writer.record(tj,
+                                                    np.asarray(probes_k[j]))
                             if tj > 0 and self.verbose:
                                 print(f"Timestep {tj}: "
                                       f"max_vel={float(maxv_k[j]):.6f}")
@@ -407,7 +427,10 @@ class Runner:
                         dv = jax.device_get(self._diag(f, self._bz_q))
                         fvec, mv, stable = dv[:3]
                         if nu_writer is not None:
-                            nu_writer.record(t, float(dv[3]))
+                            nu_writer.record(t, float(dv[self._nu_slot]))
+                        if probe_writer is not None:
+                            probe_writer.record(
+                                t, np.asarray(dv[self._probe_slot]))
                         frame = None
                         if t > 0 and p.enable_vtk and t >= p.vtk_start_step:
                             # collective on multi-host — every process joins
@@ -459,6 +482,8 @@ class Runner:
                 force_writer.close()
             if nu_writer is not None:
                 nu_writer.close()
+            if probe_writer is not None:
+                probe_writer.close()
             self._drain_io()
 
         stats = None

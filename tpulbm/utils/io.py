@@ -79,6 +79,34 @@ class ForceWriter:
         self.close()
 
 
+class ProbeWriter:
+    """Streaming probes.csv writer: per output interval, rho and u at each
+    configured probe point (params.probe_points; ops/diagnostics.probes_fn).
+    Same resume-dedup contract as ForceWriter. New capability — the
+    reference has no point probes."""
+
+    def __init__(self, path: str, n_probes: int, ndim: int,
+                 append: bool = False, resume_step: int | None = None):
+        comps = ("ux", "uy", "uz")[:ndim]
+        cols = ["timestep"]
+        for k in range(n_probes):
+            cols.append(f"p{k}_rho")
+            cols.extend(f"p{k}_{c}" for c in comps)
+        self.path = path
+        self._fh = _open_series(path, ",".join(cols) + "\n", append,
+                                resume_step)
+
+    def record(self, timestep: int, values) -> None:
+        """values: (n_probes, 1 + D) of [rho, u...]."""
+        flat = ",".join(f"{float(v):.8f}" for row in values for v in row)
+        self._fh.write(f"{timestep},{flat}\n")
+        if timestep % 10000 == 0:
+            self._fh.flush()
+
+    def close(self) -> None:
+        self._fh.close()
+
+
 class NusseltWriter:
     """Streaming nusselt.csv writer for thermal runs (new capability — no
     reference analog; the Nu(t) trace is the convection analog of
