@@ -70,8 +70,11 @@ def bench(nx=2048, ny=512, backend="pallas", chunk_len=280, chunks=8,
     elif periodic:
         # fully periodic Taylor-Green box: ZERO boundary work (no wall
         # strips, no inlet/outlet algebra, no edge sanitize, no obstacle)
-        # — the pure collide-stream kernel ceiling for the BENCH.md ladder
-        params = SimulationParams(nx=nx, ny=ny, problem="taylor-green",
+        # — the pure collide-stream kernel ceiling for the BENCH.md ladder.
+        # With --nz: the 3-D TGV through the full-plane kernel (wrapped
+        # z ring planes), the 3-D kernel ceiling.
+        params = SimulationParams(nx=nx, ny=ny, nz=nz,
+                                  problem="taylor-green",
                                   precision=precision, backend=backend,
                                   mesh_shape=mesh_shape, tau=0.8,
                                   collision=collision,
@@ -107,9 +110,9 @@ def bench(nx=2048, ny=512, backend="pallas", chunk_len=280, chunks=8,
         raise ValueError("--thermal does not support --power-law "
                          "(power-law rheology is not wired into the "
                          "thermal kernels)")
-    if periodic and (multiphase or thermal or nz):
-        raise ValueError("--periodic is its own 2-D model row; it does "
-                         "not compose with --multiphase/--thermal/--nz")
+    if periodic and (multiphase or thermal):
+        raise ValueError("--periodic is its own model row; it does not "
+                         "compose with --multiphase/--thermal")
     validate_params(params)
     problem = make_problem(params)
     n_dev = mesh_shape[0] * mesh_shape[1]

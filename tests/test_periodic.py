@@ -165,3 +165,119 @@ def test_shear_layer_preset_runs(tmp_path):
     res = Runner(p, verbose=False).run(resume=False)
     assert res.success
     assert (tmp_path / "velocity_field.csv").exists()
+
+
+# ---------------------------------------------------------------- 3-D ----
+
+def _params3d(**kw):
+    d = dict(nx=32, ny=16, nz=16, problem="taylor-green", tau=0.8,
+             inlet_velocity=0.04, periodic_x=True, cylinder_radius=0.0,
+             precision="f64")
+    d.update(kw)
+    return SimulationParams(**d)
+
+
+def _zwave_decay_err(nzv, steps, tau=0.8):
+    """Relative error of the z-shear-wave amplitude decay vs the exact
+    exp(-nu k^2 t) — the wave u_x = A sin(2 pi z / nz) has (u.grad)u = 0,
+    so it is an EXACT Navier-Stokes solution probing the z-periodic
+    machinery in isolation."""
+    import dataclasses
+    from jax import lax
+    params = _params3d(nx=8, ny=8, nz=nzv, tau=tau)
+    pr = make_problem(params)
+    A = 0.01
+    z = np.arange(nzv)[:, None, None] * (2.0 * np.pi / nzv)
+    ux = A * np.sin(z) * np.ones((nzv, 8, 8))
+    u0 = np.stack([ux, np.zeros_like(ux), np.zeros_like(ux)])
+    pr = dataclasses.replace(pr, init_fields=(np.ones((nzv, 8, 8)), u0))
+    step = jax.jit(make_step_rolled(pr))
+    f = jnp.asarray(pr.initial_state())
+    f = lax.fori_loop(0, steps, lambda i, x: step(x), f)
+    rho, u = physics.moments(pr.lattice, f)
+    amp = np.max(np.abs(np.asarray(u[0])))
+    expect = A * np.exp(-params.nu() * (2.0 * np.pi / nzv) ** 2 * steps)
+    return abs(amp / expect - 1.0)
+
+
+@pytest.mark.slow
+def test_z_shear_wave_second_order_viscosity():
+    # measured: 4.6e-2 / 1.2e-2 / 2.9e-3 at nz = 16/32/64 — clean
+    # second-order lattice dispersion converging to the exact decay
+    e16 = _zwave_decay_err(16, 300)
+    e32 = _zwave_decay_err(32, 1200)
+    assert e32 < 0.02, e32
+    assert 3.0 < e16 / e32 < 5.5, (e16, e32)     # O(k^2) convergence
+
+
+def test_taylor_green_3d_energy_and_mass():
+    from jax import lax
+    pr = make_problem(_params3d())
+    assert pr.periodic_x and pr.periodic_y and pr.periodic_z
+    step = jax.jit(make_step_rolled(pr))
+    f = jnp.asarray(pr.initial_state())
+    m0 = float(jnp.sum(f))
+
+    def energy(f):
+        rho, u = physics.moments(pr.lattice, f)
+        return float(jnp.sum(rho * sum(u[d] ** 2 for d in range(3))))
+
+    e_prev = energy(f)
+    for _ in range(4):
+        f = lax.fori_loop(0, 40, lambda i, x: step(x), f)
+        e = energy(f)
+        assert e < e_prev          # viscous decay, no spurious forcing
+        e_prev = e
+    assert np.isfinite(np.asarray(f)).all()
+    np.testing.assert_allclose(float(jnp.sum(f)), m0, rtol=1e-12)
+
+
+@pytest.mark.parametrize("mesh_shape", [(2, 1), (2, 2)], ids=["y", "2d"])
+def test_periodic3d_sharded_matches_oracle(mesh_shape):
+    pr = make_problem(_params3d())
+    step = jax.jit(make_step_rolled(pr))
+    s_ref = pr.initial_state()
+    for _ in range(8):
+        s_ref = step(s_ref)
+    s_ref = np.asarray(jax.device_get(s_ref))
+    n = mesh_shape[0] * mesh_shape[1]
+    mesh = make_mesh(mesh_shape, devices=jax.devices()[:n])
+    chunk = make_chunk_fn(pr, mesh, 4, backend="jax")
+    s, solid = shard_state(mesh, pr.initial_state(),
+                           np.zeros(pr.spatial_shape, bool))
+    for _ in range(2):
+        s = chunk(s, solid)
+    np.testing.assert_allclose(np.asarray(jax.device_get(s)), s_ref,
+                               rtol=1e-13, atol=1e-15)
+
+
+def test_periodic3d_pallas_full_plane_matches_oracle():
+    # the full-plane kernel with wrapped z ring planes (interpret mode)
+    pr = make_problem(_params3d(precision="f32"))
+    step = jax.jit(make_step_rolled(pr))
+    s_ref = pr.initial_state()
+    for _ in range(10):
+        s_ref = step(s_ref)
+    s_ref = np.asarray(jax.device_get(s_ref))
+    mesh = make_mesh((1, 1), devices=jax.devices()[:1])
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")        # no silent tier loss
+        chunk = make_chunk_fn(pr, mesh, 5, backend="pallas")
+    s, solid = shard_state(mesh, pr.initial_state(),
+                           np.zeros(pr.spatial_shape, bool))
+    for _ in range(2):
+        s = chunk(s, solid)
+    d = np.max(np.abs(np.asarray(jax.device_get(s)) - s_ref))
+    assert d / np.abs(s_ref).max() < 3e-5, d
+
+
+def test_periodic3d_sharded_pallas_demotes():
+    # only the full-plane kernel wraps; sharded meshes take the jax tier
+    pr = make_problem(_params3d(precision="f32"))
+    mesh = make_mesh((2, 1), devices=jax.devices()[:2])
+    with pytest.warns(UserWarning, match="periodicity"):
+        chunk = make_chunk_fn(pr, mesh, 4, backend="pallas")
+    s, solid = shard_state(mesh, pr.initial_state(),
+                           np.zeros(pr.spatial_shape, bool))
+    s = chunk(s, solid)
+    assert np.isfinite(np.asarray(jax.device_get(s))).all()

@@ -78,6 +78,7 @@ class Problem:
     periodic_x: bool = False
     periodic_y: bool = False          # fully periodic box (Taylor-Green,
     # shear layer); requires walls_y=False and periodic_x
+    periodic_z: bool = False          # 3-D fully periodic box (walls_z off)
     body_force: tuple[float, ...] = ()
     obstacle_bc: str = "equilibrium"  # see ops/step_jax.py for semantics
     # analytic signed distance to the obstacle surface (positive in fluid),

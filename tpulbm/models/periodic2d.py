@@ -68,9 +68,46 @@ def shear_layer_fields(params: SimulationParams, k: float = 80.0,
     return rho, np.stack([ux, uy])
 
 
+def taylor_green_3d_fields(params: SimulationParams):
+    """Classic 3-D Taylor-Green vortex (one period per axis):
+    u = u0 ( sin x cos y cos z, −cos x sin y cos z, 0 ) with the matching
+    pressure field. Unlike 2-D there is no closed-form solution for all
+    time (vortex stretching) — the canonical transition/DNS benchmark."""
+    nx, ny, nz = params.nx, params.ny, params.nz
+    u0 = params.inlet_velocity or 0.04
+    kx, ky, kz = (2 * np.pi / nx, 2 * np.pi / ny, 2 * np.pi / nz)
+    z = np.arange(nz, dtype=np.float64)[:, None, None] * kz
+    y = np.arange(ny, dtype=np.float64)[None, :, None] * ky
+    x = np.arange(nx, dtype=np.float64)[None, None, :] * kx
+    ux = u0 * np.sin(x) * np.cos(y) * np.cos(z)
+    uy = -u0 * np.cos(x) * np.sin(y) * np.cos(z)
+    uz = np.zeros_like(ux)
+    p = (u0 * u0 / 16.0) * (np.cos(2 * x) + np.cos(2 * y)) \
+        * (np.cos(2 * z) + 2.0)
+    rho = 1.0 + 3.0 * p
+    return rho, np.stack([ux, uy, uz])
+
+
 def make_problem(params: SimulationParams) -> Problem:
     if params.is_3d:
-        raise ValueError(f"{params.problem} is a 2-D problem (nz must be 0)")
+        if params.problem != "taylor-green":
+            raise ValueError(f"{params.problem} is 2-D only")
+        from ..lattice import D3Q19, D3Q27
+        lat = D3Q27 if params.lattice3d == "d3q27" else D3Q19
+        return Problem(
+            params=params, lattice=lat, solid=None,
+            init_rho=1.0, init_u=(0.0, 0.0, 0.0),
+            walls_y=False, walls_z=False,
+            periodic_x=True, periodic_y=True, periodic_z=True,
+            body_force=tuple(params.body_force),
+            obstacle_bc=params.obstacle_bc,
+            collision=params.collision,
+            smagorinsky=params.smagorinsky,
+            power_law=params.power_law() or (),
+            trt_magic=params.trt_magic,
+            mrt_rates=params.mrt_rates,
+            init_fields=taylor_green_3d_fields(params),
+        )
     fields = (taylor_green_fields(params)
               if params.problem == "taylor-green"
               else shear_layer_fields(params))

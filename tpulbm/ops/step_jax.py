@@ -147,7 +147,7 @@ def make_step_rolled(problem: Problem) -> Callable[[jnp.ndarray], jnp.ndarray]:
                     y_out = coords["yy"] == 0
                 elif ciy < 0:
                     y_out = coords["yy"] == p.ny - 1
-            if lat.D == 3:
+            if lat.D == 3 and not problem.periodic_z:
                 if ciz > 0:
                     y_out = (coords["zz"] == 0) if y_out is None \
                         else y_out | (coords["zz"] == 0)

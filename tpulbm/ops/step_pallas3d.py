@@ -62,6 +62,13 @@ class _Cfg3d:
     plaw: tuple | None = None
     # regularized BGK (Hermite-shell projection of the non-equilibrium)
     reg: bool = False
+    # fully periodic boxes (3-D Taylor-Green): the y/x rolls already wrap,
+    # so periodicity just SKIPS the corresponding edge sanitize; z wraps
+    # via two extra ring-plane inputs collided in-kernel (full-plane
+    # kernel only — the y-tiled kernel declines periodic problems)
+    periodic_x: bool = False
+    periodic_y: bool = False
+    periodic_z: bool = False
     # do wall/inlet/outlet strips need a solid-mask guard? (static geometry:
     # False when no solid cell touches a domain face — then the mask's only
     # consumer is the obstacle pinning, which solid-free tiles can skip)
@@ -312,10 +319,15 @@ def make_local_step_pallas3d(problem: Problem,
         raise ValueError("pallas3d requires a 3-D lattice")
     if problem.dtype != np.float32:
         raise ValueError("pallas backend is f32; use backend='jax' for f64")
-    if problem.periodic_x:
+    periodic3d = problem.periodic_y or problem.periodic_z
+    if problem.periodic_x and not periodic3d:
         raise ValueError("the 3-D pallas kernels pin the physical x edges "
                          "every substep (non-periodic duct flow); "
-                         "periodic_x needs backend='jax'")
+                         "periodic_x needs backend='jax' (or a fully "
+                         "periodic box)")
+    if periodic3d and problem.solid is not None:
+        raise ValueError("periodic 3-D boxes with obstacles run on the "
+                         "jax tier")
     nz, ny, nx = local_shape
     Q = lat.Q
     if interpret is None:
@@ -327,7 +339,8 @@ def make_local_step_pallas3d(problem: Problem,
     if has_solid and _solid_touches_x_edges(problem):
         return None  # inlet/outlet-piercing solids: jax tier handles them
     plane_bytes = Q * ny * nx * 4
-    usage = 6 * plane_bytes + (4 * ny * nx * 4 if has_solid else 0)
+    usage = ((6 + (2 if problem.periodic_z else 0)) * plane_bytes
+             + (4 * ny * nx * 4 if has_solid else 0))
     if usage > _VMEM_BUDGET or nz < 2:
         return None
 
@@ -365,9 +378,18 @@ def make_local_step_pallas3d(problem: Problem,
         walls_y=problem.walls_y, walls_z=problem.walls_z,
         inlet_equilibrium=problem.inlet_equilibrium,
         outlet_zero_grad=problem.outlet_zero_grad,
+        periodic_x=problem.periodic_x, periodic_y=problem.periodic_y,
+        periodic_z=problem.periodic_z,
         nz=nz, ny=ny, nx=nx)
 
-    def kernel(f_ref, mask_ref, out_ref, fa, ob, msl, sem_f, sem_ob, sem_m):
+    def kernel(*refs):
+        if cfg.periodic_z:
+            (f_ref, mask_ref, zb_ref, zt_ref, out_ref, fa, ob, msl, zc,
+             sem_f, sem_ob, sem_m) = refs
+        else:
+            (f_ref, mask_ref, out_ref, fa, ob, msl,
+             sem_f, sem_ob, sem_m) = refs
+            zb_ref = zt_ref = zc = None
         def f_dma(z):
             return pltpu.make_async_copy(f_ref.at[:, z], fa.at[z % 4],
                                          sem_f.at[z % 4])
@@ -399,6 +421,15 @@ def make_local_step_pallas3d(problem: Problem,
 
         eq_plane = [jnp.full((ny, nx), cfg.eq_in[i], jnp.float32)
                     for i in range(Q)]
+
+        if cfg.periodic_z:
+            # collide the wrapped ring planes (pre-collision f[nz-1], f[0])
+            # once — the z-edge pulls read them like any interior neighbor
+            for blk, slot in ((zb_ref, 0), (zt_ref, 1)):
+                fw = [blk[i] for i in range(Q)]
+                fp = _collide_planes(cfg, fw, None)
+                for i in range(Q):
+                    zc[slot, i] = fp[i]
 
         start_in(0)
         if nz > 1:
@@ -439,21 +470,33 @@ def make_local_step_pallas3d(problem: Problem,
                     plane = pltpu.roll(plane, cx % nx, axis=1)
                 ob[oslot, i] = plane
 
-            # z-edge ghost planes are UNIFORM eq (roll-invariant): fix them
-            # up under a scalar branch on the 2 edge planes instead of a
-            # per-element select on every plane (the unconditional pull
-            # above may read a stale ring slot there — fully overwritten)
+            # z-edge pulls: the unconditional pull above read a stale ring
+            # slot there — fully overwritten under a scalar branch on the 2
+            # edge planes. Walled ducts write the UNIFORM frozen eq
+            # (roll-invariant); periodic boxes write the collided WRAPPED
+            # plane, y/x-rolled exactly like an interior neighbor.
+            def _z_edge_val(i, slot):
+                if not cfg.periodic_z:
+                    return eq_plane[i]
+                cx, cy = cfg.c[i][0], cfg.c[i][1]
+                pln = zc[slot, i]
+                if cy:
+                    pln = pltpu.roll(pln, cy % ny, axis=0)
+                if cx:
+                    pln = pltpu.roll(pln, cx % nx, axis=1)
+                return pln
+
             @pl.when(z == 0)
             def _():
                 for i in range(Q):
                     if cfg.c[i][2] > 0:
-                        ob[oslot, i] = eq_plane[i]
+                        ob[oslot, i] = _z_edge_val(i, 0)
 
             @pl.when(z == nz - 1)
             def _():
                 for i in range(Q):
                     if cfg.c[i][2] < 0:
-                        ob[oslot, i] = eq_plane[i]
+                        ob[oslot, i] = _z_edge_val(i, 1)
 
             # ---- ghost sanitize (see module docstring) ----
             # x-edge columns are skipped when the inlet/outlet BC rewrites
@@ -463,8 +506,9 @@ def make_local_step_pallas3d(problem: Problem,
             # have written — the strip writes are dead work in the hot loop.
             for i in range(Q):
                 cx, cy, cz = cfg.c[i]
-                if cx and not (cfg.inlet_equilibrium if cx > 0
-                               else cfg.outlet_zero_grad):
+                if (cx and not cfg.periodic_x
+                        and not (cfg.inlet_equilibrium if cx > 0
+                                 else cfg.outlet_zero_grad)):
                     xc = 0 if cx > 0 else nx - 1
                     # x-edge ghost: 0, unless the source also left z range
                     if cz > 0:
@@ -475,6 +519,8 @@ def make_local_step_pallas3d(problem: Problem,
                         val = jnp.float32(0.0)
                     ob[oslot, i, :, xc:xc + 1] = jnp.broadcast_to(
                         val, (ny, 1)).astype(jnp.float32)
+                if cfg.periodic_y:
+                    continue        # sublane roll already wrapped y
                 if cy > 0:
                     ob[oslot, i, 0:1, :] = jnp.full((1, nx), cfg.eq_in[i],
                                                     jnp.float32)
@@ -569,19 +615,28 @@ def make_local_step_pallas3d(problem: Problem,
             out_dma(nz - 2).wait()
         out_dma(nz - 1).wait()
 
+    in_specs = [
+        pl.BlockSpec(memory_space=pl.ANY),  # f (HBM)
+        pl.BlockSpec(memory_space=pl.ANY),  # mask f32 (HBM)
+    ]
+    scratch = [
+        pltpu.VMEM((4, Q, ny, nx), jnp.float32),
+        pltpu.VMEM((2, Q, ny, nx), jnp.float32),
+        (pltpu.VMEM((4, ny, nx), jnp.float32) if has_solid
+         else pltpu.VMEM((1, 8, 128), jnp.float32)),
+    ]
+    if problem.periodic_z:
+        # wrapped z ring planes (pre-collision f[nz-1], f[0]) + their
+        # collided scratch
+        in_specs += [pl.BlockSpec(memory_space=pltpu.VMEM),
+                     pl.BlockSpec(memory_space=pltpu.VMEM)]
+        scratch.append(pltpu.VMEM((2, Q, ny, nx), jnp.float32))
     call = pl.pallas_call(
         kernel,
-        in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),  # f (HBM)
-            pl.BlockSpec(memory_space=pl.ANY),  # mask f32 (HBM)
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         out_shape=jax.ShapeDtypeStruct((Q, nz, ny, nx), jnp.float32),
-        scratch_shapes=[
-            pltpu.VMEM((4, Q, ny, nx), jnp.float32),
-            pltpu.VMEM((2, Q, ny, nx), jnp.float32),
-            (pltpu.VMEM((4, ny, nx), jnp.float32) if has_solid
-             else pltpu.VMEM((1, 8, 128), jnp.float32)),
+        scratch_shapes=scratch + [
             pltpu.SemaphoreType.DMA((4,)),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((4,)),
@@ -597,6 +652,8 @@ def make_local_step_pallas3d(problem: Problem,
         if has_solid and mask is None:
             raise ValueError("pallas3d needs the solid mask")
         mask = jnp.asarray(zero_mask) if mask is None else mask
+        if problem.periodic_z:
+            return call(f, mask, f[:, nz - 1], f[:, 0])
         return call(f, mask)
 
     return step

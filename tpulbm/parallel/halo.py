@@ -41,7 +41,7 @@ def _perm_bwd(n: int, periodic: bool):
 
 def refresh_ring_2d(fpad: jnp.ndarray, *, eq_ring: np.ndarray,
                     mesh_shape: tuple[int, int], periodic_x: bool,
-                    periodic_y: bool = False,
+                    periodic_y: bool = False, periodic_z: bool = False,
                     axis_names: tuple[str, str] = ("y", "x")) -> jnp.ndarray:
     """Refresh the 1-wide ring of a local padded block (Q, nyl+2, nxl+2).
 
@@ -99,10 +99,12 @@ def refresh_ring_2d(fpad: jnp.ndarray, *, eq_ring: np.ndarray,
 
 def refresh_ring_3d(fpad: jnp.ndarray, *, eq_ring: np.ndarray,
                     mesh_shape: tuple[int, int], periodic_x: bool,
-                    periodic_y: bool = False,
+                    periodic_y: bool = False, periodic_z: bool = False,
                     axis_names: tuple[str, str] = ("y", "x")) -> jnp.ndarray:
     """3-D variant: (Q, nz+2, nyl+2, nxl+2); mesh shards (y, x); z is
-    unsharded, its ring always holds the frozen ghost equilibrium."""
+    unsharded, its ring holds the frozen ghost equilibrium — or, under
+    periodic_z, the wrapped opposite planes (copied AFTER the x/y phases,
+    so they carry the just-refreshed x/y rings: diagonal wraps for free)."""
     my, mx = mesh_shape
     ay, ax = axis_names
     Q, nzp, nylp, nxlp = fpad.shape
@@ -149,7 +151,12 @@ def refresh_ring_3d(fpad: jnp.ndarray, *, eq_ring: np.ndarray,
     fpad = fpad.at[:, 1:-1, 0, :].set(south)
     fpad = fpad.at[:, 1:-1, -1, :].set(north)
 
-    # phase Z: unsharded, frozen equilibrium ring (covers all corners)
+    # phase Z: unsharded — frozen equilibrium ring (covers all corners),
+    # or the wrapped opposite padded planes for fully periodic boxes
+    if periodic_z:
+        fpad = fpad.at[:, 0, :, :].set(fpad[:, -2, :, :])
+        fpad = fpad.at[:, -1, :, :].set(fpad[:, 1, :, :])
+        return fpad
     eq_plane = jnp.broadcast_to(eq[:, None, None], (Q, nylp, nxlp))
     fpad = fpad.at[:, 0, :, :].set(eq_plane)
     fpad = fpad.at[:, -1, :, :].set(eq_plane)

@@ -141,6 +141,10 @@ def make_chunk_fn(problem: Problem, mesh: Mesh, chunk_len: int,
         # x-sharded meshes stitch ppermute'd halo columns into the tile
         # buffers (x_halo mode — the 2-D x-tiled design one dimension up)
         x_sharded3d = mesh_shape[1] != 1
+        # fully periodic 3-D boxes: only the full-plane kernel wraps (its
+        # y/x rolls wrap natively and z rides two ring-plane inputs); the
+        # y-tiled kernel's halo rows assume y walls / z eq
+        periodic3d = problem.periodic_y or problem.periodic_z
         try:
             # Temporal blocking cuts the HBM traffic of this DMA-bound
             # kernel by ~1/N; deeper N shrinks Ty until the y-overlap
@@ -151,7 +155,7 @@ def make_chunk_fn(problem: Problem, mesh: Mesh, chunk_len: int,
             # (_blocking_split), both under a Ty >= 4H guard.
             # TPULBM_SUBSTEPS forces a depth, TPULBM_NO_FUSED2 disables
             # blocking.
-            if not os.environ.get("TPULBM_NO_FUSED2"):
+            if not os.environ.get("TPULBM_NO_FUSED2") and not periodic3d:
                 forced = os.environ.get("TPULBM_SUBSTEPS")
                 if forced:
                     n = int(forced)
@@ -180,7 +184,8 @@ def make_chunk_fn(problem: Problem, mesh: Mesh, chunk_len: int,
                 # full-plane 1-step kernel: no halo-row overhead
                 pallas3d_step = make_local_step_pallas3d(problem,
                                                          local_shape)
-            if pallas3d_step is None and pallas3d_plan is None:
+            if (pallas3d_step is None and pallas3d_plan is None
+                    and not periodic3d):
                 # y-tiled 1-step: big planes and/or sharded meshes
                 st = make_local_step_pallas3d_tiled(
                     problem, local_shape, 1, x_halo=x_sharded3d)
@@ -194,8 +199,9 @@ def make_chunk_fn(problem: Problem, mesh: Mesh, chunk_len: int,
         if (backend == "pallas" and pallas3d_step is None
                 and pallas3d_plan is None):
             import warnings
-            warnings.warn("no 3-D pallas tile fits the VMEM budget; "
-                          "falling back to backend='jax'")
+            warnings.warn("no 3-D pallas configuration covers this setup "
+                          "(VMEM / mesh / periodicity); falling back to "
+                          "backend='jax'")
             backend = "jax"
     # generic single-phase 2-D kernel ladder — skipped when a dedicated
     # fused kernel (thermal / multiphase) already owns the body: building
@@ -340,7 +346,8 @@ def make_chunk_fn(problem: Problem, mesh: Mesh, chunk_len: int,
 
     ring_kw = dict(eq_ring=eq_ring, mesh_shape=mesh_shape,
                    periodic_x=problem.periodic_x,
-                   periodic_y=problem.periodic_y)
+                   periodic_y=problem.periodic_y,
+                   periodic_z=problem.periodic_z)
 
     def body_jax(f_local, solid_local, bz_local=None):
         iy = lax.axis_index("y")
