@@ -328,7 +328,8 @@ def apply_all(problem: Problem, planes: list, coords: dict) -> list:
         # dynamical reads it once every cut link is rewritten
         from . import bouzidi
         bouzidi.apply_bouzidi(lat, planes, coords["f_post"],
-                              coords["bz_q"])
+                              coords["bz_q"],
+                              active=bouzidi.active_directions(problem))
         apply_obstacle(lat, planes, solid, "equilibrium",
                        physics.rest_equilibrium(lat))
     else:

@@ -141,7 +141,20 @@ def link_tables(problem: Problem) -> np.ndarray:
     w_j·(c_j · u_w(x_wall)) stacked under it when the problem's obstacle
     moves (Problem.obstacle_velocity: pts (..., D) -> u (..., D) at the
     wall intersection points). Stationary obstacles get just q — the
-    shapes tell apply_bouzidi which convention it received."""
+    shapes tell apply_bouzidi which convention it received.
+
+    Memoized on the Problem: the runner, the chunk builders and the
+    super-chunk each need the table, and the bisection sweep over every
+    cut link is worth doing once, not per consumer."""
+    cached = getattr(problem, "_bouzidi_tables", None)
+    if cached is not None:
+        return cached
+    q = _link_tables_uncached(problem)
+    object.__setattr__(problem, "_bouzidi_tables", q)  # frozen dataclass
+    return q
+
+
+def _link_tables_uncached(problem: Problem) -> np.ndarray:
     q = link_q(problem)
     uw_fn = getattr(problem, "obstacle_velocity", None)
     if uw_fn is None:
@@ -166,20 +179,35 @@ def link_tables(problem: Problem) -> np.ndarray:
     return np.concatenate([q, tw], axis=0)
 
 
+def active_directions(problem: Problem) -> tuple:
+    """Static per-direction activity: does direction j have ANY cut link
+    anywhere in the global domain? Derived from the memoized host table,
+    so the fused step skips the full-grid selects of provably link-free
+    directions (e.g. a plane-walled channel cuts only the 6 y-moving
+    D2Q9 directions)."""
+    tbl = link_tables(problem)
+    Q = problem.lattice.Q
+    return tuple(bool((tbl[j] >= 0).any()) for j in range(Q))
+
+
 def apply_bouzidi(lat: Lattice, planes: list, f_post: list,
-                  q: jnp.ndarray) -> None:
+                  q: jnp.ndarray, active: tuple | None = None) -> None:
     """Overwrite every cut-link population in `planes` (post-stream) from
     the link table (see module docstring). `f_post` is the pre-stream
     post-collision plane list at the same cells; both lists are full
     (local) arrays — the update is a pointwise select. A (2Q, ...) table
-    carries the moving-wall momentum scalars in its second block."""
+    carries the moving-wall momentum scalars in its second block.
+    `active` (active_directions) statically skips link-free directions —
+    computed on the GLOBAL mask, so it is a safe superset for any shard."""
     opp = lat.opposite
     moving = q.shape[0] == 2 * lat.Q
     snap = list(planes)
     for j in range(lat.Q):
+        if active is not None and not active[j]:
+            continue                               # static: no cut links
         qj = q[j]
         if isinstance(qj, np.ndarray) and not (qj >= 0).any():
-            continue                               # static: no cut links
+            continue
         i = int(opp[j])
         qv = jnp.asarray(qj, planes[j].dtype)
         lt = (qv >= 0.0) & (qv < 0.5)

@@ -69,6 +69,11 @@ def probe_cells(problem: Problem) -> tuple:
     for pt in p.probe_points:
         if len(pt) != (3 if p.is_3d else 2):
             raise ValueError(f"probe point {pt} has wrong dimensionality")
+        if any(not (0.0 <= v <= 1.0) for v in pt):
+            # a negative fraction would Python-wrap and silently sample
+            # the opposite edge of the domain
+            raise ValueError(f"probe point {pt} must be domain fractions "
+                             f"in [0, 1]")
         x = min(int(pt[0] * p.nx), p.nx - 1)
         y = min(int(pt[1] * p.ny), p.ny - 1)
         idx = (min(int(pt[2] * p.nz), p.nz - 1), y, x) if p.is_3d else (y, x)

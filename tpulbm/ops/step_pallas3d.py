@@ -339,7 +339,9 @@ def make_local_step_pallas3d(problem: Problem,
     if has_solid and _solid_touches_x_edges(problem):
         return None  # inlet/outlet-piercing solids: jax tier handles them
     plane_bytes = Q * ny * nx * 4
-    usage = ((6 + (2 if problem.periodic_z else 0)) * plane_bytes
+    # periodic_z holds FOUR extra Q-plane buffers: the two VMEM-resident
+    # ring-plane inputs (zb/zt) plus their collided scratch (zc)
+    usage = ((6 + (4 if problem.periodic_z else 0)) * plane_bytes
              + (4 * ny * nx * 4 if has_solid else 0))
     if usage > _VMEM_BUDGET or nz < 2:
         return None
