@@ -89,3 +89,22 @@ def test_probe_dimensionality_validation():
     pr = make_problem(params)
     with pytest.raises(ValueError, match="dimensionality"):
         diagnostics.probe_cells(pr)
+
+
+def test_thermal_probes_carry_temperature(tmp_path):
+    params = SimulationParams(
+        nx=64, ny=32, problem="rayleigh-benard", tau=0.55,
+        thermal_tau=0.5704, rayleigh=3000.0, periodic_x=True,
+        cylinder_radius=0.0, inlet_velocity=0.0, precision="f32",
+        num_timesteps=200, output_frequency=50, enable_vtk=False,
+        backend="jax", output_dir=str(tmp_path),
+        probe_points=((0.5, 0.25),))
+    res = Runner(params, verbose=False).run(resume=False)
+    assert res.success
+    with open(tmp_path / "probes.csv") as fh:
+        rows = list(csv.DictReader(fh))
+    assert "p0_T" in rows[0]
+    # the probe at quarter height sees a conductive-ish temperature
+    t_vals = [float(r["p0_T"]) for r in rows]
+    assert all(0.0 <= v <= 1.0 for v in t_vals)
+    assert t_vals[-1] > 0.5           # lower half is hot (T_bottom = 1)

@@ -82,7 +82,8 @@ def probe_cells(problem: Problem) -> tuple:
 
 
 def probes_fn(problem: Problem):
-    """Jittable f -> (n_probes, 1 + D) of [rho, u...] at the probe cells.
+    """Jittable f -> (n_probes, 1 + D [+ 1]) of [rho, u..., (T)] at the
+    probe cells (thermal problems append the local temperature).
 
     Static single-cell indexing — a slice on the sharded array, no
     gather/collective; rides the super-chunk diagnostics round trip
@@ -94,14 +95,19 @@ def probes_fn(problem: Problem):
     lat = problem.lattice
     c = jnp.asarray(lat.c.astype("float64"))
     cells = probe_cells(problem)
+    thermal = problem.thermal is not None
 
     def fn(f):
         rows = []
         for idx in cells:
-            fcol = f[(slice(None),) + idx][:lat.Q]      # (Q,)
+            col = f[(slice(None),) + idx]               # (state_q,)
+            fcol = col[:lat.Q]
             rho = jnp.sum(fcol)
             mom = jnp.asarray(c, fcol.dtype).T @ fcol   # (D,)
-            rows.append(jnp.concatenate([rho[None], mom / rho]))
+            parts = [rho[None], mom / rho]
+            if thermal:
+                parts.append(jnp.sum(col[lat.Q:])[None])
+            rows.append(jnp.concatenate(parts))
         return jnp.stack(rows)
 
     return fn

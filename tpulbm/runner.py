@@ -310,6 +310,7 @@ class Runner:
                 os.path.join(p.output_dir, "probes.csv"),
                 n_probes=len(p.probe_points),
                 ndim=3 if p.is_3d else 2,
+                thermal=self.problem.thermal is not None,
                 append=start_step > 0, resume_step=start_step)
 
         meter = ThroughputMeter(p.num_cells)

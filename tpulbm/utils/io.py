@@ -86,12 +86,15 @@ class ProbeWriter:
     reference has no point probes."""
 
     def __init__(self, path: str, n_probes: int, ndim: int,
+                 thermal: bool = False,
                  append: bool = False, resume_step: int | None = None):
         comps = ("ux", "uy", "uz")[:ndim]
         cols = ["timestep"]
         for k in range(n_probes):
             cols.append(f"p{k}_rho")
             cols.extend(f"p{k}_{c}" for c in comps)
+            if thermal:
+                cols.append(f"p{k}_T")
         self.path = path
         self._fh = _open_series(path, ",".join(cols) + "\n", append,
                                 resume_step)
