@@ -36,7 +36,7 @@ def bench(nx=2048, ny=512, backend="pallas", chunk_len=280, chunks=8,
           warmup=2, precision="f32", mesh_shape=(1, 1), verbose=False,
           reynolds=200.0, repeats=3, nz=0, collision="bgk",
           smagorinsky=0.0, thermal=False, power_law_n=1.0,
-          multiphase=False, periodic=False):
+          multiphase=False, periodic=False, kolmogorov=False):
     import jax
     import numpy as np
 
@@ -67,6 +67,21 @@ def bench(nx=2048, ny=512, backend="pallas", chunk_len=280, chunks=8,
                                   thermal_tau=0.5704, rayleigh=1e4,
                                   periodic_x=True, cylinder_radius=0.0,
                                   inlet_velocity=0.0)
+    elif kolmogorov:
+        # forced (Kolmogorov) turbulence: periodic box + the spatially
+        # varying body force evaluated IN-KERNEL (force-fused 1-step
+        # kernel) — the cost of sustained-turbulence production runs
+        if nz:
+            raise ValueError("--kolmogorov is 2-D (force_fn has no 3-D "
+                             "pallas kernel)")
+        params = SimulationParams(nx=nx, ny=ny, problem="kolmogorov",
+                                  precision=precision, backend=backend,
+                                  mesh_shape=mesh_shape, tau=0.8,
+                                  kolmogorov_n=4, collision=collision,
+                                  smagorinsky=smagorinsky,
+                                  power_law_n=power_law_n,
+                                  inlet_velocity=0.05, periodic_x=True,
+                                  cylinder_radius=0.0)
     elif periodic:
         # fully periodic Taylor-Green box: ZERO boundary work (no wall
         # strips, no inlet/outlet algebra, no edge sanitize, no obstacle)
@@ -113,6 +128,9 @@ def bench(nx=2048, ny=512, backend="pallas", chunk_len=280, chunks=8,
     if periodic and (multiphase or thermal):
         raise ValueError("--periodic is its own model row; it does not "
                          "compose with --multiphase/--thermal")
+    if kolmogorov and (multiphase or thermal or periodic):
+        raise ValueError("--kolmogorov is its own model row; it does not "
+                         "compose with --multiphase/--thermal/--periodic")
     validate_params(params)
     problem = make_problem(params)
     n_dev = mesh_shape[0] * mesh_shape[1]
@@ -171,7 +189,8 @@ def run_one(args, mesh_shape, nx, ny, label=None):
               collision=args.collision, smagorinsky=args.smagorinsky,
               thermal=args.thermal, power_law_n=args.power_law,
               multiphase=args.multiphase,
-              periodic=getattr(args, "periodic", False))
+              periodic=getattr(args, "periodic", False),
+              kolmogorov=getattr(args, "kolmogorov", False))
     try:
         mlups, dt, steps = bench(backend=backend, **kw)
     except Exception as e:  # pallas unavailable → honest fallback, flagged
@@ -199,6 +218,9 @@ def run_one(args, mesh_shape, nx, ny, label=None):
     if getattr(args, "periodic", False):
         default_label = (f"MLUPS/chip, periodic Taylor-Green box {grid} "
                          f"{args.precision} (zero boundary work)")
+    if getattr(args, "kolmogorov", False):
+        default_label = (f"MLUPS/chip, Kolmogorov forced turbulence {grid} "
+                         f"{args.precision} (in-kernel force)")
     if args.collision != "bgk":
         default_label += f" {args.collision}"
     if args.smagorinsky:
@@ -246,6 +268,9 @@ def main():
     ap.add_argument("--multiphase", action="store_true",
                     help="bench the Shan-Chen multiphase model instead "
                          "of the cylinder")
+    ap.add_argument("--kolmogorov", action="store_true",
+                    help="bench Kolmogorov forced turbulence (periodic box "
+                         "+ in-kernel spatially varying force, 2-D)")
     ap.add_argument("--periodic", action="store_true",
                     help="bench the fully periodic Taylor-Green box "
                          "(zero boundary work — pure kernel ceiling)")

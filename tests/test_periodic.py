@@ -74,6 +74,30 @@ def test_taylor_green_recovers_viscosity():
     assert abs(nu_eff / params.nu() - 1.0) < 0.005, nu_eff
 
 
+def test_runner_applies_init_fields(tmp_path):
+    """Regression: the Runner's device-side fresh-start build
+    (shard_initial_state) must honor init_fields — it used to silently
+    build the uniform broadcast, running every Runner-driven periodic box
+    from a quiescent state. The final field must match the analytic TG
+    solution at t = num_timesteps."""
+    from tpulbm.runner import Runner
+    T = 120
+    params = _params(num_timesteps=T, output_frequency=60,
+                     output_dir=str(tmp_path), enable_vtk=False,
+                     backend="jax")
+    res = Runner(params, verbose=False).run(resume=False)
+    assert res.success
+    import numpy.lib.recfunctions  # noqa: F401  (genfromtxt names path)
+    data = np.genfromtxt(tmp_path / "velocity_field.csv", delimiter=",",
+                         names=True)
+    nx, ny = params.nx, params.ny
+    ux = data["ux"].reshape(ny, nx)
+    uy = data["uy"].reshape(ny, nx)
+    _, u_ana = taylor_green_fields(params, t=float(T))
+    err = max(np.max(np.abs(ux - u_ana[0])), np.max(np.abs(uy - u_ana[1])))
+    assert err / params.inlet_velocity < 5e-3, err
+
+
 @pytest.mark.parametrize("mesh_shape", [(2, 1), (2, 2)], ids=["y", "2d"])
 def test_periodic_sharded_matches_oracle(mesh_shape):
     # the y-wrapping ppermute ring must reproduce the oracle bitwise (f64)

@@ -114,6 +114,18 @@ class SimulationParams:
     # standard way to extract shedding frequencies from a wake signal
     # without dumping fields. () = off.
     probe_points: tuple = ()
+    # Reynolds statistics: accumulate time-averaged mean fields and
+    # Reynolds stresses <u_i'u_j'> on device, sampling the state at every
+    # output interval with t >= stats_from (the usual "discard the
+    # transient" control). -1 = off. Results land in stats_fields.npz
+    # (mean_rho, mean_u*, reynolds stress components, sample count).
+    # New capability — the reference has no flow statistics.
+    stats_from: int = -1
+    # Kolmogorov forcing wavenumber (problem="kolmogorov"): the body force
+    # F_x(y) = F0·cos(2π·n·y/ny) drives n shear bands across the periodic
+    # box; F0 is derived so the laminar fixed point peaks at
+    # inlet_velocity (models/periodic2d.py). Kolmogorov Re = u0/(ν·κ).
+    kolmogorov_n: int = 4
     # Zou-He corner treatment at the 4 wall-inlet/outlet cells:
     # "reference" composes the sequential edge updates exactly as the
     # reference does; "clean" applies the Zou & He (1997) corner-node
@@ -271,6 +283,17 @@ def _presets() -> dict[str, SimulationParams]:
             inlet_velocity=0.04, periodic_x=True, cylinder_radius=0.0,
             collision="regularized",
             num_timesteps=12000, output_frequency=1000, enable_vtk=False),
+        # Forced 2-D (Kolmogorov) turbulence at Re = u0/(ν·κ) ≈ 40, well
+        # past the n=4 instability threshold: sustained chaotic bands,
+        # with on-device Reynolds statistics after the spin-up and
+        # spectra via scripts/spectra.py.
+        "kolmogorov": base.replace(
+            problem="kolmogorov", nx=256, ny=256, kolmogorov_n=4,
+            tau=0.5 + 3.0 * (0.05 / (40.0 * 2.0 * 3.141592653589793
+                                     * 4.0 / 256.0)),
+            inlet_velocity=0.05, periodic_x=True, cylinder_radius=0.0,
+            num_timesteps=40000, output_frequency=200, stats_from=20000,
+            enable_vtk=False),
     }
 
 
@@ -290,7 +313,8 @@ def add_cli_args(parser: argparse.ArgumentParser) -> None:
                   "t_cold", "rayleigh", "buoyancy"):
         parser.add_argument(f"--{field.replace('_', '-')}", type=float, default=None)
     for field in ("nx", "ny", "nz", "num_timesteps", "output_frequency",
-                  "vtk_start_step", "checkpoint_every"):
+                  "vtk_start_step", "checkpoint_every", "stats_from",
+                  "kolmogorov_n"):
         parser.add_argument(f"--{field.replace('_', '-')}", type=int, default=None)
     parser.add_argument("--reynolds", type=float, default=None,
                         help="set tau to achieve this Reynolds number")
@@ -298,7 +322,8 @@ def add_cli_args(parser: argparse.ArgumentParser) -> None:
                                               "cavity", "rayleigh-benard",
                                               "heated-cavity",
                                               "cylinder3d", "multiphase",
-                                              "taylor-green", "shear-layer"],
+                                              "taylor-green", "shear-layer",
+                                              "kolmogorov"],
                         default=None)
     parser.add_argument("--obstacle-bc",
                         choices=["equilibrium", "bounce_back", "bouzidi"],
@@ -350,6 +375,7 @@ def params_from_args(args: argparse.Namespace) -> SimulationParams:
                   "t_cold", "rayleigh", "buoyancy", "nx", "ny", "nz",
                   "num_timesteps",
                   "output_frequency", "vtk_start_step", "checkpoint_every",
+                  "stats_from", "kolmogorov_n",
                   "problem", "precision", "backend", "output_dir",
                   "checkpoint_dir", "vtk_format", "zou_he_corners",
                   "lattice3d"):
@@ -474,3 +500,15 @@ def validate_params(params: SimulationParams) -> None:
         raise ValueError(
             "MRT is implemented for D2Q9/D3Q19 only (physics._mrt_basis); "
             "use bgk or trt with lattice3d='d3q27'")
+    if params.stats_from < -1:
+        raise ValueError(
+            f"stats_from must be -1 (off) or a start timestep >= 0, got "
+            f"{params.stats_from}")
+    if params.stats_from >= params.num_timesteps:
+        raise ValueError(
+            f"stats_from={params.stats_from} is beyond num_timesteps="
+            f"{params.num_timesteps}; no samples would ever be taken")
+    if params.kolmogorov_n < 1:
+        raise ValueError(
+            f"kolmogorov_n must be a positive forcing wavenumber, got "
+            f"{params.kolmogorov_n}")

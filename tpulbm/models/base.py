@@ -80,6 +80,16 @@ class Problem:
     # shear layer); requires walls_y=False and periodic_x
     periodic_z: bool = False          # 3-D fully periodic box (walls_z off)
     body_force: tuple[float, ...] = ()
+    # Spatially varying body force: a callable taking the coords dict from
+    # ops/step_jax._coords (global integer index arrays broadcastable over
+    # the local block, plus nx/ny[/nz]) and returning a (D,)-tuple of
+    # broadcastable force components. Evaluated IN-STEP from global
+    # coordinates — zero memory, no threading, shards for free — so it
+    # must be analytic and box-periodic along periodic axes (halo cells
+    # evaluate it at out-of-range indices like -1 / n, where periodicity
+    # makes the wrap automatic). Kolmogorov forcing (models/periodic2d.py).
+    # Pallas tiers decline to the jax tier when set.
+    force_fn: object = None
     obstacle_bc: str = "equilibrium"  # see ops/step_jax.py for semantics
     # analytic signed distance to the obstacle surface (positive in fluid),
     # pts (..., D) in (x, y[, z]) coords -> (...,); required by the

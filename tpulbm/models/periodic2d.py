@@ -14,6 +14,13 @@ layer. New capability — the reference has no periodic-box mode at all
   operators: at Re = 30,000 on 128² plain BGK diverges while the
   regularized operator (--collision regularized) runs it stably.
 
+* problem="kolmogorov" — forced (Kolmogorov) flow: a stationary body
+  force F_x(y) = F0·cos(κy), κ = 2π·n/ny, drives n shear bands; above
+  Re = u0/(νκ) ≈ √2 the bands destabilize into sustained 2-D
+  turbulence. The force is a Problem.force_fn evaluated in-step from
+  global coordinates (no stored field, shards for free); pairs with
+  --stats-from Reynolds statistics and scripts/spectra.py.
+
 Both initialize via Problem.init_fields (equilibrium at an analytic
 (rho, u) field) and run with periodic_y=True — the halo machinery wraps
 the y rings (parallel/halo.py) and the fused Pallas kernels treat every
@@ -68,6 +75,49 @@ def shear_layer_fields(params: SimulationParams, k: float = 80.0,
     return rho, np.stack([ux, uy])
 
 
+def kolmogorov_kappa(params: SimulationParams) -> float:
+    """Forcing wavenumber κ = 2π·n/ny (lattice units)."""
+    return 2.0 * np.pi * params.kolmogorov_n / params.ny
+
+
+def kolmogorov_f0(params: SimulationParams) -> float:
+    """Forcing amplitude F0 = u0·ν·κ² — chosen so the LAMINAR fixed point
+    u_x(y) = F0/(ν κ²)·cos(κ y) peaks exactly at u0 = inlet_velocity.
+    The Kolmogorov Reynolds number is then Re = u0/(ν·κ); the n-band flow
+    destabilizes for Re ≳ √2·(corrections in n), giving sustained 2-D
+    turbulence — the canonical forced-turbulence benchmark."""
+    u0 = params.inlet_velocity or 0.04
+    kappa = kolmogorov_kappa(params)
+    return u0 * params.nu() * kappa * kappa
+
+
+def kolmogorov_force_fn(params: SimulationParams):
+    """Problem.force_fn for Kolmogorov forcing: F(y) = (F0·cos(κy), 0).
+    Evaluated in-step from global y indices (models/base.force_fn
+    contract); cos(κy) has period ny/n with integer n, so halo cells at
+    y = −1 / ny wrap automatically."""
+    import jax.numpy as jnp
+    kappa = kolmogorov_kappa(params)
+    f0 = kolmogorov_f0(params)
+
+    def force(coords):
+        return (f0 * jnp.cos(kappa * coords["yy"]), 0.0)
+
+    return force
+
+
+def kolmogorov_fields(params: SimulationParams, perturb: float = 0.01):
+    """Initial (rho, u): the laminar profile plus a small deterministic
+    transverse seed (breaks translation symmetry so the instability can
+    grow past the critical Re without waiting on round-off)."""
+    u0 = params.inlet_velocity or 0.04
+    kappa = kolmogorov_kappa(params)
+    X, Y = _grids(params)
+    ux = u0 * np.cos(kappa * Y)
+    uy = perturb * u0 * np.sin(2.0 * np.pi * X / params.nx)
+    return np.ones((params.ny, params.nx)), np.stack([ux, uy])
+
+
 def taylor_green_3d_fields(params: SimulationParams):
     """Classic 3-D Taylor-Green vortex (one period per axis):
     u = u0 ( sin x cos y cos z, −cos x sin y cos z, 0 ) with the matching
@@ -108,9 +158,14 @@ def make_problem(params: SimulationParams) -> Problem:
             mrt_rates=params.mrt_rates,
             init_fields=taylor_green_3d_fields(params),
         )
-    fields = (taylor_green_fields(params)
-              if params.problem == "taylor-green"
-              else shear_layer_fields(params))
+    force_fn = None
+    if params.problem == "taylor-green":
+        fields = taylor_green_fields(params)
+    elif params.problem == "kolmogorov":
+        fields = kolmogorov_fields(params)
+        force_fn = kolmogorov_force_fn(params)
+    else:
+        fields = shear_layer_fields(params)
     return Problem(
         params=params,
         lattice=D2Q9,
@@ -121,6 +176,7 @@ def make_problem(params: SimulationParams) -> Problem:
         periodic_x=True,
         periodic_y=True,
         body_force=tuple(params.body_force),
+        force_fn=force_fn,
         obstacle_bc=params.obstacle_bc,
         collision=params.collision,
         smagorinsky=params.smagorinsky,

@@ -41,6 +41,35 @@ def fields_fn(problem: Problem):
     return fn
 
 
+def stats_sample_fn(problem: Problem):
+    """Jittable f -> (rho, u, uu) one Reynolds-statistics sample: the
+    macroscopic fields plus the packed second-moment products
+    u_i·u_j (upper triangle, row-major: 2-D [uu, uv, vv]; 3-D
+    [uu, uv, uw, vv, vw, ww]).
+
+    Accumulated on device inside the super-chunk scan
+    (parallel/sharded_step.make_super_chunk_fn with_stats=True) so a
+    time-averaged turbulence run (mean fields + Reynolds stresses
+    <u_i'u_j'> = <u_i u_j> - <u_i><u_j>) costs no extra host round trips.
+    New capability — the reference has no flow statistics at all."""
+    base = fields_fn(problem)
+    D = problem.lattice.D
+    pairs = [(i, j) for i in range(D) for j in range(i, D)]
+
+    def fn(f):
+        rho, u = base(f)
+        uu = jnp.stack([u[i] * u[j] for i, j in pairs])
+        return rho, u, uu
+
+    return fn
+
+
+def stats_pair_names(D: int) -> list[str]:
+    """Component labels matching stats_sample_fn's uu packing."""
+    ax = "xyz"[:D]
+    return [f"u{ax[i]}u{ax[j]}" for i in range(D) for j in range(i, D)]
+
+
 def stability_fn(problem: Problem):
     """Jittable f -> bool scalar (reference check_stability,
     LBMGrid.h:285-317, evaluated per chunk — see physics.is_stable)."""

@@ -71,6 +71,29 @@ def _collide_block(problem: Problem, f: jnp.ndarray,
     return f_post
 
 
+def _add_force_field(problem: Problem, f_post: jnp.ndarray,
+                     coords: dict) -> jnp.ndarray:
+    """Add the spatially-varying Guo-lite source S_i(x) = 3 w_i (c_i·F(x))
+    post-relaxation (same scheme as the constant-force path in
+    physics.collide — injects exactly momentum F(x) per step at every
+    cell). F comes from problem.force_fn evaluated at the block's GLOBAL
+    coordinates, so sharded halo cells compute the same values their
+    owners do and no force data ever travels. New capability — the
+    reference's (dead-code) forcing is a uniform constant, LBMUtils.h:15-19.
+    """
+    if problem.force_fn is None:
+        return f_post
+    lat = problem.lattice
+    shape = f_post.shape[1:]
+    dt = f_post.dtype
+    comps = problem.force_fn(coords)
+    F = jnp.stack([jnp.broadcast_to(jnp.asarray(c_, dt), shape)
+                   for c_ in comps])                       # (D, *block)
+    cu = jnp.tensordot(jnp.asarray(lat.c, dt), F, axes=(1, 0))  # (Q, *block)
+    w = jnp.asarray(3.0 * lat.w, dt).reshape((lat.Q,) + (1,) * len(shape))
+    return f_post + w * cu
+
+
 def _coords(problem: Problem, offsets=None, shape=None):
     """Global-coordinate arrays (broadcastable against a spatial block) and
     extents, for BC masks. `shape` is the local block shape (defaults to the
@@ -111,6 +134,7 @@ def make_step_rolled(problem: Problem) -> Callable[[jnp.ndarray], jnp.ndarray]:
         solid = None if solid_np is None else jnp.asarray(solid_np)
         f_post = _collide_block(problem, f, solid)
         coords = _coords(problem)
+        f_post = _add_force_field(problem, f_post, coords)
         coords["solid"] = solid
         if bz_q is not None:
             coords["f_post"] = [f_post[i] for i in range(lat.Q)]
@@ -232,6 +256,13 @@ def make_local_step_padded(problem: Problem,
             f_post = _collide_block(problem, fpad, solid_pad)
         else:
             f_post = _collide_block(problem, fpad, None)
+        if problem.force_fn is not None:
+            # source on the whole padded block at its global coordinates
+            # (halo cells: offset−1 … n, periodic force_fn wraps them)
+            f_post = _add_force_field(
+                problem, f_post,
+                _coords(problem, tuple(o - 1 for o in offsets),
+                        tuple(n + 2 for n in shape)))
         f_post = _overwrite_physical_ghosts(f_post, offsets[-2:])
         center = (slice(1, -1),) * ndim
         planes = []

@@ -98,9 +98,50 @@ class _Cfg:
     # owned columns (the xr edge sanitize already zeroes every westward
     # pull, exactly as at a physical domain edge).
     pad_x: int = 0
+    # Spatially varying body force (problem.force_fn, e.g. Kolmogorov
+    # F_x(y) = F0·cos(κy)): evaluated IN-KERNEL from global coordinates
+    # rebuilt with broadcasted_iota + the shard's y offset (flags[4]), so
+    # no force field ever occupies HBM or rides the halo exchange. 1-step
+    # kernels only (_build_cfg raises otherwise): temporal blocking would
+    # need per-substep ring-row coordinates.
+    force_fn: object = None
+    nx_g: int = 0       # global extents for the force coords dict
+    ny_g: int = 0
 
 
-def _collide_rows(cfg: _Cfg, fw, solid_rows):
+def _collide_rows(cfg: _Cfg, fw, solid_rows, y0=None):
+    """BGK relax a list of Q same-shape row blocks (LBMSolver.h:101-123),
+    then add the spatially varying force source if the problem has one.
+    Pointwise, so safe on halo rows. `y0`: global y of the block's first
+    row (traced scalar; required iff cfg.force_fn is set — matches the jax
+    tier's unwrapped halo coords, step_jax.make_local_step_padded)."""
+    out = _collide_rows_core(cfg, fw, solid_rows)
+    if cfg.force_fn is None:
+        return out
+    rows, nxl = fw[0].shape[-2], fw[0].shape[-1]
+    yy = (jnp.asarray(y0, jnp.float32)
+          + lax.broadcasted_iota(jnp.float32, (rows, nxl), 0))
+    xx = lax.broadcasted_iota(jnp.float32, (rows, nxl), 1)
+    comps = tuple(cfg.force_fn({"xx": xx, "yy": yy,
+                                "nx": cfg.nx_g, "ny": cfg.ny_g}))
+
+    def live(comp):
+        return not (isinstance(comp, (int, float)) and comp == 0.0)
+
+    # S_i = 3 w_i (c_i · F(x)) post-relaxation, every cell incl. solids —
+    # exactly the jax tier's _add_force_field (step_jax.py)
+    for i in range(cfg.Q):
+        tot = None
+        for cc, comp in zip(cfg.c[i], comps):
+            if cc and live(comp):
+                t = cc * comp
+                tot = t if tot is None else tot + t
+        if tot is not None:
+            out[i] = out[i] + (3.0 * cfg.w[i]) * tot
+    return out
+
+
+def _collide_rows_core(cfg: _Cfg, fw, solid_rows):
     """BGK relax a list of Q same-shape row blocks (LBMSolver.h:101-123).
     D2Q9 moment sums unrolled; pointwise, so safe on halo rows."""
     rho = fw[0]
@@ -702,6 +743,8 @@ def _physics_cfg_fields(problem: Problem) -> dict:
         inlet_zou_he=problem.inlet_zou_he,
         outlet_zou_he=problem.outlet_zou_he,
         periodic_x=problem.periodic_x,
+        force_fn=problem.force_fn,
+        nx_g=int(problem.params.nx), ny_g=int(problem.params.ny),
     )
 
 
@@ -711,6 +754,11 @@ def _build_cfg(problem: Problem, local_shape, interpret, substeps=1,
     its trailing columns are dead padding (the physical right edge sits at
     column nxl - 1 - pad_x)."""
     fields = _physics_cfg_fields(problem)
+    if fields["force_fn"] is not None and substeps != 1:
+        raise ValueError(
+            "force_fn (spatially varying body force) is supported by the "
+            "1-step kernels only — temporal blocking would need "
+            "per-substep ring-row coordinates")
     nyl, nxl = local_shape
     if not interpret and nxl % 128 != 0:
         raise ValueError(f"pallas backend needs local nx % 128 == 0, got {nxl}")
@@ -814,6 +862,10 @@ def make_local_step_pallas(problem: Problem,
     def kernel(flags_ref, sflags_ref, f_ref, rb_ref, rt_ref, mask_ref,
                mrb_ref, mrt_ref, out_ref, fsl, ob, msl, sem_f, sem_ob, sem_m):
         fb, ft, fl, fr = (flags_ref[k] for k in range(4))
+        # shard's global y offset (flags[4]), only materialized for
+        # force_fn problems — every other caller passes 4-entry flags
+        y_at = ((lambda r: flags_ref[4] + r) if cfg.force_fn is not None
+                else (lambda r: None))
 
         def f_dma(t):
             return pltpu.make_async_copy(
@@ -847,32 +899,36 @@ def make_local_step_pallas(problem: Problem,
         def slab_flag(t):
             return (sflags_ref[t] == 1) if cfg.slab_skip else None
 
-        def collide_slab(slot):
+        def collide_slab(slot, tslab):
             fw = [fsl[slot, i] for i in range(Q)]
             solid_rows = (msl[slot] > 0.5) if cfg.bounce_back else None
-            fp = _collide_rows(cfg, fw, solid_rows)
+            fp = _collide_rows(cfg, fw, solid_rows, y_at(tslab * Ty))
             for i in range(Q):
                 fsl[slot, i] = fp[i]
 
         # Collide the ring rows once (loop-invariant; pointwise — each shard
         # recomputes its neighbors' post-collision edge rows locally instead
-        # of shipping them, see parallel/halo.py).
+        # of shipping them, see parallel/halo.py). Their global-y coords are
+        # the UNWRAPPED -1 / nyl offsets, matching the jax tier's padded
+        # block (periodic force_fns wrap them analytically).
         rb_fp = _collide_rows(cfg, [rb_ref[i] for i in range(Q)],
-                              (mrb_ref[...] > 0.5) if cfg.bounce_back else None)
+                              (mrb_ref[...] > 0.5) if cfg.bounce_back else None,
+                              y_at(-1))
         rt_fp = _collide_rows(cfg, [rt_ref[i] for i in range(Q)],
-                              (mrt_ref[...] > 0.5) if cfg.bounce_back else None)
+                              (mrt_ref[...] > 0.5) if cfg.bounce_back else None,
+                              y_at(nyl))
 
         start_in(0)
         if n_ty > 1:
             start_in(1)
         wait_in(0)
-        collide_slab(0)
+        collide_slab(0, 0)
 
         def loop(t, carry):
             @pl.when(t + 1 < n_ty)
             def _():
                 wait_in(t + 1)
-                collide_slab((t + 1) % 4)
+                collide_slab((t + 1) % 4, t + 1)
 
             @pl.when(t + 2 < n_ty)
             def _():
@@ -939,6 +995,9 @@ def make_local_step_pallas_ranged(problem: Problem,
     """
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
+    if problem.force_fn is not None:
+        raise ValueError("force_fn is not supported by the halo-overlap "
+                         "ranged kernel; use the default 1-step path")
     cfg = _build_cfg(problem, local_shape, interpret, substeps=1,
                      pad_x=pad_x)
     nyl = local_shape[0]

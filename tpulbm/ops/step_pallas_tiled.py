@@ -130,6 +130,11 @@ def make_local_step_tiled(problem: Problem, local_shape: tuple[int, ...],
     assert 1 <= n_sub <= 4
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
+    if problem.force_fn is not None:
+        # spatially varying force is supported by the full-width 1-step
+        # kernel only (in-kernel coords; the tiled cascade would need
+        # per-tile x offsets threaded through every substep)
+        return None
     fields = _physics_cfg_fields(problem)
     nyl, nxl = local_shape
     Q = fields["Q"]

@@ -78,6 +78,12 @@ def make_chunk_fn(problem: Problem, mesh: Mesh, chunk_len: int,
             backend = "jax"
         from ..ops.bouzidi import link_tables
         bz_q = link_tables(problem)
+    if (problem.force_fn is not None and backend == "pallas"
+            and len(problem.spatial_shape) == 3):
+        import warnings
+        warnings.warn("force_fn (spatially varying body force) has no 3-D "
+                      "pallas kernel yet; falling back to backend='jax'")
+        backend = "jax"
     thermal_pallas = None
     if problem.thermal is not None:
         # double-population (thermal) problems: fused 1-step pallas kernel
@@ -256,6 +262,16 @@ def make_chunk_fn(problem: Problem, mesh: Mesh, chunk_len: int,
                     f"x-sharded lane padding needs local nx >= pad + 4, "
                     f"got nx={local_shape[-1]} pad={pad2}")
 
+        if problem.force_fn is not None and x_sharded:
+            # the in-kernel force coords (step_pallas._collide_rows) assume
+            # full-width slabs (buffer column == global x); the x-tiled
+            # kernel would need per-tile x offsets threaded per substep
+            import warnings
+            warnings.warn("force_fn (spatially varying body force) is "
+                          "fused for full-width kernels only; x-sharded / "
+                          "padded-periodic meshes fall back to "
+                          "backend='jax'")
+            backend = "jax"
         try:
             _pallas_possible()
         except ValueError as e:
@@ -281,7 +297,8 @@ def make_chunk_fn(problem: Problem, mesh: Mesh, chunk_len: int,
         # (VERDICT r2 #5 — prep for real multi-chip ICI). Implies 1-step
         # (no temporal blocking); single-chip it adds two kernel launches
         # per step, which is why it is not the default.
-        if (os.environ.get("TPULBM_HALO_OVERLAP") and not x_sharded):
+        if (os.environ.get("TPULBM_HALO_OVERLAP") and not x_sharded
+                and problem.force_fn is None):
             from ..ops.step_pallas import make_local_step_pallas_ranged
             try:
                 pallas_ranged = make_local_step_pallas_ranged(
@@ -299,7 +316,8 @@ def make_chunk_fn(problem: Problem, mesh: Mesh, chunk_len: int,
         pallas_step2 = None
         pallas_tiled = None
         pallas_substeps = 1
-        if pallas_ranged is None and not os.environ.get("TPULBM_NO_FUSED2"):
+        if (pallas_ranged is None and not os.environ.get("TPULBM_NO_FUSED2")
+                and problem.force_fn is None):  # force_fn: 1-step only
             forced = os.environ.get("TPULBM_SUBSTEPS")
             candidates = [int(forced)] if forced else [4, 3, 2]
             from ..ops.step_pallas import make_local_step_pallasN
@@ -485,6 +503,11 @@ def make_chunk_fn(problem: Problem, mesh: Mesh, chunk_len: int,
             (y0 == 0) & phys_y,
             (y0 + nyl == problem.params.ny) & phys_y,
             jnp.array(True), jnp.array(True)]).astype(jnp.int32)
+        if problem.force_fn is not None:
+            # flags[4] = shard's global y offset: the 1-step kernel rebuilds
+            # global force coordinates in-kernel (step_pallas._collide_rows)
+            flags = jnp.concatenate(
+                [flags, jnp.asarray(y0, jnp.int32).reshape(1)])
         if pad2:
             # lane-pad once per CHUNK: the scan carries the padded state
             # (dead columns stay pinned to eq inside the kernel), the owned
@@ -799,7 +822,8 @@ def make_chunk_fn(problem: Problem, mesh: Mesh, chunk_len: int,
 
 def make_super_chunk_fn(problem: Problem, mesh: Mesh, interval_len: int,
                         n_intervals: int, backend: str = "jax",
-                        with_fields: bool = False):
+                        with_fields: bool = False,
+                        with_stats: bool = False):
     """fn(f, solid) -> (f', diags): advances n_intervals × interval_len steps
     with ONE host round trip, recording per-interval diagnostics on device.
 
@@ -834,8 +858,46 @@ def make_super_chunk_fn(problem: Problem, mesh: Mesh, interval_len: int,
 
     q_dev = getattr(chunk, "bouzidi_q", None)
 
-    def fn(f, solid, qv=None):
-        def interval(fc, _):
+    if not with_stats:
+        def fn(f, solid, qv=None):
+            def interval(fc, _):
+                if forces_fn is None:
+                    force = jnp.zeros(2)
+                elif qv is not None:
+                    force = forces_fn(fc, qv)   # bouzidi cut-link form
+                else:
+                    force = forces_fn(fc)
+                diag = (force, maxv_fn(fc), stable_fn(fc))
+                if nu_fn is not None:  # thermal: per-interval Nusselt trace
+                    diag = diag + (nu_fn(fc),)
+                if pr_fn is not None:  # point probes ride the same trip
+                    diag = diag + (pr_fn(fc),)
+                if fields_fn is not None:
+                    diag = diag + tuple(fields_fn(fc))
+                    if temp_fn is not None:  # thermal VTK frames carry T
+                        diag = diag + (temp_fn(fc),)
+                fnext = chunk(fc, solid) if qv is None else chunk(fc, solid, qv)
+                return fnext, diag
+
+            return lax.scan(interval, f, None, length=n_intervals)
+
+        jitted = jax.jit(fn, donate_argnums=(0,))
+        if q_dev is None:
+            return jitted
+        return lambda f, solid: jitted(f, solid, q_dev)
+
+    # Reynolds-statistics variant: fn(f, stats, n_skip, solid) ->
+    # ((f', stats'), diags). stats = (count, sum_rho, sum_u, sum_uu)
+    # accumulates one sample per interval-start state (the same states the
+    # diagnostics see), skipping the first n_skip intervals of this window
+    # (a TRACED scalar — the runner uses it to honor stats_from without a
+    # recompile per window). The sums live sharded on device across super-
+    # chunk calls; the host only ever sees the finalized means.
+    stats_fn = diagnostics.stats_sample_fn(problem)
+
+    def fn_stats(f, stats, n_skip, solid, qv=None):
+        def interval(carry, k):
+            fc, (cnt, s_rho, s_u, s_uu) = carry
             if forces_fn is None:
                 force = jnp.zeros(2)
             elif qv is not None:
@@ -843,23 +905,27 @@ def make_super_chunk_fn(problem: Problem, mesh: Mesh, interval_len: int,
             else:
                 force = forces_fn(fc)
             diag = (force, maxv_fn(fc), stable_fn(fc))
-            if nu_fn is not None:     # thermal: per-interval Nusselt trace
+            if nu_fn is not None:
                 diag = diag + (nu_fn(fc),)
-            if pr_fn is not None:     # point probes ride the same trip
+            if pr_fn is not None:
                 diag = diag + (pr_fn(fc),)
             if fields_fn is not None:
                 diag = diag + tuple(fields_fn(fc))
-                if temp_fn is not None:  # thermal VTK frames carry T
+                if temp_fn is not None:
                     diag = diag + (temp_fn(fc),)
+            rho, u, uu = stats_fn(fc)
+            w = (k >= n_skip).astype(s_rho.dtype)
+            st = (cnt + w, s_rho + w * rho, s_u + w * u, s_uu + w * uu)
             fnext = chunk(fc, solid) if qv is None else chunk(fc, solid, qv)
-            return fnext, diag
+            return (fnext, st), diag
 
-        return lax.scan(interval, f, None, length=n_intervals)
+        return lax.scan(interval, (f, stats), jnp.arange(n_intervals))
 
-    jitted = jax.jit(fn, donate_argnums=(0,))
+    jitted = jax.jit(fn_stats, donate_argnums=(0, 1))
     if q_dev is None:
         return jitted
-    return lambda f, solid: jitted(f, solid, q_dev)
+    return lambda f, stats, n_skip, solid: jitted(f, stats, n_skip, solid,
+                                                  q_dev)
 
 
 def shard_mask(mesh: Mesh, mask):
@@ -887,11 +953,13 @@ def shard_initial_state(problem: Problem, mesh: Mesh):
     """
     from .. import physics
 
-    if problem.thermal is not None or problem.init_rho_map is not None:
-        # thermal (conductive T profile + seed mode) and multiphase
-        # (droplet/band rho map) initial states are not uniform broadcasts
-        # (models/base.initial_state) — build on host; those grids are far
-        # below the sizes this fast path targets
+    if (problem.thermal is not None or problem.init_rho_map is not None
+            or problem.init_fields is not None):
+        # thermal (conductive T profile + seed mode), multiphase
+        # (droplet/band rho map) and analytic-field (Taylor-Green /
+        # shear-layer init_fields) initial states are not uniform
+        # broadcasts (models/base.initial_state) — build on host; those
+        # grids are far below the sizes this fast path targets
         return shard_state(mesh, problem.initial_state(), problem.solid)
 
     ndim = len(problem.spatial_shape)

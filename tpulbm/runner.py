@@ -120,6 +120,22 @@ class Runner:
             return out
 
         self._diag = jax.jit(_diag)
+        # Reynolds statistics (--stats-from): on-device accumulators for
+        # time-mean fields + Reynolds stresses, sampled at every output
+        # interval. The scalar-path updater covers windows the super-chunk
+        # fast path doesn't take (short runs, run tails); both sample the
+        # same states (t ≡ 0 mod output_frequency, t >= stats_from).
+        self._stats_update = None
+        if params.stats_from >= 0:
+            stats_fn_ = diagnostics.stats_sample_fn(self.problem)
+
+            def _st_update(st, f):
+                cnt, s_rho, s_u, s_uu = st
+                rho, u, uu = stats_fn_(f)
+                one = jnp.asarray(1, s_rho.dtype)
+                return (cnt + one, s_rho + rho, s_u + u, s_uu + uu)
+
+            self._stats_update = jax.jit(_st_update, donate_argnums=(0,))
         # Closed-box problems (cavity): on-node wall reflection conserves
         # mass only to O(wall-normal gradients) — measured ~2e-6/step
         # relative drift at Re=100 — and a closed domain has no open BC to
@@ -291,6 +307,24 @@ class Runner:
         else:
             f, solid_dev = shard_state(self.mesh, f0, solid)
 
+        stats_dev = None
+        stats_first = None      # first timestep actually sampled
+        if p.stats_from >= 0:
+            dt_ = self.problem.dtype
+            sp = self.problem.spatial_shape
+            D = self.problem.lattice.D
+            stats_dev = (
+                jnp.zeros((), dt_),
+                shard_mask(self.mesh, jnp.zeros(sp, dt_)),
+                shard_mask(self.mesh, jnp.zeros((D,) + sp, dt_)),
+                shard_mask(self.mesh,
+                           jnp.zeros((D * (D + 1) // 2,) + sp, dt_)))
+            if start_step > p.stats_from and self.verbose:
+                print(f"  NOTE: resuming at step {start_step} restarts "
+                      f"statistics accumulation (stats_from="
+                      f"{p.stats_from}); stats_fields.npz will record the "
+                      f"actual sample window")
+
         force_writer = None
         forces_path = None
         if self._forces is not None:
@@ -356,8 +390,20 @@ class Runner:
                         if vtk_window not in self._super:
                             self._super[vtk_window] = make_super_chunk_fn(
                                 problem, self.mesh, freq, _SUPER_K,
-                                backend=p.backend, with_fields=vtk_window)
-                        f, diags = self._super[vtk_window](f, solid_dev)
+                                backend=p.backend, with_fields=vtk_window,
+                                with_stats=stats_dev is not None)
+                        if stats_dev is not None:
+                            # skip the leading intervals of this window that
+                            # precede stats_from (traced scalar: no recompile)
+                            j_skip = min(
+                                max(0, -((t - p.stats_from) // freq)),
+                                _SUPER_K)
+                            (f, stats_dev), diags = self._super[vtk_window](
+                                f, stats_dev, np.int32(j_skip), solid_dev)
+                            if stats_first is None and j_skip < _SUPER_K:
+                                stats_first = t + j_skip * freq
+                        else:
+                            f, diags = self._super[vtk_window](f, solid_dev)
                         if self._renorm is not None:
                             f = self._renorm(f)
                         # per-interval scalars are replicated → addressable
@@ -425,6 +471,10 @@ class Runner:
                     # donated buffer — with the heavy ASCII formatting still
                     # pushed off-thread.
                     if t % freq == 0:
+                        if stats_dev is not None and t >= p.stats_from:
+                            stats_dev = self._stats_update(stats_dev, f)
+                            if stats_first is None:
+                                stats_first = t
                         dv = jax.device_get(self._diag(f, self._bz_q))
                         fvec, mv, stable = dv[:3]
                         if nu_writer is not None:
@@ -487,6 +537,9 @@ class Runner:
                 probe_writer.close()
             self._drain_io()
 
+        if success and stats_dev is not None:
+            # collective (fetch_tree) — every process participates
+            self._write_stats(stats_dev, stats_first)
         stats = None
         if success:
             stats = self.write_final_results(f, fields_prev)
@@ -495,6 +548,37 @@ class Runner:
             print(f"\nThroughput: {meter.mlups:.1f} MLUPS over "
                   f"{meter.steps} steps ({wall:.1f}s wall total)")
         return RunResult(success, t, meter.mlups, wall, forces_path, stats)
+
+    def _write_stats(self, stats_dev, stats_first) -> None:
+        """Finalize the Reynolds statistics: means and stresses computed ON
+        DEVICE from the accumulated sums (one small jit), gathered once, and
+        written by process 0 as stats_fields.npz."""
+        p = self.params
+        n = float(jax.device_get(stats_dev[0]))
+        if n < 1:
+            if self.verbose:
+                print("Reynolds statistics: no samples taken "
+                      "(stats_from past the sampled window); skipping")
+            return
+        D = self.problem.lattice.D
+        pairs = [(i, j) for i in range(D) for j in range(i, D)]
+
+        def fin(cnt, s_rho, s_u, s_uu):
+            mrho = s_rho / cnt
+            mu = s_u / cnt
+            re = s_uu / cnt - jnp.stack([mu[i] * mu[j] for i, j in pairs])
+            return mrho, mu, re
+
+        mrho, mu, re = multihost.fetch_tree(jax.jit(fin)(*stats_dev))
+        if not self.primary:
+            return
+        path = io_mod.write_stats_fields(
+            np.asarray(mrho), np.asarray(mu), np.asarray(re),
+            diagnostics.stats_pair_names(D), int(n),
+            stats_first if stats_first is not None else -1,
+            p.output_frequency, p.output_dir)
+        if self.verbose:
+            print(f"Reynolds statistics: {int(n)} samples -> {path}")
 
     def write_final_results(self, f, fields_prev=None) -> dict | None:
         """Final artifacts (parity: IOManager::write_final_results,

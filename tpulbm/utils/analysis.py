@@ -85,6 +85,64 @@ def pressure_deviation(rho: np.ndarray) -> np.ndarray:
     return (rho - rho.mean()) / 3.0
 
 
+def energy_spectrum(u: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Isotropic shell-binned kinetic-energy spectrum of a velocity field
+    on a fully periodic box (lattice units, dx = 1).
+
+    u: (D, *spatial) with spatial axes ordered like the solver state
+    ((ny, nx) in 2-D, (nz, ny, nx) in 3-D; axis order does not matter for
+    an isotropic binning). Returns (k, E): shell-center wavenumbers
+    k_s = s·κ0 with κ0 = 2π/max(n_i) (the largest resolved scale), and
+    shell energies normalized so that sum(E) equals the mean kinetic
+    energy 0.5·⟨|u|²⟩ exactly (discrete Parseval; gated in
+    tests/test_spectra.py). For a cubic box the shells coincide with the
+    usual integer-mode shells |m| ≈ s.
+
+    New capability — the reference has no turbulence statistics or
+    spectral analysis at all (its post-processing is lift.py's peak
+    finder and a field plotter).
+    """
+    u = np.asarray(u)
+    D = u.shape[0]
+    spatial = u.shape[1:]
+    if len(spatial) != D:
+        raise ValueError(f"u must be (D, *spatial) with D spatial axes; "
+                         f"got shape {u.shape}")
+    n_cells = int(np.prod(spatial))
+    # Physical wavenumbers per axis: κ_i = 2π m_i / n_i (dx = 1).
+    kappa0 = 2.0 * np.pi / max(spatial)
+    axes = [2.0 * np.pi * np.fft.fftfreq(n) for n in spatial]  # = κ_i
+    grids = np.meshgrid(*axes, indexing="ij")
+    kmag = np.sqrt(sum(g * g for g in grids))
+    shell = np.rint(kmag / kappa0).astype(int)
+
+    # 0.5 Σ_k |û_k|² with û = FFT/N ⇒ Σ shells = 0.5·mean(|u|²).
+    e_density = np.zeros(spatial)
+    for c in range(D):
+        uhat = np.fft.fftn(u[c]) / n_cells
+        e_density += 0.5 * np.abs(uhat) ** 2
+    n_shells = int(shell.max()) + 1
+    E = np.bincount(shell.ravel(), weights=e_density.ravel(),
+                    minlength=n_shells)
+    k = kappa0 * np.arange(n_shells)
+    return k, E
+
+
+def turbulent_kinetic_energy(stats_npz) -> np.ndarray:
+    """Per-cell TKE = ½⟨u_i'u_i'⟩ from a stats_fields.npz mapping
+    (the --stats-from artifact): sums the diagonal Reynolds-stress
+    components re_uxux [+ re_uyuy [+ re_uzuz]]."""
+    tke = None
+    for key in ("re_uxux", "re_uyuy", "re_uzuz"):
+        if key in stats_npz:
+            comp = np.asarray(stats_npz[key])
+            tke = comp.copy() if tke is None else tke + comp
+    if tke is None:
+        raise KeyError("no re_u*u* diagonal components found "
+                       "(not a stats_fields.npz artifact?)")
+    return 0.5 * tke
+
+
 def read_params_csv(path: str) -> dict:
     """Parse simulation_params.csv into {parameter: float}."""
     out = {}

@@ -276,6 +276,30 @@ def write_temperature_field(T: np.ndarray, params: SimulationParams,
     return path
 
 
+def write_stats_fields(mean_rho: np.ndarray, mean_u: np.ndarray,
+                       reynolds_stress: np.ndarray, pair_names: list[str],
+                       n_samples: int, first_step: int, interval: int,
+                       out_dir: str = ".") -> str:
+    """Reynolds-statistics artifact: stats_fields.npz with the time-mean
+    fields and the Reynolds-stress tensor components
+    <u_i'u_j'> = <u_i u_j> - <u_i><u_j> (upper triangle, keys like
+    're_uxuy'), plus the sampling metadata (sample count, first sampled
+    timestep, sampling interval) so the file is self-describing — a resume
+    that restarts accumulation is visible in n_samples/first_step.
+    New capability; the reference has no flow statistics."""
+    path = os.path.join(out_dir, "stats_fields.npz")
+    out = {"mean_rho": mean_rho, "n_samples": np.int64(n_samples),
+           "first_step": np.int64(first_step),
+           "sample_interval": np.int64(interval)}
+    ax = "xyz"[:mean_u.shape[0]]
+    for i, a in enumerate(ax):
+        out[f"mean_u{a}"] = mean_u[i]
+    for k, name in enumerate(pair_names):
+        out[f"re_{name}"] = reynolds_stress[k]
+    np.savez(path, **out)
+    return path
+
+
 def write_simulation_params(ux: np.ndarray, uy: np.ndarray,
                             params: SimulationParams, out_dir: str = ".") -> str:
     """Run-record CSV (format parity: LBMIO.h:327-365, including the mixed
