@@ -69,12 +69,11 @@ def bench(nx=2048, ny=512, backend="pallas", chunk_len=280, chunks=8,
                                   inlet_velocity=0.0)
     elif kolmogorov:
         # forced (Kolmogorov) turbulence: periodic box + the spatially
-        # varying body force evaluated IN-KERNEL (force-fused 1-step
-        # kernel) — the cost of sustained-turbulence production runs
-        if nz:
-            raise ValueError("--kolmogorov is 2-D (force_fn has no 3-D "
-                             "pallas kernel)")
-        params = SimulationParams(nx=nx, ny=ny, problem="kolmogorov",
+        # varying body force evaluated IN-KERNEL (force-fused kernels,
+        # temporal blocking included) — the cost of sustained-turbulence
+        # production runs. With --nz: 3-D F_x(z) forcing through the
+        # full-plane kernel.
+        params = SimulationParams(nx=nx, ny=ny, nz=nz, problem="kolmogorov",
                                   precision=precision, backend=backend,
                                   mesh_shape=mesh_shape, tau=0.8,
                                   kolmogorov_n=4, collision=collision,

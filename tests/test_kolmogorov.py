@@ -133,25 +133,153 @@ def test_pallas_force_matches_jax(mesh_shape):
     np.testing.assert_allclose(b, a, atol=5e-7, rtol=0)
 
 
-def test_pallas_x_sharded_demotes_to_jax():
-    """The in-kernel force coords assume full-width slabs; an x-sharded
-    mesh must warn and fall back to the jax tier (still correct, just
-    slower) rather than compute wrong x offsets."""
-    params = _params(precision="f32", nx=128, kolmogorov_n=2)
+@pytest.mark.parametrize("n_sub,mesh_shape",
+                         [(2, (1, 1)), (3, (1, 1)), (4, (1, 1)),
+                          (3, (2, 1))],
+                         ids=["N2", "N3", "N4", "N3-sharded"])
+def test_pallas_blocked_force_matches_jax(n_sub, mesh_shape, monkeypatch):
+    """Temporal blocking with a spatially varying force: every collide
+    site in the N-step cascade (raw slabs, ghost-chain rows at the
+    unwrapped -N..-1 / nyl..nyl+N-1 offsets, intermediate stages) adds
+    the force at its fixed global-y coordinates, so the blocked kernels
+    must match the jax tier exactly like the 1-step kernel does."""
+    from tpulbm.ops.step_pallas import (make_local_step_pallas2,
+                                        make_local_step_pallasN)
+    params = _params(precision="f32", nx=128, ny=64, kolmogorov_n=2)
     pr = make_problem(params)
-    mesh = make_mesh((1, 2), devices=jax.devices()[:2])
-    with warnings.catch_warnings(record=True) as w:
-        warnings.simplefilter("always")
-        chunk = make_chunk_fn(pr, mesh, 4, backend="pallas")
-    assert any("force_fn" in str(x.message) for x in w)
-    ref = make_chunk_fn(pr, mesh, 4, backend="jax")
-    s0, solid = shard_state(mesh, pr.initial_state(),
-                            np.zeros((params.ny, params.nx), bool))
-    a = np.asarray(jax.device_get(chunk(s0, solid)))
-    s0, solid = shard_state(mesh, pr.initial_state(),
-                            np.zeros((params.ny, params.nx), bool))
-    b = np.asarray(jax.device_get(ref(s0, solid)))
-    np.testing.assert_allclose(a, b, rtol=1e-6)
+    monkeypatch.setenv("TPULBM_PALLAS_TY", "4")
+    nyl = params.ny // mesh_shape[0]
+    builder = (make_local_step_pallas2 if n_sub == 2 else
+               lambda p, s, interpret: make_local_step_pallasN(
+                   p, s, n_sub, interpret=interpret))
+    assert builder(pr, (nyl, params.nx), interpret=True) is not None
+    monkeypatch.setenv("TPULBM_SUBSTEPS", str(n_sub))
+    solid = np.zeros((params.ny, params.nx), bool)
+    n = mesh_shape[0] * mesh_shape[1]
+    mesh = make_mesh(mesh_shape, devices=jax.devices()[:n])
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")  # fused: no demotion warning allowed
+        cp = make_chunk_fn(pr, mesh, 12, backend="pallas")
+    monkeypatch.delenv("TPULBM_SUBSTEPS")
+    monkeypatch.delenv("TPULBM_PALLAS_TY")
+    cj = make_chunk_fn(pr, mesh, 12, backend="jax")
+    sj, sd = shard_state(mesh, pr.initial_state(), solid)
+    sp, _ = shard_state(mesh, pr.initial_state(), solid)
+    a = np.asarray(jax.device_get(cj(sj, sd)))
+    b = np.asarray(jax.device_get(cp(sp, sd)))
+    np.testing.assert_allclose(b, a, atol=5e-7, rtol=0)
+
+
+@pytest.mark.parametrize("axis,n_sub,mesh_shape",
+                         [("y", 1, (1, 2)), ("x", 1, (1, 2)),
+                          ("x", 2, (2, 2))],
+                         ids=["Fy-x2", "Fx-x2", "Fx-2x2-N2"])
+def test_pallas_x_sharded_force_fused(axis, n_sub, mesh_shape, monkeypatch):
+    """x-sharded meshes run force_fn problems through the x-tiled kernel:
+    flags[5] carries the shard's global x offset and each tile adds its
+    tx·Tx − H buffer origin, so in-kernel coordinates stay global. The
+    'x' cases rotate the force to F_y(x) = F0·cos(κx) — a force the
+    per-tile x offsets must get exactly right (a pure-y force would mask
+    an x-coordinate bug); halo columns at the wrapped west edge use the
+    unwrapped −H..−1 coords that the periodic cosine wraps analytically."""
+    import dataclasses
+    params = _params(precision="f32", nx=128, ny=32, kolmogorov_n=2)
+    pr = make_problem(params)
+    if axis == "x":
+        import jax.numpy as jnp_
+        kx = 2.0 * np.pi * 2 / params.nx
+        f0 = kolmogorov_f0(params)
+        pr = dataclasses.replace(
+            pr, force_fn=lambda c: (0.0, f0 * jnp_.cos(kx * c["xx"])))
+    if n_sub > 1:
+        monkeypatch.setenv("TPULBM_SUBSTEPS", str(n_sub))
+    solid = np.zeros((params.ny, params.nx), bool)
+    n = mesh_shape[0] * mesh_shape[1]
+    mesh = make_mesh(mesh_shape, devices=jax.devices()[:n])
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")  # fused: no demotion warning allowed
+        cp = make_chunk_fn(pr, mesh, 4, backend="pallas")
+    if n_sub > 1:
+        monkeypatch.delenv("TPULBM_SUBSTEPS")
+    cj = make_chunk_fn(pr, mesh, 4, backend="jax")
+    sj, sd = shard_state(mesh, pr.initial_state(), solid)
+    sp, _ = shard_state(mesh, pr.initial_state(), solid)
+    a = np.asarray(jax.device_get(cj(sj, sd)))
+    b = np.asarray(jax.device_get(cp(sp, sd)))
+    np.testing.assert_allclose(b, a, atol=5e-7, rtol=0)
+
+
+# ---- 3-D Kolmogorov flow (F_x(z) = F0·cos(κz), D3Q19) ----
+
+def _params3(**kw):
+    d = dict(nx=16, ny=8, nz=32, tau=0.8, problem="kolmogorov",
+             kolmogorov_n=1, inlet_velocity=0.01, periodic_x=True,
+             cylinder_radius=0.0, precision="f64")
+    d.update(kw)
+    return SimulationParams(**d)
+
+
+def test_3d_spinup_from_rest_matches_linear_solution():
+    """3-D forcing-mode growth from rest: a(t) = u0·(1 − e^{−νκ²t}) with
+    κ = 2π·n/nz — validates the F0 calibration and the zz force
+    coordinates end-to-end on D3Q19."""
+    import dataclasses
+    from tpulbm.models.periodic2d import kolmogorov3d_kappa
+    params = _params3()
+    pr = make_problem(params)
+    rest = (np.ones((params.nz, params.ny, params.nx)),
+            np.zeros((3, params.nz, params.ny, params.nx)))
+    pr = dataclasses.replace(pr, init_fields=rest)
+    step = jax.jit(make_step_rolled(pr))
+    f = jnp.asarray(pr.initial_state())
+    nu, kappa = params.nu(), kolmogorov3d_kappa(params)
+    u0 = params.inlet_velocity
+    f = lax.fori_loop(0, 400, lambda i, x: step(x), f)
+    _, u = physics.moments(pr.lattice, f)
+    z = np.arange(params.nz, dtype=np.float64)[:, None, None]
+    a_meas = 2.0 * float(np.mean(np.asarray(u[0]) * np.cos(kappa * z)))
+    a_exp = u0 * (1.0 - np.exp(-nu * kappa * kappa * 400))
+    assert abs(a_meas / a_exp - 1.0) < 0.02, (a_meas, a_exp)
+
+
+def test_3d_pallas_force_matches_jax():
+    """The full-plane 3-D kernel evaluates the force per z-plane in-kernel
+    (zz = traced plane index, yy/xx iota); wrapped z ring planes use the
+    unwrapped −1/nz coords. Must match the jax tier."""
+    params = _params3(precision="f32", nx=32, ny=8, nz=8)
+    pr = make_problem(params)
+    solid = np.zeros(pr.spatial_shape, bool)
+    mesh = make_mesh((1, 1), devices=jax.devices()[:1])
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")        # no silent tier loss
+        cp = make_chunk_fn(pr, mesh, 5, backend="pallas")
+    cj = make_chunk_fn(pr, mesh, 5, backend="jax")
+    sj, sd = shard_state(mesh, pr.initial_state(), solid)
+    sp, _ = shard_state(mesh, pr.initial_state(), solid)
+    for _ in range(2):
+        sj = cj(sj, sd)
+        sp = cp(sp, sd)
+    a = np.asarray(jax.device_get(sj))
+    b = np.asarray(jax.device_get(sp))
+    np.testing.assert_allclose(b, a, atol=3e-6, rtol=0)
+
+
+def test_3d_sharded_force_demotes_to_jax():
+    """Sharded 3-D meshes have no force-capable kernel (the y-tiled
+    cascade would need per-tile offsets); they must warn and fall back to
+    the jax tier, still correct."""
+    params = _params3(precision="f32", nx=32, ny=16, nz=8)
+    pr = make_problem(params)
+    solid = np.zeros(pr.spatial_shape, bool)
+    mesh = make_mesh((2, 1), devices=jax.devices()[:2])
+    with pytest.warns(UserWarning, match="full-plane"):
+        cp = make_chunk_fn(pr, mesh, 4, backend="pallas")
+    cj = make_chunk_fn(pr, mesh, 4, backend="jax")
+    sj, sd = shard_state(mesh, pr.initial_state(), solid)
+    sp, _ = shard_state(mesh, pr.initial_state(), solid)
+    a = np.asarray(jax.device_get(cj(sj, sd)))
+    b = np.asarray(jax.device_get(cp(sp, sd)))
+    np.testing.assert_allclose(b, a, rtol=1e-6)
 
 
 def test_runner_end_to_end_with_stats_and_spectrum(tmp_path):

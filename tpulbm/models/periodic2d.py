@@ -19,7 +19,10 @@ layer. New capability — the reference has no periodic-box mode at all
   Re = u0/(νκ) ≈ √2 the bands destabilize into sustained 2-D
   turbulence. The force is a Problem.force_fn evaluated in-step from
   global coordinates (no stored field, shards for free); pairs with
-  --stats-from Reynolds statistics and scripts/spectra.py.
+  --stats-from Reynolds statistics and scripts/spectra.py. With nz > 0
+  the same problem name gives the 3-D variant — F_x(z) = F0·cos(κz),
+  κ = 2π·n/nz on D3Q19/D3Q27 — the classic monochromatic forcing for
+  sustained box turbulence with a k^-5/3 inertial range.
 
 Both initialize via Problem.init_fields (equilibrium at an analytic
 (rho, u) field) and run with periodic_y=True — the halo machinery wraps
@@ -118,6 +121,43 @@ def kolmogorov_fields(params: SimulationParams, perturb: float = 0.01):
     return np.ones((params.ny, params.nx)), np.stack([ux, uy])
 
 
+def kolmogorov3d_kappa(params: SimulationParams) -> float:
+    """3-D forcing wavenumber κ = 2π·n/nz (the force varies along z)."""
+    return 2.0 * np.pi * params.kolmogorov_n / params.nz
+
+
+def kolmogorov3d_force_fn(params: SimulationParams):
+    """Problem.force_fn for 3-D Kolmogorov forcing: F = (F0·cos(κz), 0, 0)
+    with the same F0 = u0·ν·κ² laminar-peak calibration as 2-D. The
+    classic monochromatic forcing for sustained 3-D box turbulence —
+    above Re = u0/(νκ) ~ O(1) the shear bands destabilize and cascade."""
+    import jax.numpy as jnp
+    kappa = kolmogorov3d_kappa(params)
+    u0 = params.inlet_velocity or 0.04
+    f0 = u0 * params.nu() * kappa * kappa
+
+    def force(coords):
+        return (f0 * jnp.cos(kappa * coords["zz"]), 0.0, 0.0)
+
+    return force
+
+
+def kolmogorov3d_fields(params: SimulationParams, perturb: float = 0.01):
+    """Initial (rho, u): laminar profile u_x(z) = u0·cos(κz) plus small
+    deterministic transverse seeds along the other two axes (breaks both
+    translation symmetries so secondary instabilities can grow)."""
+    nx, ny, nz = params.nx, params.ny, params.nz
+    u0 = params.inlet_velocity or 0.04
+    kappa = kolmogorov3d_kappa(params)
+    z = np.arange(nz, dtype=np.float64)[:, None, None]
+    y = np.arange(ny, dtype=np.float64)[None, :, None]
+    x = np.arange(nx, dtype=np.float64)[None, None, :]
+    ux = u0 * np.cos(kappa * z) * np.ones((1, ny, nx))
+    uy = perturb * u0 * np.sin(2.0 * np.pi * x / nx) * np.ones((nz, ny, 1))
+    uz = perturb * u0 * np.sin(2.0 * np.pi * y / ny) * np.ones((nz, 1, nx))
+    return np.ones((nz, ny, nx)), np.stack([ux, uy, uz])
+
+
 def taylor_green_3d_fields(params: SimulationParams):
     """Classic 3-D Taylor-Green vortex (one period per axis):
     u = u0 ( sin x cos y cos z, −cos x sin y cos z, 0 ) with the matching
@@ -140,23 +180,30 @@ def taylor_green_3d_fields(params: SimulationParams):
 
 def make_problem(params: SimulationParams) -> Problem:
     if params.is_3d:
-        if params.problem != "taylor-green":
+        if params.problem not in ("taylor-green", "kolmogorov"):
             raise ValueError(f"{params.problem} is 2-D only")
         from ..lattice import D3Q19, D3Q27
         lat = D3Q27 if params.lattice3d == "d3q27" else D3Q19
+        if params.problem == "kolmogorov":
+            fields3 = kolmogorov3d_fields(params)
+            force3 = kolmogorov3d_force_fn(params)
+        else:
+            fields3 = taylor_green_3d_fields(params)
+            force3 = None
         return Problem(
             params=params, lattice=lat, solid=None,
             init_rho=1.0, init_u=(0.0, 0.0, 0.0),
             walls_y=False, walls_z=False,
             periodic_x=True, periodic_y=True, periodic_z=True,
             body_force=tuple(params.body_force),
+            force_fn=force3,
             obstacle_bc=params.obstacle_bc,
             collision=params.collision,
             smagorinsky=params.smagorinsky,
             power_law=params.power_law() or (),
             trt_magic=params.trt_magic,
             mrt_rates=params.mrt_rates,
-            init_fields=taylor_green_3d_fields(params),
+            init_fields=fields3,
         )
     force_fn = None
     if params.problem == "taylor-green":

@@ -101,20 +101,25 @@ class _Cfg:
     # Spatially varying body force (problem.force_fn, e.g. Kolmogorov
     # F_x(y) = F0·cos(κy)): evaluated IN-KERNEL from global coordinates
     # rebuilt with broadcasted_iota + the shard's y offset (flags[4]), so
-    # no force field ever occupies HBM or rides the halo exchange. 1-step
-    # kernels only (_build_cfg raises otherwise): temporal blocking would
-    # need per-substep ring-row coordinates.
+    # no force field ever occupies HBM or rides the halo exchange. The
+    # blocked (N-step) kernels thread each collide site's global-y origin
+    # too — ghost-chain rows sit at the analytic unwrapped offsets
+    # (-N..-1 / nyl..nyl+N-1), which periodic force_fns wrap exactly, so
+    # temporal blocking reproduces the jax tier bit-for-bit in f32.
     force_fn: object = None
     nx_g: int = 0       # global extents for the force coords dict
     ny_g: int = 0
 
 
-def _collide_rows(cfg: _Cfg, fw, solid_rows, y0=None):
+def _collide_rows(cfg: _Cfg, fw, solid_rows, y0=None, x0=None):
     """BGK relax a list of Q same-shape row blocks (LBMSolver.h:101-123),
     then add the spatially varying force source if the problem has one.
     Pointwise, so safe on halo rows. `y0`: global y of the block's first
     row (traced scalar; required iff cfg.force_fn is set — matches the jax
-    tier's unwrapped halo coords, step_jax.make_local_step_padded)."""
+    tier's unwrapped halo coords, step_jax.make_local_step_padded).
+    `x0`: global x of the block's first column (x-tiled kernels, where
+    buffer columns are tile-relative; full-width kernels leave it None —
+    buffer column == global x there)."""
     out = _collide_rows_core(cfg, fw, solid_rows)
     if cfg.force_fn is None:
         return out
@@ -122,6 +127,8 @@ def _collide_rows(cfg: _Cfg, fw, solid_rows, y0=None):
     yy = (jnp.asarray(y0, jnp.float32)
           + lax.broadcasted_iota(jnp.float32, (rows, nxl), 0))
     xx = lax.broadcasted_iota(jnp.float32, (rows, nxl), 1)
+    if x0 is not None:
+        xx = jnp.asarray(x0, jnp.float32) + xx
     comps = tuple(cfg.force_fn({"xx": xx, "yy": yy,
                                 "nx": cfg.nx_g, "ny": cfg.ny_g}))
 
@@ -754,11 +761,6 @@ def _build_cfg(problem: Problem, local_shape, interpret, substeps=1,
     its trailing columns are dead padding (the physical right edge sits at
     column nxl - 1 - pad_x)."""
     fields = _physics_cfg_fields(problem)
-    if fields["force_fn"] is not None and substeps != 1:
-        raise ValueError(
-            "force_fn (spatially varying body force) is supported by the "
-            "1-step kernels only — temporal blocking would need "
-            "per-substep ring-row coordinates")
     nyl, nxl = local_shape
     if not interpret and nxl % 128 != 0:
         raise ValueError(f"pallas backend needs local nx % 128 == 0, got {nxl}")
@@ -1190,6 +1192,13 @@ def make_local_step_pallas2(problem: Problem,
                mrb_ref, mrt_ref, out_ref, fa, gb, ob, msl, g_rt,
                sem_f, sem_ob, sem_m):
         fb, ft, fl, fr = (flags_ref[k] for k in range(4))
+        # shard's global y offset (flags[4]), only read for force_fn
+        # problems — every other caller passes 4-entry flags. Both stages
+        # evaluate the force at the same (fixed) global coordinates; ghost
+        # rows use the unwrapped -2..-1 / nyl..nyl+1 offsets (periodic
+        # force_fns wrap them analytically, matching the jax tier).
+        y_at = ((lambda r: flags_ref[4] + r) if cfg.force_fn is not None
+                else (lambda r: None))
 
         def f_dma(t):
             return pltpu.make_async_copy(
@@ -1222,18 +1231,21 @@ def make_local_step_pallas2(problem: Problem,
         def slab_flag(t):
             return (sflags_ref[t] == 1) if cfg.slab_skip else None
 
-        def collide_a(slot):
+        def collide_a(t):
+            slot = t % 4
             fw = [fa[slot, i] for i in range(Q)]
             solid_rows = (msl[slot] > 0.5) if cfg.bounce_back else None
-            fp = _collide_rows(cfg, fw, solid_rows)
+            fp = _collide_rows(cfg, fw, solid_rows, y_at(t * Ty))
             for i in range(Q):
                 fa[slot, i] = fp[i]
 
         # A-collided depth-2 ring rows (loop-invariant values)
         mrb = (mrb_ref[...] > 0.5) if cfg.bounce_back else None
         mrt = (mrt_ref[...] > 0.5) if cfg.bounce_back else None
-        rbA = _collide_rows(cfg, [rb_ref[i] for i in range(Q)], mrb)  # (2,nxl)
-        rtA = _collide_rows(cfg, [rt_ref[i] for i in range(Q)], mrt)
+        rbA = _collide_rows(cfg, [rb_ref[i] for i in range(Q)], mrb,
+                            y_at(-2))  # (2,nxl)
+        rtA = _collide_rows(cfg, [rt_ref[i] for i in range(Q)], mrt,
+                            y_at(nyl))
 
         # Prologue: raw slabs 0..2 in flight; 0 and 1 A-collided (n_ty >= 3).
         start_in(0)
@@ -1262,14 +1274,15 @@ def make_local_step_pallas2(problem: Problem,
         planes = _bc_row_values(cfg, planes, mrb_ref[1:2, :] if has_solid else None,
                                 fl, fr)
         planes = _collide_rows(cfg, planes,
-                               (mrb_ref[1:2, :] > 0.5) if cfg.bounce_back else None)
+                               (mrb_ref[1:2, :] > 0.5) if cfg.bounce_back else None,
+                               y_at(-1))
         eq_row = [jnp.full((1, nxl), cfg.eq_in[i], jnp.float32) for i in range(Q)]
         g_rb = [jnp.where(fb == 1, eq_row[i], planes[i]) for i in range(Q)]
 
-        def collide_gb(gslot, cur_slot):
+        def collide_gb(gslot, cur_slot, s_idx):
             fw = [gb[gslot, i] for i in range(Q)]
             solid_rows = (msl[cur_slot] > 0.5) if cfg.bounce_back else None
-            fp = _collide_rows(cfg, fw, solid_rows)
+            fp = _collide_rows(cfg, fw, solid_rows, y_at(s_idx * Ty))
             for i in range(Q):
                 gb[gslot, i] = fp[i]
 
@@ -1280,7 +1293,7 @@ def make_local_step_pallas2(problem: Problem,
         _apply_bcs(cfg, gb, 0, msl if has_solid else None, 0,
                    fb == 1, jnp.asarray(False, jnp.bool_), fl, fr,
                    solid_flag=slab_flag(0))
-        collide_gb(0, 0)
+        collide_gb(0, 0, 0)
 
         def make_gb(s_idx):
             """gB[s_idx % 3] = collideB(BC_A(streamA(slab s_idx))); s_idx >= 1
@@ -1297,14 +1310,14 @@ def make_local_step_pallas2(problem: Problem,
                        jnp.asarray(False, jnp.bool_),
                        jnp.logical_and(is_last, ft == 1), fl, fr,
                        solid_flag=slab_flag(s_idx))
-            collide_gb(gslot, cur_slot)
+            collide_gb(gslot, cur_slot, s_idx)
 
         def loop(s, carry):
             # stage 1: A-collide slab s+2; prefetch raw slab s+3
             @pl.when(s + 2 < n_ty)
             def _():
                 wait_in(s + 2)
-                collide_a((s + 2) % 4)
+                collide_a(s + 2)
 
             @pl.when(s + 3 < n_ty)
             def _():
@@ -1330,7 +1343,8 @@ def make_local_step_pallas2(problem: Problem,
                     mrt_ref[0:1, :] if has_solid else None, fl, fr)
                 planes2 = _collide_rows(
                     cfg, planes2,
-                    (mrt_ref[0:1, :] > 0.5) if cfg.bounce_back else None)
+                    (mrt_ref[0:1, :] > 0.5) if cfg.bounce_back else None,
+                    y_at(nyl))
                 for i in range(Q):
                     g_rt[0, i] = jnp.where(ft == 1, eq_row[i], planes2[i])
 
@@ -1423,6 +1437,12 @@ def make_local_step_pallasN(problem: Problem,
         ob, msl, t_scr = rest[N - 1:N + 2]
         sem_f, sem_ob, sem_m = rest[N + 2:N + 5]
         fb, ft, fl, fr = (flags_ref[k] for k in range(4))
+        # shard's global y offset (flags[4], force_fn problems only): every
+        # stage evaluates the force at the same fixed global coordinates;
+        # ghost-chain rows use the unwrapped -N..-1 / nyl..nyl+N-1 offsets
+        # (periodic force_fns wrap them analytically — jax-tier semantics).
+        y_at = ((lambda r: flags_ref[4] + r) if cfg.force_fn is not None
+                else (lambda r: None))
 
         def stage_ref(k):
             """(ref, n_slots) holding stage-k slabs (stage 0 = collided raw)."""
@@ -1463,7 +1483,7 @@ def make_local_step_pallasN(problem: Problem,
             slot = t % 4
             fw = [fa[slot, i] for i in range(Q)]
             solid_rows = (msl[t % M] > 0.5) if cfg.bounce_back else None
-            fp = _collide_rows(cfg, fw, solid_rows)
+            fp = _collide_rows(cfg, fw, solid_rows, y_at(t * Ty))
             for i in range(Q):
                 fa[slot, i] = fp[i]
 
@@ -1473,9 +1493,9 @@ def make_local_step_pallasN(problem: Problem,
         mrb_rows = {r: mrb_ref[N + r:N + r + 1, :] for r in range(-N, 0)}
         mrt_rows = {r: mrt_ref[r - 1:r, :] for r in range(1, N + 1)}
 
-        def collide_row_vals(planes, mask_row):
+        def collide_row_vals(planes, mask_row, y0=None):
             solid = (mask_row > 0.5) if cfg.bounce_back else None
-            return _collide_rows(cfg, planes, solid)
+            return _collide_rows(cfg, planes, solid, y0)
 
         def stream_row(below, cur, above):
             planes = []
@@ -1492,7 +1512,7 @@ def make_local_step_pallasN(problem: Problem,
         B = [dict() for _ in range(N)]
         for r in range(-N, 0):
             planes = [rb_ref[i, N + r:N + r + 1, :] for i in range(Q)]
-            B[0][r] = collide_row_vals(planes, mrb_rows[r])
+            B[0][r] = collide_row_vals(planes, mrb_rows[r], y_at(r))
 
         # ---- prologue: raw slabs 0..N-1 in flight and collided; the DMA
         # for slab N starts only after the stage prologue has consumed
@@ -1518,7 +1538,7 @@ def make_local_step_pallasN(problem: Problem,
             if collide_after:
                 fw = [tgt[tslot, i] for i in range(Q)]
                 solid_rows = (msl[idx % M] > 0.5) if cfg.bounce_back else None
-                fp = _collide_rows(cfg, fw, solid_rows)
+                fp = _collide_rows(cfg, fw, solid_rows, y_at(idx * Ty))
                 for i in range(Q):
                     tgt[tslot, i] = fp[i]
 
@@ -1538,7 +1558,7 @@ def make_local_step_pallasN(problem: Problem,
                 planes = stream_row(below, cur, above)
                 planes = _bc_row_values(
                     cfg, planes, mrb_rows[r] if has_solid else None, fl, fr)
-                planes = collide_row_vals(planes, mrb_rows[r])
+                planes = collide_row_vals(planes, mrb_rows[r], y_at(r))
                 B[k][r] = [jnp.where(fb == 1, eq_row[i], planes[i])
                            for i in range(Q)]
             for j in range(N - k):
@@ -1559,7 +1579,7 @@ def make_local_step_pallasN(problem: Problem,
         T0 = {}
         for r in range(1, N + 1):
             planes = [rt_ref[i, r - 1:r, :] for i in range(Q)]
-            T0[r] = collide_row_vals(planes, mrt_rows[r])
+            T0[r] = collide_row_vals(planes, mrt_rows[r], y_at(nyl + r - 1))
 
         def t_prev(k, r):
             """Stage k-1's top ghost row +r as per-pop (1, nxl) values."""
@@ -1582,7 +1602,8 @@ def make_local_step_pallasN(problem: Problem,
                 planes = stream_row(below, cur, above)
                 planes = _bc_row_values(
                     cfg, planes, mrt_rows[r] if has_solid else None, fl, fr)
-                planes = collide_row_vals(planes, mrt_rows[r])
+                planes = collide_row_vals(planes, mrt_rows[r],
+                                          y_at(nyl + r - 1))
                 for i in range(Q):
                     t_scr[k - 1, i, r - 1:r, :] = jnp.where(
                         ft == 1, eq_row[i], planes[i])

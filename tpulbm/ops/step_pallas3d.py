@@ -77,9 +77,45 @@ class _Cfg3d:
     # tiled kernel centers the owned columns between halo regions)
     xl_col: int = 0
     xr_col: int = -1
+    # Spatially varying body force (problem.force_fn, e.g. 3-D Kolmogorov
+    # F_x(z) = F0·cos(κz)): evaluated IN-KERNEL per plane — yy/xx from
+    # broadcasted_iota, zz the (traced) plane index. Full-plane kernel
+    # only ((1,1) mesh, so plane coords ARE global); the y-tiled kernel
+    # declines force problems (sharded_step demotes them to jax).
+    force_fn: object = None
 
 
-def _collide_planes(cfg: _Cfg3d, fw, solid):
+def _collide_planes(cfg: _Cfg3d, fw, solid, z0=None):
+    """Generic-Q BGK/TRT relaxation of a list of Q same-shape blocks,
+    plus the spatially varying force source when the problem has one
+    (`z0`: global z of the plane — required iff cfg.force_fn is set)."""
+    out = _collide_planes_core(cfg, fw, solid)
+    if cfg.force_fn is None:
+        return out
+    shape = fw[0].shape
+    yy = lax.broadcasted_iota(jnp.float32, shape, 0)
+    xx = lax.broadcasted_iota(jnp.float32, shape, 1)
+    zz = jnp.asarray(z0, jnp.float32)
+    comps = tuple(cfg.force_fn({"xx": xx, "yy": yy, "zz": zz,
+                                "nx": cfg.nx, "ny": cfg.ny, "nz": cfg.nz}))
+
+    def live(comp):
+        return not (isinstance(comp, (int, float)) and comp == 0.0)
+
+    # S_i = 3 w_i (c_i · F(x)) post-relaxation, every cell incl. solids —
+    # exactly the jax tier's _add_force_field (step_jax.py)
+    for i in range(cfg.Q):
+        tot = None
+        for cc, comp in zip(cfg.c[i], comps):
+            if cc and live(comp):
+                t = comp if cc > 0 else -comp
+                tot = t if tot is None else tot + t
+        if tot is not None:
+            out[i] = out[i] + (3.0 * cfg.w[i]) * tot
+    return out
+
+
+def _collide_planes_core(cfg: _Cfg3d, fw, solid):
     """Generic-Q BGK/TRT relaxation of a list of Q same-shape blocks."""
     Q = cfg.Q
     rho = fw[0]
@@ -382,6 +418,7 @@ def make_local_step_pallas3d(problem: Problem,
         outlet_zero_grad=problem.outlet_zero_grad,
         periodic_x=problem.periodic_x, periodic_y=problem.periodic_y,
         periodic_z=problem.periodic_z,
+        force_fn=problem.force_fn,
         nz=nz, ny=ny, nx=nx)
 
     def kernel(*refs):
@@ -414,10 +451,14 @@ def make_local_step_pallas3d(problem: Problem,
             if has_solid:
                 m_dma(z).wait()
 
-        def collide_plane(slot):
+        def collide_plane(z):
+            # z is the (possibly traced) global plane index — the force
+            # term needs it; the full-plane kernel runs (1,1)-mesh only,
+            # so plane coordinates ARE global coordinates.
+            slot = z % 4
             fw = [fa[slot, i] for i in range(Q)]
             solid = (msl[slot] > 0.5) if cfg.bounce_back else None
-            fp = _collide_planes(cfg, fw, solid)
+            fp = _collide_planes(cfg, fw, solid, z)
             for i in range(Q):
                 fa[slot, i] = fp[i]
 
@@ -426,10 +467,13 @@ def make_local_step_pallas3d(problem: Problem,
 
         if cfg.periodic_z:
             # collide the wrapped ring planes (pre-collision f[nz-1], f[0])
-            # once — the z-edge pulls read them like any interior neighbor
-            for blk, slot in ((zb_ref, 0), (zt_ref, 1)):
+            # once — the z-edge pulls read them like any interior neighbor.
+            # Their force coordinates are the UNWRAPPED -1 / nz offsets
+            # (jax-tier padded-block semantics; periodic force_fns wrap
+            # them analytically).
+            for blk, slot, z0 in ((zb_ref, 0, -1), (zt_ref, 1, nz)):
                 fw = [blk[i] for i in range(Q)]
-                fp = _collide_planes(cfg, fw, None)
+                fp = _collide_planes(cfg, fw, None, z0)
                 for i in range(Q):
                     zc[slot, i] = fp[i]
 
@@ -443,7 +487,7 @@ def make_local_step_pallas3d(problem: Problem,
             @pl.when(z + 1 < nz)
             def _():
                 wait_in(z + 1)
-                collide_plane((z + 1) % 4)
+                collide_plane(z + 1)
 
             @pl.when(z + 2 < nz)
             def _():
@@ -708,6 +752,10 @@ def make_local_step_pallas3d_tiled(problem: Problem,
     lat = problem.lattice
     if lat.D != 3:
         raise ValueError("pallas3d requires a 3-D lattice")
+    if problem.force_fn is not None:
+        # in-kernel force coords are full-plane only (the tiled cascade
+        # would need per-tile (z, y) offsets threaded per substep)
+        return None
     if problem.dtype != np.float32:
         raise ValueError("pallas backend is f32; use backend='jax' for 3-D f64")
     if problem.periodic_x:

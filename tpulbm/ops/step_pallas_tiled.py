@@ -130,11 +130,6 @@ def make_local_step_tiled(problem: Problem, local_shape: tuple[int, ...],
     assert 1 <= n_sub <= 4
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
-    if problem.force_fn is not None:
-        # spatially varying force is supported by the full-width 1-step
-        # kernel only (in-kernel coords; the tiled cascade would need
-        # per-tile x offsets threaded through every substep)
-        return None
     fields = _physics_cfg_fields(problem)
     nyl, nxl = local_shape
     Q = fields["Q"]
@@ -162,6 +157,18 @@ def make_local_step_tiled(problem: Problem, local_shape: tuple[int, ...],
          sem_r) = rest[N - 1:]
         fb, ft, fl, fr = (flags_ref[k] for k in range(4))
         tx = pl.program_id(0)
+        # Spatially varying force (cfg.force_fn): flags[4]/flags[5] carry
+        # the shard's global (y, x) offsets. Buffer column b of tile tx is
+        # global x = flags[5] + tx*Tx - H + b (west halo columns sit at the
+        # unwrapped -H..-1 offsets on the west-edge shard; lane-pad shadow
+        # columns continue linearly into the east neighbor — both are what
+        # the jax tier computes, periodic force_fns wrap analytically).
+        if cfg.force_fn is not None:
+            y_at = lambda r: flags_ref[4] + r           # noqa: E731
+            x_k = flags_ref[5] + tx * Tx - H
+        else:
+            y_at = lambda r: None                       # noqa: E731
+            x_k = None
         # All x offsets are multiples of the 128-lane tiling (Tx and H are);
         # Mosaic cannot always prove that through the arithmetic, so annotate.
         xa = pl.multiple_of(tx * Tx, 128 if not interpret else 1)
@@ -295,7 +302,7 @@ def make_local_step_tiled(problem: Problem, local_shape: tuple[int, ...],
             slot = t % 4
             fw = [fa[slot, i] for i in range(Q)]
             solid_rows = (msl[t % M] > 0.5) if bounce_back else None
-            fp = _collide_rows(cfg, fw, solid_rows)
+            fp = _collide_rows(cfg, fw, solid_rows, y_at(t * Ty), x_k)
             for i in range(Q):
                 fa[slot, i] = fp[i]
 
@@ -310,9 +317,9 @@ def make_local_step_tiled(problem: Problem, local_shape: tuple[int, ...],
             mrb_rows = {r: None for r in range(-N, 0)}
             mrt_rows = {r: None for r in range(1, N + 1)}
 
-        def collide_row_vals(planes, mask_row):
+        def collide_row_vals(planes, mask_row, y0=None):
             solid = (mask_row > 0.5) if bounce_back else None
-            return _collide_rows(cfg, planes, solid)
+            return _collide_rows(cfg, planes, solid, y0, x_k)
 
         def stream_row(below, cur, above):
             planes = []
@@ -328,7 +335,7 @@ def make_local_step_tiled(problem: Problem, local_shape: tuple[int, ...],
         B = [dict() for _ in range(N)]
         for r in range(-N, 0):
             planes = [rbs[i, N + r:N + r + 1, :] for i in range(Q)]
-            B[0][r] = collide_row_vals(planes, mrb_rows[r])
+            B[0][r] = collide_row_vals(planes, mrb_rows[r], y_at(r))
 
         for j in range(N):
             start_in(j)
@@ -349,7 +356,7 @@ def make_local_step_tiled(problem: Problem, local_shape: tuple[int, ...],
             if collide_after:
                 fw = [tgt[tslot, i] for i in range(Q)]
                 solid_rows = (msl[idx % M] > 0.5) if bounce_back else None
-                fp = _collide_rows(cfg, fw, solid_rows)
+                fp = _collide_rows(cfg, fw, solid_rows, y_at(idx * Ty), x_k)
                 for i in range(Q):
                     tgt[tslot, i] = fp[i]
 
@@ -367,7 +374,7 @@ def make_local_step_tiled(problem: Problem, local_shape: tuple[int, ...],
                 planes = stream_row(below, cur, above)
                 planes = _bc_row_values(
                     cfg, planes, mrb_rows[r] if has_solid else None, flt, frt)
-                planes = collide_row_vals(planes, mrb_rows[r])
+                planes = collide_row_vals(planes, mrb_rows[r], y_at(r))
                 B[k][r] = [jnp.where(fb == 1, eq_row[i], planes[i])
                            for i in range(Q)]
             for j in range(N - k):
@@ -386,7 +393,7 @@ def make_local_step_tiled(problem: Problem, local_shape: tuple[int, ...],
         T0 = {}
         for r in range(1, N + 1):
             planes = [rts[i, r - 1:r, :] for i in range(Q)]
-            T0[r] = collide_row_vals(planes, mrt_rows[r])
+            T0[r] = collide_row_vals(planes, mrt_rows[r], y_at(nyl + r - 1))
 
         def t_prev(k, r):
             if k == 1:
@@ -406,7 +413,8 @@ def make_local_step_tiled(problem: Problem, local_shape: tuple[int, ...],
                 planes = stream_row(below, cur, above)
                 planes = _bc_row_values(
                     cfg, planes, mrt_rows[r] if has_solid else None, flt, frt)
-                planes = collide_row_vals(planes, mrt_rows[r])
+                planes = collide_row_vals(planes, mrt_rows[r],
+                                          y_at(nyl + r - 1))
                 for i in range(Q):
                     t_scr[k - 1, i, r - 1:r, :] = jnp.where(
                         ft == 1, eq_row[i], planes[i])

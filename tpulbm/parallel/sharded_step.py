@@ -79,10 +79,15 @@ def make_chunk_fn(problem: Problem, mesh: Mesh, chunk_len: int,
         from ..ops.bouzidi import link_tables
         bz_q = link_tables(problem)
     if (problem.force_fn is not None and backend == "pallas"
-            and len(problem.spatial_shape) == 3):
+            and len(problem.spatial_shape) == 3
+            and tuple(mesh.devices.shape) != (1, 1)):
+        # the full-plane kernel evaluates the force per plane in-kernel
+        # ((1,1) mesh — plane coords are global); the y-tiled 3-D kernel
+        # would need per-tile (z, y) offsets threaded through the cascade
         import warnings
-        warnings.warn("force_fn (spatially varying body force) has no 3-D "
-                      "pallas kernel yet; falling back to backend='jax'")
+        warnings.warn("force_fn (spatially varying body force) runs the "
+                      "full-plane 3-D pallas kernel only; sharded 3-D "
+                      "meshes fall back to backend='jax'")
         backend = "jax"
     thermal_pallas = None
     if problem.thermal is not None:
@@ -262,16 +267,6 @@ def make_chunk_fn(problem: Problem, mesh: Mesh, chunk_len: int,
                     f"x-sharded lane padding needs local nx >= pad + 4, "
                     f"got nx={local_shape[-1]} pad={pad2}")
 
-        if problem.force_fn is not None and x_sharded:
-            # the in-kernel force coords (step_pallas._collide_rows) assume
-            # full-width slabs (buffer column == global x); the x-tiled
-            # kernel would need per-tile x offsets threaded per substep
-            import warnings
-            warnings.warn("force_fn (spatially varying body force) is "
-                          "fused for full-width kernels only; x-sharded / "
-                          "padded-periodic meshes fall back to "
-                          "backend='jax'")
-            backend = "jax"
         try:
             _pallas_possible()
         except ValueError as e:
@@ -316,8 +311,7 @@ def make_chunk_fn(problem: Problem, mesh: Mesh, chunk_len: int,
         pallas_step2 = None
         pallas_tiled = None
         pallas_substeps = 1
-        if (pallas_ranged is None and not os.environ.get("TPULBM_NO_FUSED2")
-                and problem.force_fn is None):  # force_fn: 1-step only
+        if pallas_ranged is None and not os.environ.get("TPULBM_NO_FUSED2"):
             forced = os.environ.get("TPULBM_SUBSTEPS")
             candidates = [int(forced)] if forced else [4, 3, 2]
             from ..ops.step_pallas import make_local_step_pallasN
@@ -656,6 +650,13 @@ def make_chunk_fn(problem: Problem, mesh: Mesh, chunk_len: int,
             (y0 == 0) & phys_y,
             (y0 + nyl == problem.params.ny) & phys_y,
             (x0 == 0), (x0 + nxl == problem.params.nx)]).astype(jnp.int32)
+        if problem.force_fn is not None:
+            # flags[4]/flags[5] = shard's global (y, x) offsets: the tiled
+            # kernel rebuilds global force coordinates in-kernel per tile
+            # (step_pallas_tiled — buffer col b ↦ flags[5] + tx·Tx − H + b)
+            flags = jnp.concatenate(
+                [flags, jnp.asarray(y0, jnp.int32).reshape(1),
+                 jnp.asarray(x0, jnp.int32).reshape(1)])
         N = pallas_tiled.depth
         H = pallas_tiled.halo_width
         padx = pallas_tiled.pad_x
