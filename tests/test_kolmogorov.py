@@ -209,6 +209,30 @@ def test_pallas_x_sharded_force_fused(axis, n_sub, mesh_shape, monkeypatch):
     np.testing.assert_allclose(b, a, atol=5e-7, rtol=0)
 
 
+@pytest.mark.slow
+def test_band_instability_threshold_signs():
+    """Meshalkin–Sinai bifurcation: the transverse large-scale mode must
+    DECAY well below the Re_c ≈ √2 threshold and GROW well above it
+    (scripts/kolmogorov_threshold.py measures the full λ(Re) curve —
+    Re_c = 1.585 at q/κ = 1/8 → 1.521 at 1/16, closing on the analytic
+    q→0 asymptote; this gate pins the signs on a small box)."""
+    import importlib.util
+    import os
+    spec = importlib.util.spec_from_file_location(
+        "kolmogorov_threshold",
+        os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "scripts",
+            "kolmogorov_threshold.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    lam_lo, _, _ = mod.growth_rate(1.0, nx=64, ny=64, n_bands=4,
+                                   steps=9000)
+    lam_hi, _, _ = mod.growth_rate(3.5, nx=64, ny=64, n_bands=4,
+                                   steps=9000)
+    assert lam_lo < -1e-6, lam_lo       # clearly decaying
+    assert lam_hi > 1e-6, lam_hi        # clearly growing
+
+
 # ---- 3-D Kolmogorov flow (F_x(z) = F0·cos(κz), D3Q19) ----
 
 def _params3(**kw):

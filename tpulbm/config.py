@@ -283,10 +283,13 @@ def _presets() -> dict[str, SimulationParams]:
             inlet_velocity=0.04, periodic_x=True, cylinder_radius=0.0,
             collision="regularized",
             num_timesteps=12000, output_frequency=1000, enable_vtk=False),
-        # Forced 2-D (Kolmogorov) turbulence at Re = u0/(ν·κ) ≈ 40, well
-        # past the n=4 instability threshold: sustained chaotic bands,
-        # with on-device Reynolds statistics after the spin-up and
-        # spectra via scripts/spectra.py.
+        # Forced 2-D Kolmogorov flow at Re = u0/(ν·κ) ≈ 40, far past the
+        # n=4 band-instability threshold (Re_c ≈ 1.6 measured,
+        # scripts/kolmogorov_threshold.py): the bands break up and the
+        # 2-D inverse cascade condenses the energy into the gravest box
+        # mode (~95% in shell k=κ0 by t=40k — docs/validation). Reynolds
+        # statistics sample the condensate after spin-up; spectra via
+        # scripts/spectra.py.
         "kolmogorov": base.replace(
             problem="kolmogorov", nx=256, ny=256, kolmogorov_n=4,
             tau=0.5 + 3.0 * (0.05 / (40.0 * 2.0 * 3.141592653589793
