@@ -28,6 +28,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import time
 
@@ -298,6 +299,31 @@ def main():
     if args.cpu_devices:
         from tpulbm.utils.hostenv import force_virtual_cpu_devices
         force_virtual_cpu_devices(args.cpu_devices)
+    else:
+        # Fast-fail when the TPU relay is wedged: plugin init (the first
+        # jax.devices()) hangs indefinitely then, which would stall the
+        # whole bench harness. Probe it in a throwaway subprocess with a
+        # hard timeout (sequential, so never two live TPU processes) and
+        # exit with a diagnostic instead of hanging. Healthy relay cost:
+        # one extra device enumeration (~5-20 s).
+        import subprocess
+        try:
+            subprocess.run(
+                [sys.executable, "-c", "import jax; jax.devices()"],
+                timeout=float(os.environ.get("TPULBM_TPU_PROBE_TIMEOUT",
+                                             "300")),
+                check=True, capture_output=True)
+        except subprocess.TimeoutExpired:
+            print("# TPU platform init did not respond within the probe "
+                  "timeout (wedged relay?); refusing to hang. Set "
+                  "JAX_PLATFORMS=cpu + --cpu-devices N to bench the "
+                  "virtual-mesh path instead.", file=sys.stderr)
+            sys.exit(3)
+        except subprocess.CalledProcessError as e:
+            print(f"# TPU device probe failed "
+                  f"({e.stderr.decode(errors='replace')[-400:]})",
+                  file=sys.stderr)
+            sys.exit(3)
 
     if args.sweep:
         import jax
