@@ -297,13 +297,15 @@ def _presets() -> dict[str, SimulationParams]:
             inlet_velocity=0.05, periodic_x=True, cylinder_radius=0.0,
             num_timesteps=40000, output_frequency=200, stats_from=20000,
             enable_vtk=False),
-        # Forced 3-D box turbulence: F_x(z) = F0·cos(κz), n=1 on 128³ at
-        # Re = u0/(ν·κ) ≈ 40 — sustained cascade with a k^-5/3 inertial
-        # range (scripts/spectra.py on fields3d.npz / the stats means).
+        # Forced 3-D box turbulence: F_x(z) = F0·cos(κz), n=2 on 128³ at
+        # Re = u0/(ν·κ) ≈ 20 — n must be ≥ 2 so a transverse mode with
+        # q < κ exists (n=1 in a cube has none and stays laminar; same
+        # geometry constraint as 2-D). Sustained cascade toward k^-5/3
+        # (scripts/spectra.py on fields3d.npz / the stats means).
         "kolmogorov3d": base.replace(
-            problem="kolmogorov", nx=128, ny=128, nz=128, kolmogorov_n=1,
-            tau=0.5 + 3.0 * (0.05 / (40.0 * 2.0 * 3.141592653589793
-                                     * 1.0 / 128.0)),
+            problem="kolmogorov", nx=128, ny=128, nz=128, kolmogorov_n=2,
+            tau=0.5 + 3.0 * (0.05 / (20.0 * 2.0 * 3.141592653589793
+                                     * 2.0 / 128.0)),
             inlet_velocity=0.05, periodic_x=True, cylinder_radius=0.0,
             num_timesteps=30000, output_frequency=500, stats_from=15000,
             enable_vtk=False),
@@ -336,7 +338,8 @@ def add_cli_args(parser: argparse.ArgumentParser) -> None:
                                               "heated-cavity",
                                               "cylinder3d", "multiphase",
                                               "taylor-green", "shear-layer",
-                                              "kolmogorov"],
+                                              "kolmogorov",
+                                              "passive-scalar"],
                         default=None)
     parser.add_argument("--obstacle-bc",
                         choices=["equilibrium", "bounce_back", "bouzidi"],

@@ -24,7 +24,8 @@ def make_problem(params):
     if params.problem == "multiphase":
         from . import multiphase
         return multiphase.make_problem(params)
-    if params.problem in ("taylor-green", "shear-layer", "kolmogorov"):
+    if params.problem in ("taylor-green", "shear-layer", "kolmogorov",
+                          "passive-scalar"):
         from . import periodic2d
         return periodic2d.make_problem(params)
     raise ValueError(f"unknown problem: {params.problem!r}")

@@ -110,6 +110,10 @@ class Problem:
     # (Taylor-Green / shear-layer); overrides init_rho/init_u/init_rho_map
     init_fields: tuple | None = None  # (rho (*spatial), u (D, *spatial))
     thermal: ThermalConfig | None = None  # double-population thermal coupling
+    # Initial scalar field T(*spatial) for thermal problems using
+    # init_fields (passive-scalar transport); None → the conductive
+    # wall-profile default of initial_state.
+    init_T: object = None
 
     @property
     def state_q(self) -> int:
@@ -168,6 +172,21 @@ class Problem:
             wq = w.reshape((Q,) + (1,) * u2.ndim)
             f = wq * rho0[None] * (1.0 + 3.0 * cu + 4.5 * cu * cu
                                    - 1.5 * u2[None])
+            if self.thermal is not None:
+                # stack the scalar at its advection-diffusion equilibrium
+                # g_eq_i = w_i T (1 + 3 c_i·u) (physics.thermal_equilibrium
+                # algebra, NumPy-side) — passive-scalar problems supply
+                # init_T; default: uniform t_ref
+                th = self.thermal
+                lg = th.lattice
+                T = (np.full(self.spatial_shape, th.t_ref, np.float64)
+                     if self.init_T is None
+                     else np.asarray(self.init_T, np.float64))
+                cg = lg.c.astype(np.float64)
+                cu_g = np.tensordot(cg, u0, axes=(1, 0))   # (Qg, *spatial)
+                wg = lg.w.reshape((lg.Q,) + (1,) * T.ndim)
+                g = wg * T[None] * (1.0 + 3.0 * cu_g)
+                f = np.concatenate([f, g], axis=0)
             return f.astype(self.dtype)
         if self.init_rho_map is not None:
             # spatially varying rho at u = 0: feq_i = w_i rho (multiphase

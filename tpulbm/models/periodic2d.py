@@ -121,6 +121,17 @@ def kolmogorov_fields(params: SimulationParams, perturb: float = 0.01):
     return np.ones((params.ny, params.nx)), np.stack([ux, uy])
 
 
+def passive_scalar_T0(params: SimulationParams):
+    """Initial scalar: one sinusoidal stripe along x, T = t_ref +
+    ½ΔT·sin(2πx/nx) — the cleanest mode for diffusion/advection gates
+    (its amplitude decays at exactly exp(−α q² t) in a quiescent box)."""
+    t_ref = 0.5 * (params.t_hot + params.t_cold)
+    amp = 0.5 * (params.t_hot - params.t_cold)
+    x = np.arange(params.nx, dtype=np.float64)[None, :]
+    return (t_ref + amp * np.sin(2.0 * np.pi * x / params.nx)
+            ) * np.ones((params.ny, 1))
+
+
 def kolmogorov3d_kappa(params: SimulationParams) -> float:
     """3-D forcing wavenumber κ = 2π·n/nz (the force varies along z)."""
     return 2.0 * np.pi * params.kolmogorov_n / params.nz
@@ -211,8 +222,43 @@ def make_problem(params: SimulationParams) -> Problem:
     elif params.problem == "kolmogorov":
         fields = kolmogorov_fields(params)
         force_fn = kolmogorov_force_fn(params)
+    elif params.problem == "passive-scalar":
+        pass  # handled below (thermal config)
     else:
         fields = shear_layer_fields(params)
+    thermal = None
+    init_T = None
+    if params.problem == "passive-scalar":
+        # Passive scalar transport in a fully periodic box: the D2Q5
+        # scalar advects/diffuses with ZERO back-coupling (buoyancy=0) in
+        # a decaying Taylor-Green flow (inlet_velocity > 0 — the stirrer)
+        # or a quiescent box (inlet_velocity = 0 — pure diffusion). The
+        # whole double-population machinery (stacked state, rings,
+        # sharding) carries over from the thermal models; only the y-wall
+        # BCs are skipped (walls_y=False + periodic_y, step_thermal).
+        # New capability — the reference is isothermal and wall-bounded.
+        from ..lattice import D2Q5
+        from .base import ThermalConfig
+        if params.thermal_tau <= 0.5:
+            raise ValueError(
+                f"passive-scalar needs thermal_tau > 0.5 (diffusivity "
+                f"alpha = (thermal_tau - 1/2)/3 > 0), got "
+                f"{params.thermal_tau}")
+        u0 = params.inlet_velocity
+        if u0:
+            fields = taylor_green_fields(params)
+        else:
+            fields = (np.ones((params.ny, params.nx)),
+                      np.zeros((2, params.ny, params.nx)))
+        init_T = passive_scalar_T0(params)
+        thermal = ThermalConfig(
+            lattice=D2Q5,
+            tau_g=params.thermal_tau,
+            t_bottom=params.t_hot,
+            t_top=params.t_cold,
+            buoyancy=0.0,
+            perturb=0.0,
+        )
     return Problem(
         params=params,
         lattice=D2Q9,
@@ -231,4 +277,6 @@ def make_problem(params: SimulationParams) -> Problem:
         trt_magic=params.trt_magic,
         mrt_rates=params.mrt_rates,
         init_fields=fields,
+        thermal=thermal,
+        init_T=init_T,
     )

@@ -103,6 +103,15 @@ def make_step_thermal(problem: Problem) -> Callable[[jnp.ndarray],
     c_all = np.concatenate([lat.c, lg.c], axis=0)
     ghost_bottom, ghost_top = _ghost_rows(problem)
 
+    # Fully periodic scalar transport (walls_y=False + periodic_y, the
+    # passive-scalar problems): jnp.roll already wraps every pull, so the
+    # wall machinery below (frozen ghost rows, bounce-back, Dirichlet) is
+    # simply skipped — the scalar advects/diffuses through the seams.
+    walls_y = problem.walls_y
+    if not walls_y and not problem.periodic_y:
+        raise NotImplementedError("thermal models need y walls or "
+                                  "periodic_y")
+
     def step(s: jnp.ndarray) -> jnp.ndarray:
         s_post = collide_thermal(problem, s)
         yy = jnp.arange(ny)[:, None]
@@ -112,11 +121,11 @@ def make_step_thermal(problem: Problem) -> Callable[[jnp.ndarray],
             cix, ciy = int(c_all[i, 0]), int(c_all[i, 1])
             plane = jnp.roll(s_post[i], (ciy, cix), (0, 1))
             # pulls that crossed a wall read the frozen ghost row
-            if ciy > 0:
+            if walls_y and ciy > 0:
                 plane = jnp.where(yy == 0,
                                   jnp.asarray(ghost_bottom[i], plane.dtype),
                                   plane)
-            elif ciy < 0:
+            elif walls_y and ciy < 0:
                 plane = jnp.where(yy == ny - 1,
                                   jnp.asarray(ghost_top[i], plane.dtype),
                                   plane)
@@ -150,21 +159,23 @@ def make_step_thermal(problem: Problem) -> Callable[[jnp.ndarray],
         # reflection of post-stream opposites (boundaries.apply_walls),
         # whose systematic y-gradient imbalance was measured here at
         # +2.6e-6 mass/step (it would swamp a long Nu measurement).
-        opp = lat.opposite
-        for i in range(Qf):
-            ciy = int(lat.c[i, 1])
-            if ciy > 0:
-                f_planes[i] = jnp.where(yy == 0, s_post[int(opp[i])],
-                                        f_planes[i])
-            elif ciy < 0:
-                f_planes[i] = jnp.where(yy == ny - 1, s_post[int(opp[i])],
-                                        f_planes[i])
-        # fixed-T (anti-bounce-back) walls for g — heat flux through the
-        # walls is physical (that IS the Nusselt number)
-        boundaries.apply_thermal_wall(lg, g_planes, yy == 0, 1, +1,
-                                      th.t_bottom, None)
-        boundaries.apply_thermal_wall(lg, g_planes, yy == ny - 1, 1, -1,
-                                      th.t_top, None)
+        if walls_y:
+            opp = lat.opposite
+            for i in range(Qf):
+                ciy = int(lat.c[i, 1])
+                if ciy > 0:
+                    f_planes[i] = jnp.where(yy == 0, s_post[int(opp[i])],
+                                            f_planes[i])
+                elif ciy < 0:
+                    f_planes[i] = jnp.where(yy == ny - 1,
+                                            s_post[int(opp[i])],
+                                            f_planes[i])
+            # fixed-T (anti-bounce-back) walls for g — heat flux through
+            # the walls is physical (that IS the Nusselt number)
+            boundaries.apply_thermal_wall(lg, g_planes, yy == 0, 1, +1,
+                                          th.t_bottom, None)
+            boundaries.apply_thermal_wall(lg, g_planes, yy == ny - 1, 1, -1,
+                                          th.t_top, None)
         return jnp.stack(f_planes + g_planes)
 
     return step
@@ -192,10 +203,19 @@ def make_local_step_padded_thermal(problem: Problem,
     opp_f = lat.opposite
     opp_all = np.concatenate([lat.opposite, Qf + lg.opposite])
 
+    # Fully periodic scalar transport: the generic ring refresh already
+    # wraps the halo rims (halo.refresh_ring periodic_y), so no shard is
+    # ever a physical y wall — all wall selects below fold away.
+    phys_y = problem.walls_y
+    if not phys_y and not problem.periodic_y:
+        raise NotImplementedError("thermal models need y walls or "
+                                  "periodic_y")
+
     def step(spad, solid_local, offsets, solid_pad=None):
         dt = spad.dtype
         y0 = offsets[-2]
-        is_bottom, is_top = y0 == 0, y0 + nyl == p.ny
+        is_bottom = jnp.logical_and(y0 == 0, phys_y)
+        is_top = jnp.logical_and(y0 + nyl == p.ny, phys_y)
         s_post = collide_thermal(problem, spad)
         # physical y rims: frozen ghost rows (per-wall values for g)
         gb = jnp.broadcast_to(jnp.asarray(ghost_bottom, dt)[:, None],
@@ -257,6 +277,15 @@ def make_local_step_padded_thermal(problem: Problem,
 def temperature(problem: Problem, s: jnp.ndarray) -> jnp.ndarray:
     """T field from the stacked state."""
     return jnp.sum(s[problem.lattice.Q:], axis=0)
+
+
+def scalar_variance(problem: Problem, s: jnp.ndarray) -> jnp.ndarray:
+    """Scalar variance ⟨(T − ⟨T⟩)²⟩ — the mixing measure for periodic
+    passive-scalar problems (monotonically destroyed by diffusion at rate
+    2α⟨|∇T|²⟩; stirring steepens gradients and accelerates it). The
+    periodic analog of the Nu(t) trace."""
+    T = temperature(problem, s)
+    return jnp.mean((T - jnp.mean(T)) ** 2)
 
 
 def nusselt(problem: Problem, s: jnp.ndarray) -> jnp.ndarray:

@@ -101,6 +101,11 @@ def make_chunk_fn(problem: Problem, mesh: Mesh, chunk_len: int,
                 if mesh_shape[1] != 1:
                     raise ValueError(
                         "thermal pallas kernel needs an x-unsharded mesh")
+                if not problem.walls_y:
+                    raise ValueError(
+                        "the fused thermal kernel bakes y-wall BCs; "
+                        "periodic scalar transport (passive-scalar) runs "
+                        "the jax tier")
                 from ..ops.step_thermal_pallas import \
                     make_local_step_thermal_pallas
                 th_pad = (-local_shape[-1]) % 128 if problem.walls_x else 0

@@ -94,8 +94,15 @@ class Runner:
         nu_fn_ = None
         self._temp = None
         if self.problem.thermal is not None:
-            from .ops.step_thermal import nusselt, temperature
-            nu_fn_ = lambda s: nusselt(self.problem, s)  # noqa: E731
+            from .ops.step_thermal import (nusselt, scalar_variance,
+                                           temperature)
+            if self.problem.walls_y:
+                nu_fn_ = lambda s: nusselt(self.problem, s)  # noqa: E731
+            else:
+                # periodic passive scalar: the mixing measure rides the
+                # Nu diagnostic slot (scalar_variance.csv)
+                nu_fn_ = (lambda s:                          # noqa: E731
+                          scalar_variance(self.problem, s))
             self._temp = jax.jit(
                 lambda s: temperature(self.problem, s))
         pr_fn_ = (diagnostics.probes_fn(self.problem)
@@ -335,9 +342,15 @@ class Runner:
                                                   resume_step=start_step)
         nu_writer = None
         if self.problem.thermal is not None and self.primary:
-            nu_writer = io_mod.NusseltWriter(
-                os.path.join(p.output_dir, "nusselt.csv"),
-                append=start_step > 0, resume_step=start_step)
+            if self.problem.walls_y:
+                nu_writer = io_mod.NusseltWriter(
+                    os.path.join(p.output_dir, "nusselt.csv"),
+                    append=start_step > 0, resume_step=start_step)
+            else:
+                nu_writer = io_mod.NusseltWriter(
+                    os.path.join(p.output_dir, "scalar_variance.csv"),
+                    append=start_step > 0, resume_step=start_step,
+                    header="timestep,scalar_variance\n", fmt="{:.8e}")
         probe_writer = None
         if self._probe_slot is not None and self.primary:
             probe_writer = io_mod.ProbeWriter(
@@ -611,18 +624,25 @@ class Runner:
             io_mod.write_simulation_params(u[0], u[1], p, p.output_dir)
             extra = ""
             if self.problem.thermal is not None:
-                from .models.rayleigh_benard import effective_height
                 th = self.problem.thermal
                 T = np.asarray(multihost.fetch_global(self._temp(f)))
                 io_mod.write_temperature_field(T, p, p.output_dir)
-                # Nu from the already-gathered host fields (multi-process
-                # safe — no eager op on a non-addressable sharded array)
-                nu = 1.0 + (np.mean(u[1] * T) * effective_height(p)
-                            / (th.alpha * (th.t_bottom - th.t_top)))
-                stats = {"nusselt": float(nu)}
                 extra = ", temperature_field.csv"
-                if self.verbose:
-                    print(f"Nusselt number = {nu:.4f}")
+                if self.problem.walls_y:
+                    from .models.rayleigh_benard import effective_height
+                    # Nu from the already-gathered host fields (multi-
+                    # process safe — no eager op on a non-addressable
+                    # sharded array)
+                    nu = 1.0 + (np.mean(u[1] * T) * effective_height(p)
+                                / (th.alpha * (th.t_bottom - th.t_top)))
+                    stats = {"nusselt": float(nu)}
+                    if self.verbose:
+                        print(f"Nusselt number = {nu:.4f}")
+                else:
+                    var = float(np.mean((T - T.mean()) ** 2))
+                    stats = {"scalar_variance": var}
+                    if self.verbose:
+                        print(f"Scalar variance = {var:.6e}")
             if self.problem.solid is not None:
                 stats = io_mod.calculate_time_averaged_drag(
                     os.path.join(p.output_dir, "forces.csv"),

@@ -118,12 +118,17 @@ class NusseltWriter:
     HEADER = "timestep,nusselt\n"
 
     def __init__(self, path: str, append: bool = False,
-                 resume_step: int | None = None):
+                 resume_step: int | None = None, header: str | None = None,
+                 fmt: str = "{:.8f}"):
+        # header/fmt: the periodic passive-scalar problems reuse this
+        # writer for their scalar-variance trace (scalar_variance.csv)
         self.path = path
-        self._fh = _open_series(path, self.HEADER, append, resume_step)
+        self._fmt = fmt
+        self._fh = _open_series(path, header or self.HEADER, append,
+                                resume_step)
 
     def record(self, timestep: int, nu: float) -> None:
-        self._fh.write(f"{timestep},{nu:.8f}\n")
+        self._fh.write(f"{timestep},{self._fmt.format(nu)}\n")
         if timestep % 10000 == 0:
             self._fh.flush()
 
