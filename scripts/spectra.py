@@ -58,13 +58,63 @@ def load_velocity(dirpath: str, use_mean: bool):
     return np.stack([ux, uy]), "final 2-D field"
 
 
+def load_scalar(dirpath: str):
+    """(T, label) from temperature_field.csv (thermal / passive-scalar)."""
+    path = os.path.join(dirpath, "temperature_field.csv")
+    if not os.path.exists(path):
+        raise FileNotFoundError(f"--scalar needs {path} (thermal or "
+                                "passive-scalar run)")
+    data = np.genfromtxt(path, delimiter=",", names=True)
+    nx = int(data["x"].max()) + 1
+    ny = int(data["y"].max()) + 1
+    return data["temperature"].reshape(ny, nx), "scalar field"
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
     ap.add_argument("--dir", default=".", help="run output directory")
     ap.add_argument("--mean", action="store_true",
                     help="spectrum of the time-mean field (stats_fields.npz)")
+    ap.add_argument("--scalar", action="store_true",
+                    help="scalar-variance spectrum E_T(k) of "
+                         "temperature_field.csv instead of the velocity "
+                         "(writes scalar_spectrum.csv/png)")
     ap.add_argument("--no-plot", action="store_true")
     args = ap.parse_args(argv)
+
+    if args.scalar:
+        from tpulbm.utils.analysis import scalar_spectrum
+        T, label = load_scalar(args.dir)
+        k, E = scalar_spectrum(T)
+        print(f"source: {label}  shape={T.shape}")
+        print(f"scalar half-variance 0.5<T'^2> = {E.sum():.6e}")
+        peak = int(np.argmax(E[1:]) + 1) if len(E) > 1 else 0
+        print(f"peak shell: k={k[peak]:.4f} (E_T={E[peak]:.3e})")
+        out_csv = os.path.join(args.dir, "scalar_spectrum.csv")
+        with open(out_csv, "w") as fh:
+            fh.write("k,E_T\n")
+            fh.writelines(f"{kk:.8e},{ee:.8e}\n" for kk, ee in zip(k, E))
+        print(f"wrote {out_csv}")
+        if not args.no_plot:
+            try:
+                import matplotlib
+                matplotlib.use("Agg")
+                import matplotlib.pyplot as plt
+            except ImportError:
+                print("matplotlib unavailable; skipping scalar_spectrum.png")
+                return
+            fig, ax = plt.subplots(figsize=(6, 4.5))
+            pos = (k > 0) & (E > 0)
+            ax.loglog(k[pos], E[pos], "o-", ms=3, lw=1,
+                      label=r"$E_T(k)$, " + label)
+            ax.set_xlabel("k (lattice units)")
+            ax.set_ylabel(r"$E_T(k)$")
+            ax.legend()
+            fig.tight_layout()
+            out_png = os.path.join(args.dir, "scalar_spectrum.png")
+            fig.savefig(out_png, dpi=120)
+            print(f"wrote {out_png}")
+        return
 
     u, label = load_velocity(args.dir, args.mean)
     k, E = energy_spectrum(u)

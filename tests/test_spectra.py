@@ -86,3 +86,36 @@ def test_spectra_script_end_to_end(tmp_path):
     assert E[1] / E.sum() > 0.99
     # and the mean-field variant runs off the stats artifact
     spectra.main(["--dir", str(tmp_path), "--mean", "--no-plot"])
+
+
+def test_scalar_spectrum_parseval_and_mode():
+    """E_T(k): mean removed (shell 0 exactly zero), sum = half the scalar
+    variance, and a pure stripe lands in its own shell."""
+    from tpulbm.utils.analysis import scalar_spectrum
+    ny, nx = 32, 64
+    x = np.arange(nx)[None, :]
+    T = 0.3 + 0.5 * np.sin(2.0 * np.pi * 3.0 * x / nx) * np.ones((ny, 1))
+    k, E = scalar_spectrum(T)
+    assert E[0] < 1e-30            # mean removed (roundoff only)
+    np.testing.assert_allclose(E.sum(), 0.5 * np.mean((T - T.mean()) ** 2),
+                               rtol=1e-12)
+    assert int(np.argmax(E)) == 3
+    assert E[3] / E.sum() > 0.999
+
+
+def test_scalar_spectrum_script_mode(tmp_path):
+    """scripts/spectra.py --scalar works off a temperature_field.csv."""
+    import scripts.spectra as spectra
+    ny, nx = 16, 32
+    y = np.arange(ny)[:, None]
+    T = 0.5 + 0.25 * np.cos(2.0 * np.pi * 2.0 * y / ny) * np.ones((1, nx))
+    with open(tmp_path / "temperature_field.csv", "w") as fh:
+        fh.write("x,y,temperature\n")
+        for yy in range(ny):
+            fh.writelines(f"{xx},{yy},{T[yy, xx]:.8f}\n"
+                          for xx in range(nx))
+    spectra.main(["--dir", str(tmp_path), "--scalar", "--no-plot"])
+    d = np.genfromtxt(tmp_path / "scalar_spectrum.csv", delimiter=",",
+                      names=True)
+    # stripe mode 2 of ny=16 against kappa0 = 2*pi/nx(=32): shell 4
+    assert int(np.argmax(d["E_T"])) == 4

@@ -108,6 +108,21 @@ def energy_spectrum(u: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     if len(spatial) != D:
         raise ValueError(f"u must be (D, *spatial) with D spatial axes; "
                          f"got shape {u.shape}")
+    return _shell_binned(list(u), spatial)
+
+
+def scalar_spectrum(T: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Isotropic shell-binned scalar-variance spectrum E_T(k) of a
+    periodic scalar field (the passive-scalar / thermal analog of
+    energy_spectrum): sum(E_T) = ½⟨T'²⟩ exactly, with the mean removed
+    so shell 0 vanishes to roundoff (the Obukhov–Corrsin spectrum's
+    discrete form)."""
+    T = np.asarray(T, np.float64)
+    return _shell_binned([T - T.mean()], T.shape)
+
+
+def _shell_binned(comps, spatial) -> tuple[np.ndarray, np.ndarray]:
+    """Shared isotropic shell binning: ½ Σ_c |ĉ_k|² per shell."""
     n_cells = int(np.prod(spatial))
     # Physical wavenumbers per axis: κ_i = 2π m_i / n_i (dx = 1).
     kappa0 = 2.0 * np.pi / max(spatial)
@@ -118,8 +133,8 @@ def energy_spectrum(u: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
 
     # 0.5 Σ_k |û_k|² with û = FFT/N ⇒ Σ shells = 0.5·mean(|u|²).
     e_density = np.zeros(spatial)
-    for c in range(D):
-        uhat = np.fft.fftn(u[c]) / n_cells
+    for c in comps:
+        uhat = np.fft.fftn(c) / n_cells
         e_density += 0.5 * np.abs(uhat) ** 2
     n_shells = int(shell.max()) + 1
     E = np.bincount(shell.ravel(), weights=e_density.ravel(),
