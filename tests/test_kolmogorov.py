@@ -209,6 +209,35 @@ def test_pallas_x_sharded_force_fused(axis, n_sub, mesh_shape, monkeypatch):
     np.testing.assert_allclose(b, a, atol=5e-7, rtol=0)
 
 
+def test_pallas_lane_padded_periodic_force(monkeypatch):
+    """Unaligned periodic grids route to the x-tiled kernel with lane
+    padding (shadow wrap columns). The pad columns' unwrapped
+    coordinates (nx..nx+pad−1 on the east shard) must wrap analytically
+    through a periodic x-varying force — TPULBM_FORCE_PAD simulates the
+    TPU 128-lane rule in interpret mode."""
+    import dataclasses
+    import jax.numpy as jnp_
+    monkeypatch.setenv("TPULBM_FORCE_PAD", "8")
+    params = _params(precision="f32", nx=120, ny=32, kolmogorov_n=2)
+    pr = make_problem(params)
+    kx = 2.0 * np.pi * 2 / params.nx
+    f0 = kolmogorov_f0(params)
+    pr = dataclasses.replace(
+        pr, force_fn=lambda c: (0.0, f0 * jnp_.cos(kx * c["xx"])))
+    solid = np.zeros((params.ny, params.nx), bool)
+    mesh = make_mesh((1, 1), devices=jax.devices()[:1])
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")  # fused: no demotion warning allowed
+        cp = make_chunk_fn(pr, mesh, 4, backend="pallas")
+    monkeypatch.delenv("TPULBM_FORCE_PAD")
+    cj = make_chunk_fn(pr, mesh, 4, backend="jax")
+    sj, sd = shard_state(mesh, pr.initial_state(), solid)
+    sp, _ = shard_state(mesh, pr.initial_state(), solid)
+    a = np.asarray(jax.device_get(cj(sj, sd)))
+    b = np.asarray(jax.device_get(cp(sp, sd)))
+    np.testing.assert_allclose(b, a, atol=5e-7, rtol=0)
+
+
 @pytest.mark.slow
 def test_band_instability_threshold_signs():
     """Meshalkin–Sinai bifurcation: the transverse large-scale mode must
