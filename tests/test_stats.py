@@ -149,3 +149,69 @@ def test_stats_from_validation():
     with pytest.raises(ValueError, match="beyond num_timesteps"):
         validate_params(SimulationParams(num_timesteps=100, stats_from=100))
     validate_params(SimulationParams(stats_from=-1))  # off: fine
+
+
+def test_stats_survive_resume_single_npz(tmp_path):
+    """Checkpointed statistics accumulators: an interrupted+resumed run
+    must produce bit-identical stats_fields.npz to an uninterrupted one
+    (single-.npz format — the accumulators ride the checkpoint and the
+    sample window continues instead of restarting)."""
+    common = dict(output_frequency=25, stats_from=50, checkpoint_every=1)
+    p_full = tiny_params(tmp_path / "full", num_timesteps=200, **common)
+    assert Runner(p_full, verbose=False).run().success
+
+    p_half = tiny_params(tmp_path / "resumed", num_timesteps=100, **common)
+    assert Runner(p_half, verbose=False).run().success
+    z_half = np.load(tmp_path / "resumed" / "stats_fields.npz")
+    assert int(z_half["n_samples"]) == 2          # t = 50, 75
+
+    p_res = tiny_params(tmp_path / "resumed", num_timesteps=200, **common)
+    assert Runner(p_res, verbose=False).run(resume=True).success
+
+    za = np.load(tmp_path / "full" / "stats_fields.npz")
+    zb = np.load(tmp_path / "resumed" / "stats_fields.npz")
+    assert int(za["n_samples"]) == int(zb["n_samples"]) == 6
+    assert int(za["first_step"]) == int(zb["first_step"]) == 50
+    for key in ("mean_rho", "mean_ux", "mean_uy",
+                "re_uxux", "re_uxuy", "re_uyuy"):
+        np.testing.assert_allclose(zb[key], za[key], rtol=2e-5,
+                                   atol=1e-10, err_msg=key)
+
+
+def test_stats_survive_resume_sharded(tmp_path):
+    """Same contract on a (2,2) mesh with the per-shard checkpoint
+    format: sharded accumulators restore via the manifest's stats maps,
+    never materializing globals on the host."""
+    common = dict(output_frequency=25, stats_from=50, checkpoint_every=1,
+                  mesh_shape=(2, 2))
+    p_full = tiny_params(tmp_path / "full", num_timesteps=200, **common)
+    assert Runner(p_full, verbose=False).run().success
+
+    p_half = tiny_params(tmp_path / "resumed", num_timesteps=100, **common)
+    assert Runner(p_half, verbose=False).run().success
+    p_res = tiny_params(tmp_path / "resumed", num_timesteps=200, **common)
+    assert Runner(p_res, verbose=False).run(resume=True).success
+
+    za = np.load(tmp_path / "full" / "stats_fields.npz")
+    zb = np.load(tmp_path / "resumed" / "stats_fields.npz")
+    assert int(za["n_samples"]) == int(zb["n_samples"]) == 6
+    assert int(za["first_step"]) == int(zb["first_step"]) == 50
+    for key in ("mean_rho", "mean_ux", "mean_uy", "re_uxux", "re_uyuy"):
+        np.testing.assert_allclose(zb[key], za[key], rtol=2e-5,
+                                   atol=1e-10, err_msg=key)
+
+
+def test_resume_without_saved_stats_starts_fresh(tmp_path):
+    """A checkpoint written BEFORE statistics existed (no stats keys)
+    must resume cleanly and start accumulating from the resume point."""
+    p1 = tiny_params(tmp_path, num_timesteps=100, output_frequency=25,
+                     checkpoint_every=1)          # stats_from=0 default
+    p1 = p1.replace(stats_from=-1)                # no stats in first run
+    assert Runner(p1, verbose=False).run().success
+    p2 = tiny_params(tmp_path, num_timesteps=200, output_frequency=25,
+                     checkpoint_every=1, stats_from=50)
+    assert Runner(p2, verbose=False).run(resume=True).success
+    z = np.load(tmp_path / "stats_fields.npz")
+    # resumed at t=100: samples at 100, 125, 150, 175
+    assert int(z["n_samples"]) == 4
+    assert int(z["first_step"]) == 100

@@ -223,16 +223,35 @@ class Runner:
         while len(self._io_futures) > self._max_pending:
             self._io_futures.pop(0).result()
 
-    def _save_ckpt(self, ckpt_dir: str, t: int, f) -> None:
+    def _save_ckpt(self, ckpt_dir: str, t: int, f, stats_dev=None,
+                   stats_first=None) -> None:
         """Multi-device runs write per-shard files (every process
         participates; O(local) host RAM — the global f is never
-        materialized); single-device runs keep the one-.npz format."""
+        materialized); single-device runs keep the one-.npz format.
+        Reynolds-statistics accumulators ride along so a resumed run
+        continues the sample window instead of restarting it."""
+        first = -1 if stats_first is None else int(stats_first)
         if self.mesh.devices.size > 1:
-            ckpt.save_sharded(ckpt_dir, t, f, self.params)
+            stats = scalars = None
+            if stats_dev is not None:
+                stats = {"s_rho": stats_dev[1], "s_u": stats_dev[2],
+                         "s_uu": stats_dev[3]}
+                scalars = {"count": float(jax.device_get(stats_dev[0])),
+                           "first": first}
+            ckpt.save_sharded(ckpt_dir, t, f, self.params, stats=stats,
+                              stats_scalars=scalars)
         else:
             f_host = multihost.fetch_global(f)
+            stats = None
+            if stats_dev is not None:
+                cnt, s_rho, s_u, s_uu = jax.device_get(stats_dev)
+                stats = {"count": np.asarray(cnt),
+                         "first": np.int64(first),
+                         "s_rho": np.asarray(s_rho),
+                         "s_u": np.asarray(s_u),
+                         "s_uu": np.asarray(s_uu)}
             if self.primary:
-                ckpt.save(ckpt_dir, t, f_host, self.params)
+                ckpt.save(ckpt_dir, t, f_host, self.params, stats=stats)
 
     def run(self, resume: bool = True) -> RunResult:
         p = self.params
@@ -243,6 +262,7 @@ class Runner:
         start_step = 0
         f0 = None        # host f (single-.npz checkpoint format)
         f_dev = None     # device-resident sharded f (per-shard format)
+        stats_saved = None  # restored statistics accumulators (either fmt)
         ndim = len(problem.spatial_shape)
         if resume and p.checkpoint_every:
             # On resume, process 0 decides and BROADCASTS (step, kind) so
@@ -262,7 +282,8 @@ class Runner:
                             start_step = ckpt.check_manifest(latest, p)
                             kind = 2
                         else:
-                            start_step, f0 = ckpt.load(latest, p)
+                            start_step, f0, stats_saved = ckpt.load(
+                                latest, p, extras=True)
                             kind = 1
                     except Exception as e:  # defer: peers must hear of it
                         load_err = f"{type(e).__name__}: {e}"
@@ -298,7 +319,8 @@ class Runner:
                 # params were validated on process 0 (check_manifest +
                 # broadcast); per-process re-checks could raise on only
                 # some processes and desynchronize the collectives
-                _, f_dev = ckpt.load_sharded(path, self.mesh, spec)
+                _, f_dev, stats_saved = ckpt.load_sharded(
+                    path, self.mesh, spec, extras=True)
         solid = problem.solid if problem.solid is not None else \
             np.zeros(problem.spatial_shape, bool)
         if f_dev is not None:
@@ -320,17 +342,35 @@ class Runner:
             dt_ = self.problem.dtype
             sp = self.problem.spatial_shape
             D = self.problem.lattice.D
-            stats_dev = (
-                jnp.zeros((), dt_),
-                shard_mask(self.mesh, jnp.zeros(sp, dt_)),
-                shard_mask(self.mesh, jnp.zeros((D,) + sp, dt_)),
-                shard_mask(self.mesh,
-                           jnp.zeros((D * (D + 1) // 2,) + sp, dt_)))
-            if start_step > p.stats_from and self.verbose:
-                print(f"  NOTE: resuming at step {start_step} restarts "
-                      f"statistics accumulation (stats_from="
-                      f"{p.stats_from}); stats_fields.npz will record the "
-                      f"actual sample window")
+            if stats_saved is not None and "s_rho" in stats_saved:
+                # continue the checkpointed sample window: sharded restores
+                # arrive as correctly-placed device arrays, single-.npz
+                # restores as host arrays to re-shard
+                def _place(a):
+                    import numpy as _np
+                    return (shard_mask(self.mesh, jnp.asarray(a, dt_))
+                            if isinstance(a, _np.ndarray) else a)
+                stats_dev = (jnp.asarray(float(stats_saved["count"]), dt_),
+                             _place(stats_saved["s_rho"]),
+                             _place(stats_saved["s_u"]),
+                             _place(stats_saved["s_uu"]))
+                first = int(stats_saved.get("first", -1))
+                stats_first = None if first < 0 else first
+                if self.verbose:
+                    print(f"  Resuming statistics accumulation "
+                          f"({int(float(stats_saved['count']))} samples "
+                          f"so far)")
+            else:
+                stats_dev = (
+                    jnp.zeros((), dt_),
+                    shard_mask(self.mesh, jnp.zeros(sp, dt_)),
+                    shard_mask(self.mesh, jnp.zeros((D,) + sp, dt_)),
+                    shard_mask(self.mesh,
+                               jnp.zeros((D * (D + 1) // 2,) + sp, dt_)))
+                if start_step > p.stats_from and self.verbose:
+                    print(f"  NOTE: resuming at step {start_step} with no "
+                          f"saved statistics accumulators (pre-statistics "
+                          f"checkpoint); accumulation starts fresh here")
 
         force_writer = None
         forces_path = None
@@ -471,7 +511,7 @@ class Runner:
                         chunks_done += _SUPER_K
                         if (p.checkpoint_every and
                                 chunks_done - last_ckpt >= p.checkpoint_every):
-                            self._save_ckpt(ckpt_dir, t, f)
+                            self._save_ckpt(ckpt_dir, t, f, stats_dev, stats_first)
                             last_ckpt = chunks_done
                         continue
 
@@ -534,7 +574,7 @@ class Runner:
 
                     if (p.checkpoint_every and
                             chunks_done - last_ckpt >= p.checkpoint_every):
-                        self._save_ckpt(ckpt_dir, t, f)
+                        self._save_ckpt(ckpt_dir, t, f, stats_dev, stats_first)
                         last_ckpt = chunks_done
 
                 # final fence + stability check of the end state
