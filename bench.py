@@ -259,7 +259,7 @@ def main():
     ap.add_argument("--chunk-len", type=int, default=280)
     ap.add_argument("--precision", default="f32")
     ap.add_argument("--collision", default="bgk",
-                    choices=["bgk", "trt", "mrt", "regularized"],
+                    choices=["bgk", "trt", "mrt", "regularized", "kbc"],
                     help="collision operator (extra kernel rows for the "
                          "BENCH.md operator ladder)")
     ap.add_argument("--thermal", action="store_true",

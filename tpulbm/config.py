@@ -53,7 +53,7 @@ class SimulationParams:
     obstacle_bc: str = "equilibrium"  # "equilibrium" (reference parity) |
     # "bounce_back" (full-way) | "bouzidi" (curved-wall interpolated, jax tier)
     collision: str = "bgk"           # "bgk" (reference parity) | "trt" |
-    # "mrt" | "regularized" (new: stable at low tau)
+    # "mrt" | "regularized" | "kbc" (new: stable at low tau)
     trt_magic: float = 3.0 / 16.0    # TRT magic parameter Λ
     # MRT ghost-moment rate overrides as ((moment, rate), ...) pairs, e.g.
     # (("e", 1.5), ("qx", 1.2)). Row names per physics._mrt_basis; unset
@@ -345,7 +345,7 @@ def add_cli_args(parser: argparse.ArgumentParser) -> None:
                         choices=["equilibrium", "bounce_back", "bouzidi"],
                         default=None)
     parser.add_argument("--collision",
-                        choices=["bgk", "trt", "mrt", "regularized"],
+                        choices=["bgk", "trt", "mrt", "regularized", "kbc"],
                         default=None)
     parser.add_argument("--lattice3d", choices=["d3q19", "d3q27"],
                         default=None,
@@ -453,6 +453,15 @@ def validate_params(params: SimulationParams) -> None:
         raise ValueError(
             "--mrt-rates only applies to collision='mrt', not "
             f"{params.collision!r}")
+    if params.collision == "kbc" and params.is_3d:
+        raise ValueError(
+            "the KBC entropic operator is implemented for D2Q9 (2-D) "
+            "only; use collision='regularized' for stabilized 3-D runs")
+    if params.thermal_tau and params.collision != "bgk":
+        raise ValueError(
+            "thermal (double-population) problems implement collision="
+            f"'bgk' (+ --smagorinsky) only, got {params.collision!r}; "
+            "the scalar coupling is not wired into the other operators")
     if params.smagorinsky:
         if params.smagorinsky < 0:
             raise ValueError(

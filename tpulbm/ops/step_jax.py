@@ -55,6 +55,9 @@ def _collide_block(problem: Problem, f: jnp.ndarray,
     elif problem.collision == "regularized":
         f_post = physics.collide_regularized(problem.lattice, f, inv_tau,
                                              problem.body_force)
+    elif problem.collision == "kbc":
+        f_post = physics.collide_kbc(problem.lattice, f, inv_tau,
+                                     problem.body_force)
     elif problem.power_law:
         f_post = physics.collide_power_law(problem.lattice, f,
                                            problem.power_law[0],

@@ -109,6 +109,10 @@ class _Cfg:
     force_fn: object = None
     nx_g: int = 0       # global extents for the force coords dict
     ny_g: int = 0
+    # KBC entropic operator (physics.kbc_coeffs): per-population
+    # coefficient vectors (sP, sN, hT, hqx, hqy, hA) for the deviation
+    # parts; None → not KBC
+    kbc: tuple | None = None
 
 
 def _collide_rows(cfg: _Cfg, fw, solid_rows, y0=None, x0=None):
@@ -216,6 +220,67 @@ def _collide_rows_core(cfg: _Cfg, fw, solid_rows):
                 if uik == 0.0 or t[k] is None:
                     continue
                 fp = fp - uik * t[k]
+            if cfg.src is not None and cfg.src[i]:
+                fp = fp + cfg.src[i]
+            if cfg.bounce_back:
+                fp = jnp.where(solid_rows, fw[i], fp)
+            out.append(fp)
+        return out
+    if cfg.kbc is not None:
+        # KBC entropic multi-relaxation (physics.collide_kbc): shear part
+        # (ΔΠ_xy, ΔN) relaxes at 2β = 1/τ, the higher moments (ΔT, Δq,
+        # ΔA) at the per-cell entropic rate βγ with γ from the closed-
+        # form entropy estimate. Moment deltas from the same devs/Π sums
+        # as the LES/reg branches; two entropic inner products (÷feq)
+        # accumulate across the 9 planes.
+        sP, sN, hT, hqx, hqy, hA = cfg.kbc
+        devs, feqs = [], []
+        for i in range(cfg.Q):
+            cx, cy = cfg.c[i]
+            cu = (cx * ux if cx else 0.0) + (cy * uy if cy else 0.0)
+            if cx or cy:
+                feq = cfg.w[i] * rho * (base + 3.0 * cu + 4.5 * cu * cu)
+            else:
+                feq = cfg.w[i] * rho * base
+            feqs.append(feq)
+            devs.append(fw[i] - feq)
+        pxx = devs[1] + devs[3] + devs[5] + devs[6] + devs[7] + devs[8]
+        pyy = devs[2] + devs[4] + devs[5] + devs[6] + devs[7] + devs[8]
+        pxy = devs[5] - devs[6] + devs[7] - devs[8]
+        dN = pxx - pyy
+        dT = pxx + pyy
+        dqx = devs[5] - devs[6] - devs[7] + devs[8]   # Σ c_x c_y² dev
+        dqy = devs[5] + devs[6] - devs[7] - devs[8]   # Σ c_x² c_y dev
+        dA = devs[5] + devs[6] + devs[7] + devs[8]    # Σ c_x² c_y² dev
+
+        def comb(coeffs, parts):
+            tot = None
+            for cc, part in zip(coeffs, parts):
+                if cc == 0.0:
+                    continue
+                t = part if cc == 1.0 else cc * part
+                tot = t if tot is None else tot + t
+            return tot if tot is not None else 0.0
+
+        ds = [comb((sP[i], sN[i]), (pxy, dN)) for i in range(cfg.Q)]
+        dh = [comb((hT[i], hqx[i], hqy[i], hA[i]), (dT, dqx, dqy, dA))
+              for i in range(cfg.Q)]
+        sh = None
+        hh = None
+        for i in range(cfg.Q):
+            ife = 1.0 / feqs[i]
+            t1 = ds[i] * dh[i] * ife
+            t2 = dh[i] * dh[i] * ife
+            sh = t1 if sh is None else sh + t1
+            hh = t2 if hh is None else hh + t2
+        beta = 0.5 * cfg.inv_tau
+        safe = jnp.maximum(hh, 1e-18)
+        gamma = jnp.where(hh > 1e-18,
+                          (1.0 / beta) - (2.0 - 1.0 / beta) * sh / safe,
+                          2.0)
+        bg = beta * gamma
+        for i in range(cfg.Q):
+            fp = fw[i] - (2.0 * beta) * ds[i] - bg * dh[i]
             if cfg.src is not None and cfg.src[i]:
                 fp = fp + cfg.src[i]
             if cfg.bounce_back:
@@ -721,6 +786,7 @@ def _physics_cfg_fields(problem: Problem) -> dict:
     from .. import physics as _physics
     omega_minus = None
     mrt_uv = None
+    kbc = None
     if problem.collision == "trt":
         omega_minus = _physics.omega_minus_trt(1.0 / problem.params.tau,
                                                problem.trt_magic)
@@ -730,6 +796,9 @@ def _physics_cfg_fields(problem: Problem) -> dict:
             overrides=dict(problem.mrt_rates) or None)
         mrt_uv = (tuple(tuple(float(v) for v in row) for row in U),
                   tuple(tuple(float(v) for v in row) for row in V))
+    elif problem.collision == "kbc":
+        kbc = tuple(tuple(float(v) for v in vec)
+                    for vec in _physics.kbc_coeffs(lat))
     return dict(
         Q=Q, c=c, w=w, opp=tuple(int(v) for v in lat.opposite),
         inv_tau=1.0 / problem.params.tau,
@@ -741,6 +810,7 @@ def _physics_cfg_fields(problem: Problem) -> dict:
         u_in=float(problem.init_u[0]),
         eq_in=tuple(float(v) for v in problem.ghost_ring_values()),
         src=src, has_solid=has_solid,
+        kbc=kbc,
         bounce_back=bounce_back,
         guard_bcs=guard_bcs, slab_skip=slab_skip,
         clean_corners=bool(getattr(problem, 'clean_corners', False)),
