@@ -153,6 +153,7 @@ def test_3d_tiled_pallas_matches_jax():
     np.testing.assert_allclose(got, ref, rtol=5e-6, atol=1e-7)
 
 
+@pytest.mark.slow
 def test_3d_tiled_pallas_3step_blocking():
     # N=3 temporal blocking (the preferred depth when chunk_len divides):
     # 6 steps per chunk = two 3-step cascades, vs the jax oracle
@@ -200,6 +201,7 @@ def test_3d_tiled_pallas_3slot_raw_ring():
     np.testing.assert_allclose(got2, ref2, rtol=5e-6, atol=1e-7)
 
 
+@pytest.mark.slow
 def test_3d_tiled_pallas_y_sharded():
     # y-sharded 3-D pallas: halo rows ride ppermute (ring_rows_3d)
     params = _params(ny=32, precision="f32")
@@ -208,6 +210,7 @@ def test_3d_tiled_pallas_y_sharded():
     np.testing.assert_allclose(got, ref, rtol=5e-6, atol=1e-7)
 
 
+@pytest.mark.slow
 def test_3d_tiled_pallas_y_sharded_bounce_back():
     # sphere straddling the y-shard boundary, bounce-back + TRT (sphere
     # centered so it does not pierce the inlet column — that geometry

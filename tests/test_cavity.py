@@ -101,8 +101,8 @@ def _run_chunks(params, mesh_shape, backend, chunk_len=6, n_chunks=2,
 
 @pytest.mark.parametrize("mesh_shape,env", [
     ((1, 1), None),
-    ((2, 1), None),
-    ((2, 2), None),
+    pytest.param((2, 1), None, marks=pytest.mark.slow),
+    pytest.param((2, 2), None, marks=pytest.mark.slow),
 ], ids=["single", "y-sharded", "2d-mesh"])
 def test_cavity_pallas_matches_jax(mesh_shape, env):
     params = _params(n=64, precision="f32")

@@ -134,7 +134,8 @@ def test_pallas_force_matches_jax(mesh_shape):
 
 
 @pytest.mark.parametrize("n_sub,mesh_shape",
-                         [(2, (1, 1)), (3, (1, 1)), (4, (1, 1)),
+                         [(2, (1, 1)), (3, (1, 1)),
+                          pytest.param(4, (1, 1), marks=pytest.mark.slow),
                           (3, (2, 1))],
                          ids=["N2", "N3", "N4", "N3-sharded"])
 def test_pallas_blocked_force_matches_jax(n_sub, mesh_shape, monkeypatch):
@@ -171,8 +172,9 @@ def test_pallas_blocked_force_matches_jax(n_sub, mesh_shape, monkeypatch):
 
 
 @pytest.mark.parametrize("axis,n_sub,mesh_shape",
-                         [("y", 1, (1, 2)), ("x", 1, (1, 2)),
-                          ("x", 2, (2, 2))],
+                         [pytest.param("y", 1, (1, 2),
+                                       marks=pytest.mark.slow),
+                          ("x", 1, (1, 2)), ("x", 2, (2, 2))],
                          ids=["Fy-x2", "Fx-x2", "Fx-2x2-N2"])
 def test_pallas_x_sharded_force_fused(axis, n_sub, mesh_shape, monkeypatch):
     """x-sharded meshes run force_fn problems through the x-tiled kernel:

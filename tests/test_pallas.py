@@ -200,7 +200,7 @@ def test_pallas_rejects_f64():
         make_local_step_pallas(problem, (32, 64))
 
 
-@pytest.mark.parametrize("n_sub,chunk_len", [(3, 6), (4, 4)])
+@pytest.mark.parametrize("n_sub,chunk_len", [(3, 6), pytest.param(4, 4, marks=pytest.mark.slow)])
 def test_pallasN_cylinder(monkeypatch, n_sub, chunk_len):
     monkeypatch.setenv("TPULBM_PALLAS_TY", "8")
     monkeypatch.setenv("TPULBM_SUBSTEPS", str(n_sub))

@@ -77,7 +77,8 @@ def _assert_tiled_engages(params, mesh_shape, n_sub, tile_x=None):
     return step
 
 
-@pytest.mark.parametrize("n_sub", [1, 2, 3, 4])
+@pytest.mark.parametrize("n_sub", [1, 2, pytest.param(3, marks=pytest.mark.slow),
+                                   pytest.param(4, marks=pytest.mark.slow)])
 def test_tiled_forced_single_device_depths(n_sub):
     # single shard, forced 4-wide tile grid: the wide-row VMEM configuration
     _assert_tiled_engages(CYL, (1, 1), n_sub, tile_x=32)

@@ -115,8 +115,9 @@ def test_regularized_stabilizes_double_shear_layer():
         "regularization failed to stabilize the shear layer"
 
 
-@pytest.mark.parametrize("mesh_shape,dims", [((1, 1), 2), ((2, 2), 2),
-                                             ((1, 1), 3)],
+@pytest.mark.parametrize("mesh_shape,dims", [((1, 1), 2),
+                          pytest.param((2, 2), 2, marks=pytest.mark.slow),
+                          pytest.param((1, 1), 3, marks=pytest.mark.slow)],
                          ids=["2d-single", "2d-xsharded", "3d"])
 def test_regularized_pallas_matches_oracle(mesh_shape, dims):
     if dims == 2:

@@ -55,6 +55,7 @@ def test_conduction_steady_state():
     np.testing.assert_allclose(np.asarray(step(s)), s, atol=1e-14)
 
 
+@pytest.mark.slow
 def test_de_vahl_davis_nu_ra1e4():
     """Benchmark gate: Nu(Ra=10^4, Pr~0.71) = 2.243 (de Vahl Davis 1983).
     64^2 converges in ~80k steps (measured Nu = 2.305, +2.8%)."""
