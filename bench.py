@@ -37,7 +37,9 @@ def bench(nx=2048, ny=512, backend="pallas", chunk_len=280, chunks=8,
           warmup=2, precision="f32", mesh_shape=(1, 1), verbose=False,
           reynolds=200.0, repeats=3, nz=0, collision="bgk",
           smagorinsky=0.0, thermal=False, power_law_n=1.0,
-          multiphase=False, periodic=False, kolmogorov=False):
+          multiphase=False, periodic=False, kolmogorov=False,
+          obstacle_bc="equilibrium", zou_he_corners="reference",
+          mrt_rates=()):
     import jax
     import numpy as np
 
@@ -112,6 +114,9 @@ def bench(nx=2048, ny=512, backend="pallas", chunk_len=280, chunks=8,
                                   inlet_velocity=0.05, collision=collision,
                                   smagorinsky=smagorinsky,
                                   power_law_n=power_law_n,
+                                  obstacle_bc=obstacle_bc,
+                                  zou_he_corners=zou_he_corners,
+                                  mrt_rates=tuple(mrt_rates),
                                   tau=tau_for_reynolds(reynolds, 0.05, ny))
     # reject silently-no-op combinations (e.g. --thermal --power-law, whose
     # thermal branch above never threads power_law_n, or --power-law with
@@ -179,6 +184,20 @@ def bench(nx=2048, ny=512, backend="pallas", chunk_len=280, chunks=8,
     return mlups, best_dt, steps
 
 
+def _parse_mrt_rates(spec):
+    """'eps=1.857,e=1.64' → (('eps', 1.857), ('e', 1.64)). See the MRT
+    ghost-rate stability note in physics.py: near tau = 1/2 the fixed
+    literature e/eps rates amplify the Zou-He corner re-injection loop, so
+    the --collision mrt ladder row needs an override to run the Re=200
+    defaults (throughput is rate-independent; the override keeps the 2240
+    timed steps finite)."""
+    if not spec:
+        return ()
+    return tuple((name.strip(), float(val))
+                 for name, _, val in (item.partition("=")
+                                      for item in spec.split(",")))
+
+
 def run_one(args, mesh_shape, nx, ny, label=None):
     backend = args.backend
     nz = getattr(args, "nz", 0)
@@ -190,6 +209,9 @@ def run_one(args, mesh_shape, nx, ny, label=None):
               thermal=args.thermal, power_law_n=args.power_law,
               multiphase=args.multiphase,
               periodic=getattr(args, "periodic", False),
+              obstacle_bc=getattr(args, "obstacle_bc", "equilibrium"),
+              zou_he_corners=getattr(args, "zou_he_corners", "reference"),
+              mrt_rates=_parse_mrt_rates(getattr(args, "mrt_rates", None)),
               kolmogorov=getattr(args, "kolmogorov", False))
     try:
         mlups, dt, steps = bench(backend=backend, **kw)
@@ -223,6 +245,8 @@ def run_one(args, mesh_shape, nx, ny, label=None):
                          f"{args.precision} (in-kernel force)")
     if args.collision != "bgk":
         default_label += f" {args.collision}"
+    if getattr(args, "obstacle_bc", "equilibrium") != "equilibrium":
+        default_label += f" obstacle-bc={args.obstacle_bc}"
     if args.smagorinsky:
         default_label += f" les(Cs={args.smagorinsky:g})"
     if args.power_law != 1.0:
@@ -262,6 +286,19 @@ def main():
                     choices=["bgk", "trt", "mrt", "regularized", "kbc"],
                     help="collision operator (extra kernel rows for the "
                          "BENCH.md operator ladder)")
+    ap.add_argument("--obstacle-bc", default="equilibrium",
+                    choices=["equilibrium", "bounce_back", "bouzidi"],
+                    help="cylinder obstacle BC (bouzidi = fused "
+                         "curved-wall row for the BENCH.md ladder)")
+    ap.add_argument("--zou-he-corners", default="reference",
+                    choices=["reference", "clean"],
+                    help="corner-cell treatment; 'clean' removes the "
+                         "corner re-injection loop that destabilizes TRT "
+                         "at the Re=200 default tau=0.538 (physics.py)")
+    ap.add_argument("--mrt-rates", type=str, default=None,
+                    help="MRT ghost-rate overrides 'name=val,...'; "
+                         "'eps=1.857' (s_nu at tau=0.538) keeps the "
+                         "--collision mrt row finite at Re=200 defaults")
     ap.add_argument("--thermal", action="store_true",
                     help="bench the thermal (Rayleigh-Benard) model "
                          "instead of the cylinder")

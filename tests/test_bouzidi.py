@@ -192,10 +192,49 @@ def test_bouzidi_sharded_matches_oracle(mesh_shape):
                                rtol=1e-12, atol=1e-14)
 
 
-def test_pallas_request_demotes_with_warning():
+def _run_bz(pr, mesh_shape, backend, n_chunks=2, chunk_len=5,
+            forbid_demotion=False):
+    n = mesh_shape[0] * mesh_shape[1]
+    mesh = make_mesh(mesh_shape, devices=jax.devices()[:n])
+    if forbid_demotion:
+        with warnings.catch_warnings():
+            warnings.simplefilter("error", UserWarning)
+            chunk = make_chunk_fn(pr, mesh, chunk_len, backend=backend)
+    else:
+        chunk = make_chunk_fn(pr, mesh, chunk_len, backend=backend)
+    s, solid = shard_state(mesh, pr.initial_state(), pr.solid)
+    for _ in range(n_chunks):
+        s = chunk(s, solid)
+    return np.asarray(jax.device_get(s))
+
+
+@pytest.mark.parametrize("mesh_shape", [(1, 1), (2, 1)],
+                         ids=["single", "y-sharded"])
+def test_bouzidi_pallas_matches_jax(mesh_shape):
+    """The fused kernel (q table riding the slab pipeline, step_pallas)
+    must reproduce the jax tier with NO demotion warning — VERDICT r3 #2."""
     pr = make_problem(_cyl_params(precision="f32"))
-    mesh = make_mesh((1, 1), devices=jax.devices()[:1])
-    with pytest.warns(UserWarning, match="bouzidi"):
+    ref = _run_bz(pr, (1, 1), "jax")
+    got = _run_bz(pr, mesh_shape, "pallas", forbid_demotion=True)
+    np.testing.assert_allclose(got, ref, rtol=5e-6, atol=1e-7)
+
+
+def test_bouzidi_pallas_matches_jax_moving_wall():
+    """Spinning cylinder: the 2Q link table (momentum scalars stacked under
+    q) rides the same slab DMA; the in-kernel select adds the 6 w c·u_w
+    terms exactly like ops/bouzidi.apply_bouzidi."""
+    pr = make_problem(_cyl_params(precision="f32", cylinder_omega=0.02))
+    ref = _run_bz(pr, (1, 1), "jax")
+    got = _run_bz(pr, (1, 1), "pallas", forbid_demotion=True)
+    np.testing.assert_allclose(got, ref, rtol=5e-6, atol=1e-7)
+
+
+def test_bouzidi_pallas_xsharded_demotes_with_warning():
+    # the x-tiled pipeline does not thread the q table (documented
+    # trade-off); x-sharded meshes degrade to the jax tier, loudly
+    pr = make_problem(_cyl_params(precision="f32"))
+    mesh = make_mesh((1, 2), devices=jax.devices()[:2])
+    with pytest.warns(UserWarning, match="falling back"):
         chunk = make_chunk_fn(pr, mesh, 4, backend="pallas")
     s, solid = shard_state(mesh, pr.initial_state(), pr.solid)
     s = chunk(s, solid)

@@ -128,22 +128,33 @@ def test_sharded_matches_oracle(mesh_shape):
                                rtol=1e-12, atol=1e-14)
 
 
-def test_pallas_demotes_with_warning():
-    """The fused thermal kernel bakes y-wall BCs; periodic scalar
-    transport must warn and run the jax tier."""
+@pytest.mark.parametrize("mesh_shape", [(1, 1), (2, 1)],
+                         ids=["single", "y-sharded"])
+def test_pallas_matches_jax(mesh_shape):
+    """Periodic scalar transport runs the FUSED thermal kernel (VERDICT r3
+    #4a): with periodic_y the kernel's wall branches are flag-disabled and
+    the rings carry wrapped rows — no demotion warning allowed."""
     params = _params(precision="f32", nx=128)
     pr = make_problem(params)
-    mesh = make_mesh((1, 1), devices=jax.devices()[:1])
-    with pytest.warns(UserWarning, match="passive-scalar"):
-        chunk = make_chunk_fn(pr, mesh, 4, backend="pallas")
-    ref = make_chunk_fn(pr, mesh, 4, backend="jax")
-    s0, solid = shard_state(mesh, pr.initial_state(),
-                            np.zeros((params.ny, params.nx), bool))
-    a = np.asarray(jax.device_get(chunk(s0, solid)))
-    s0, solid = shard_state(mesh, pr.initial_state(),
-                            np.zeros((params.ny, params.nx), bool))
-    b = np.asarray(jax.device_get(ref(s0, solid)))
-    np.testing.assert_allclose(a, b, rtol=1e-6)
+
+    def run(backend, ms, forbid=False):
+        n = ms[0] * ms[1]
+        mesh = make_mesh(ms, devices=jax.devices()[:n])
+        if forbid:
+            with warnings.catch_warnings():
+                warnings.simplefilter("error", UserWarning)
+                chunk = make_chunk_fn(pr, mesh, 4, backend=backend)
+        else:
+            chunk = make_chunk_fn(pr, mesh, 4, backend=backend)
+        s, solid = shard_state(mesh, pr.initial_state(),
+                               np.zeros((params.ny, params.nx), bool))
+        for _ in range(2):
+            s = chunk(s, solid)
+        return np.asarray(jax.device_get(s))
+
+    ref = run("jax", (1, 1))
+    got = run("pallas", mesh_shape, forbid=True)
+    np.testing.assert_allclose(got, ref, rtol=5e-6, atol=1e-7)
 
 
 def test_runner_end_to_end_writes_variance_trace(tmp_path):

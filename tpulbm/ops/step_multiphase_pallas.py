@@ -74,9 +74,15 @@ def _force_rows(cfg: _CfgM, psi, below, above):
         if cy == 0:
             nb = psi
         elif cy > 0:  # ψ(y + 1)
-            nb = jnp.concatenate([psi[1:Ty, :], above], axis=0)
+            # Ty == 1 (ring-row blocks): the whole shifted block IS the
+            # neighbor row — a psi[1:1] slice would be a zero-size vector,
+            # which Mosaic-on-silicon rejects (round-4 on-TPU probe;
+            # interpret mode concatenated it silently)
+            nb = above if Ty == 1 else \
+                jnp.concatenate([psi[1:Ty, :], above], axis=0)
         else:
-            nb = jnp.concatenate([below, psi[0:Ty - 1, :]], axis=0)
+            nb = below if Ty == 1 else \
+                jnp.concatenate([below, psi[0:Ty - 1, :]], axis=0)
         if cx:
             nb = pltpu.roll(nb, (-cx) % cfg.nxl, axis=1)
         w = cfg.w[i]

@@ -113,6 +113,17 @@ class _Cfg:
     # coefficient vectors (sP, sN, hT, hqx, hqy, hA) for the deviation
     # parts; None → not KBC
     kbc: tuple | None = None
+    # Bouzidi curved-wall obstacle BC (ops/bouzidi.py): the per-link q
+    # table rides as an extra HBM input DMA'd per slab next to the solid
+    # mask (bz_planes = Q, or 2Q when the wall moves and the momentum
+    # scalars are stacked under q). The cut-link rewrite is a pointwise
+    # select against the post-stream slab and the pre-stream post-
+    # collision slab — both resident in VMEM at BC time — so the fused
+    # kernel needs no gathers (the jax tier's apply_bouzidi, fused).
+    # bz_active: static per-direction any-cut-link flags (global mask).
+    bz: bool = False
+    bz_planes: int = 0
+    bz_active: tuple | None = None
 
 
 def _collide_rows(cfg: _Cfg, fw, solid_rows, y0=None, x0=None):
@@ -128,9 +139,13 @@ def _collide_rows(cfg: _Cfg, fw, solid_rows, y0=None, x0=None):
     if cfg.force_fn is None:
         return out
     rows, nxl = fw[0].shape[-2], fw[0].shape[-1]
+    # int32 iota cast to f32: Mosaic-on-silicon rejects a float tpu.iota
+    # ("result must be vector of integer or index values" — found by the
+    # round-4 on-TPU probe ladder; interpret mode accepted it silently)
     yy = (jnp.asarray(y0, jnp.float32)
-          + lax.broadcasted_iota(jnp.float32, (rows, nxl), 0))
-    xx = lax.broadcasted_iota(jnp.float32, (rows, nxl), 1)
+          + lax.broadcasted_iota(jnp.int32, (rows, nxl), 0
+                                 ).astype(jnp.float32))
+    xx = lax.broadcasted_iota(jnp.int32, (rows, nxl), 1).astype(jnp.float32)
     if x0 is not None:
         xx = jnp.asarray(x0, jnp.float32) + xx
     comps = tuple(cfg.force_fn({"xx": xx, "yy": yy,
@@ -274,10 +289,10 @@ def _collide_rows_core(cfg: _Cfg, fw, solid_rows):
             sh = t1 if sh is None else sh + t1
             hh = t2 if hh is None else hh + t2
         beta = 0.5 * cfg.inv_tau
-        safe = jnp.maximum(hh, 1e-18)
-        gamma = jnp.where(hh > 1e-18,
-                          (1.0 / beta) - (2.0 - 1.0 / beta) * sh / safe,
-                          2.0)
+        # Tikhonov-regularized estimate, λ matching physics.collide_kbc
+        # (f32): the raw sh/hh ratio amplifies rounding noise by O(ds/dh)
+        # when dh is noise — see the analysis there
+        gamma = (1.0 / beta) - (2.0 - 1.0 / beta) * sh / (hh + 1e-10)
         bg = beta * gamma
         for i in range(cfg.Q):
             fp = fw[i] - (2.0 * beta) * ds[i] - bg * dh[i]
@@ -418,13 +433,21 @@ def _stream_rows(cfg: _Cfg, i: int, cur, below_row, above_row):
 
 
 def _apply_bcs(cfg: _Cfg, ref, slot, msl, mslot, is_bottom, is_top, fl, fr,
-               mask_rows=None, solid_flag=None):
+               mask_rows=None, solid_flag=None, bz=None):
     """Apply ghost sanitize + walls + Zou-He inlet/outlet + obstacle strips
     in reference order (LBMSolver.h:150-263) on slab `ref[slot]`.
 
     is_bottom/is_top: traced bools — does this slab contain the global
     bottom/top row. Solid mask comes from msl[mslot] (or `mask_rows`, a
     direct (Ty, nxl)-shaped value, when msl is None).
+
+    bz (cfg.bz only): (q_rows, f_post_rows) for this slab — q_rows a
+    (bz_planes, Ty, nxl)-indexable (the slab of the link table), f_post_rows
+    a per-population indexable of the PRE-stream post-collision slab (the
+    collided f slab, still resident in VMEM). The Bouzidi cut-link rewrite
+    runs in place of the voxel obstacle strip, matching the jax tier's
+    apply_all order (ops/boundaries.py: bouzidi after every edge BC, then
+    rest-equilibrium pin on the solid interior).
     """
     Q, Ty, nxl = cfg.Q, cfg.Ty, cfg.nxl
     xl, xr = cfg.xl_col, cfg.xr_col
@@ -645,7 +668,34 @@ def _apply_bcs(cfg: _Cfg, ref, slot, msl, mslot, is_bottom, is_top, fl, fr,
     if cfg.has_solid:
         def _obstacle():
             solid_c = mrow(0, Ty) > 0.5
-            if cfg.bounce_back:
+            if cfg.bz:
+                # Bouzidi cut-link rewrite (ops/bouzidi.apply_bouzidi,
+                # fused): per direction j a pointwise select between the
+                # q<1/2 interpolation (post-collision f̂_i here + the post-
+                # STREAM plane i = f̂_i one cell upwind) and the q≥1/2 one
+                # (f̂_i, f̂_j here), then rest-eq pin on the solid interior
+                q_rows, fpost = bz   # callables: plane index -> (Ty, nxl)
+                snap = [ref[slot, i] for i in range(Q)]
+                for j in range(Q):
+                    if cfg.bz_active is not None and not cfg.bz_active[j]:
+                        continue
+                    i = opp[j]
+                    qj = q_rows(j)
+                    lt = (qj >= 0.0) & (qj < 0.5)
+                    ge = qj >= 0.5
+                    val_lt = 2.0 * qj * fpost(i) + (1.0 - 2.0 * qj) * snap[i]
+                    inv2q = 1.0 / (2.0 * jnp.maximum(qj, 0.5))
+                    val_ge = inv2q * fpost(i) + (1.0 - inv2q) * fpost(j)
+                    if cfg.bz_planes == 2 * Q:   # moving wall: momentum term
+                        tw = q_rows(Q + j)
+                        val_lt = val_lt + 6.0 * tw
+                        val_ge = val_ge + (6.0 * inv2q) * tw
+                    ref[slot, j] = jnp.where(lt, val_lt,
+                                             jnp.where(ge, val_ge,
+                                                       ref[slot, j]))
+                for i in range(Q):
+                    ref[slot, i] = jnp.where(solid_c, w[i], ref[slot, i])
+            elif cfg.bounce_back:
                 snap = [ref[slot, i] for i in range(Q)]
                 for i in range(Q):
                     ref[slot, i] = jnp.where(solid_c, snap[opp[i]],
@@ -771,6 +821,13 @@ def _physics_cfg_fields(problem: Problem) -> dict:
         src = None
     has_solid = problem.solid is not None
     bounce_back = has_solid and problem.obstacle_bc == "bounce_back"
+    bz = has_solid and problem.obstacle_bc == "bouzidi"
+    bz_planes = 0
+    bz_active = None
+    if bz:
+        from .bouzidi import active_directions, link_tables
+        bz_planes = int(link_tables(problem).shape[0])  # Q or 2Q (moving)
+        bz_active = active_directions(problem)
     # Static geometry facts (the solid mask is compile-time data): if no
     # solid cell touches a wall row or the inlet/outlet columns, the BC
     # strips need no mask guard at all; and on slabs with no solid cells the
@@ -812,6 +869,7 @@ def _physics_cfg_fields(problem: Problem) -> dict:
         src=src, has_solid=has_solid,
         kbc=kbc,
         bounce_back=bounce_back,
+        bz=bz, bz_planes=bz_planes, bz_active=bz_active,
         guard_bcs=guard_bcs, slab_skip=slab_skip,
         clean_corners=bool(getattr(problem, 'clean_corners', False)),
         walls_y=problem.walls_y,
@@ -834,6 +892,12 @@ def _build_cfg(problem: Problem, local_shape, interpret, substeps=1,
     nyl, nxl = local_shape
     if not interpret and nxl % 128 != 0:
         raise ValueError(f"pallas backend needs local nx % 128 == 0, got {nxl}")
+    if fields["bz"] and substeps > 1:
+        # temporal blocking would need q values for the ghost-chain rows
+        # (q ring rows through the halo machinery); the 1-step kernel is
+        # already within ~1.7x of the N=4 staircase rate — documented
+        # trade-off in BENCH.md
+        raise ValueError("bouzidi fuses into the 1-step kernels only")
     Q = fields["Q"]
     has_solid = fields["has_solid"]
 
@@ -847,9 +911,12 @@ def _build_cfg(problem: Problem, local_shape, interpret, substeps=1,
         if nyl % Ty:
             raise ValueError(f"TPULBM_PALLAS_TY={Ty} does not divide ny={nyl}")
     else:
+        bz_planes = fields["bz_planes"]
+
         def usage(ty):
             return (slabs * Q * ty
-                    + (mask_slots * ty if has_solid else 0)) * nxl * 4
+                    + (mask_slots * ty if has_solid else 0)
+                    + (4 * bz_planes * ty if fields["bz"] else 0)) * nxl * 4
         valid = [ty for ty in range(1, nyl + 1)
                  if nyl % ty == 0 and usage(ty) <= _VMEM_BUDGET
                  and (interpret or ty % 8 == 0)]
@@ -873,18 +940,21 @@ def _build_cfg(problem: Problem, local_shape, interpret, substeps=1,
 
 def _wrap_call(cfg: _Cfg, kernel, nyl, depth, interpret, has_solid):
     Q, nxl = cfg.Q, cfg.nxl
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),  # flags (4,) int32
+        pl.BlockSpec(memory_space=pltpu.SMEM),  # per-slab solid flags (n_ty,)
+        pl.BlockSpec(memory_space=pl.ANY),      # f (HBM)
+        pl.BlockSpec(memory_space=pltpu.VMEM),  # rb (Q,depth,nxl)
+        pl.BlockSpec(memory_space=pltpu.VMEM),  # rt
+        pl.BlockSpec(memory_space=pl.ANY),      # mask f32 (HBM)
+        pl.BlockSpec(memory_space=pltpu.VMEM),  # mask ring below (depth,nxl)
+        pl.BlockSpec(memory_space=pltpu.VMEM),  # mask ring above
+    ]
+    if cfg.bz:
+        in_specs.append(pl.BlockSpec(memory_space=pl.ANY))  # bouzidi q (HBM)
     call = pl.pallas_call(
         kernel,
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # flags (4,) int32
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # per-slab solid flags (n_ty,)
-            pl.BlockSpec(memory_space=pl.ANY),      # f (HBM)
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # rb (Q,depth,nxl)
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # rt
-            pl.BlockSpec(memory_space=pl.ANY),      # mask f32 (HBM)
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # mask ring below (depth,nxl)
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # mask ring above
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         out_shape=jax.ShapeDtypeStruct((Q, nyl, nxl), jnp.float32),
         scratch_shapes=kernel.scratch_shapes,
@@ -896,13 +966,18 @@ def _wrap_call(cfg: _Cfg, kernel, nyl, depth, interpret, has_solid):
     zero_ring = np.zeros((depth, nxl), np.float32)
     ones_sflags = np.ones((cfg.n_ty,), np.int32)
 
-    def step(f, rb, rt, flags, mask=None, mrb=None, mrt=None, sflags=None):
+    def step(f, rb, rt, flags, mask=None, mrb=None, mrt=None, sflags=None,
+             bzq=None):
         if has_solid and mask is None:
             raise ValueError("pallas backend needs the solid mask")
         mask = jnp.asarray(zero_mask) if mask is None else mask
         mrb = jnp.asarray(zero_ring) if mrb is None else mrb
         mrt = jnp.asarray(zero_ring) if mrt is None else mrt
         sflags = jnp.asarray(ones_sflags) if sflags is None else sflags
+        if cfg.bz:
+            if bzq is None:
+                raise ValueError("bouzidi pallas kernel needs the q table")
+            return call(flags, sflags, f, rb, rt, mask, mrb, mrt, bzq)
         return call(flags, sflags, f, rb, rt, mask, mrb, mrt)
 
     step.tile_height = cfg.Ty
@@ -932,7 +1007,13 @@ def make_local_step_pallas(problem: Problem,
     has_solid = cfg.has_solid
 
     def kernel(flags_ref, sflags_ref, f_ref, rb_ref, rt_ref, mask_ref,
-               mrb_ref, mrt_ref, out_ref, fsl, ob, msl, sem_f, sem_ob, sem_m):
+               mrb_ref, mrt_ref, *rest):
+        if cfg.bz:
+            (bzq_ref, out_ref, fsl, ob, msl, qsl,
+             sem_f, sem_ob, sem_m, sem_q) = rest
+        else:
+            bzq_ref = qsl = sem_q = None
+            out_ref, fsl, ob, msl, sem_f, sem_ob, sem_m = rest
         fb, ft, fl, fr = (flags_ref[k] for k in range(4))
         # shard's global y offset (flags[4]), only materialized for
         # force_fn problems — every other caller passes 4-entry flags
@@ -960,13 +1041,26 @@ def make_local_step_pallas(problem: Problem,
             else:
                 fn()
 
+        def q_dma(t):
+            # the Bouzidi link table rides the same slab pipeline as the
+            # mask (and the same per-slab skip — its cut links live within
+            # one row of the solid cells, covered by the widened sflags
+            # bounding box built in parallel/sharded_step)
+            return pltpu.make_async_copy(
+                bzq_ref.at[:, pl.ds(t * Ty, Ty), :], qsl.at[t % 4],
+                sem_q.at[t % 4])
+
         def start_in(t):
             f_dma(t).start()
             mask_op(t, lambda: m_dma(t).start())
+            if cfg.bz:
+                mask_op(t, lambda: q_dma(t).start())
 
         def wait_in(t):
             f_dma(t).wait()
             mask_op(t, lambda: m_dma(t).wait())
+            if cfg.bz:
+                mask_op(t, lambda: q_dma(t).wait())
 
         def slab_flag(t):
             return (sflags_ref[t] == 1) if cfg.slab_skip else None
@@ -1020,10 +1114,16 @@ def make_local_step_pallas(problem: Problem,
                                   fsl[(t + 1) % 4, i, 0:1, :])
                 ob[oslot, i] = _stream_rows(cfg, i, fsl[cur_slot, i], below, above)
 
+            bz = None
+            if cfg.bz:
+                # post-collision (pre-stream) slab values live in fsl at
+                # this point — collide_slab relaxed them in place
+                bz = ((lambda j: qsl[cur_slot, j]),
+                      (lambda i: fsl[cur_slot, i]))
             _apply_bcs(cfg, ob, oslot, msl if has_solid else None, cur_slot,
                        jnp.logical_and(t == 0, fb == 1),
                        jnp.logical_and(t == n_ty - 1, ft == 1), fl, fr,
-                       solid_flag=slab_flag(t))
+                       solid_flag=slab_flag(t), bz=bz)
 
             out_dma(t).start()
             return carry
@@ -1038,10 +1138,12 @@ def make_local_step_pallas(problem: Problem,
         pltpu.VMEM((2, Q, Ty, nxl), jnp.float32),   # output slabs
         (pltpu.VMEM((4, Ty, nxl), jnp.float32) if has_solid
             else pltpu.VMEM((1, 8, 128), jnp.float32)),               # mask slabs
+    ] + ([pltpu.VMEM((4, cfg.bz_planes, Ty, nxl), jnp.float32)]
+         if cfg.bz else []) + [
         pltpu.SemaphoreType.DMA((4,)),
         pltpu.SemaphoreType.DMA((2,)),
         pltpu.SemaphoreType.DMA((4,)),
-    ]
+    ] + ([pltpu.SemaphoreType.DMA((4,))] if cfg.bz else [])
     return _wrap_call(cfg, kernel, nyl, 1, interpret, has_solid)
 
 

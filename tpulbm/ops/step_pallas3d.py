@@ -93,8 +93,10 @@ def _collide_planes(cfg: _Cfg3d, fw, solid, z0=None):
     if cfg.force_fn is None:
         return out
     shape = fw[0].shape
-    yy = lax.broadcasted_iota(jnp.float32, shape, 0)
-    xx = lax.broadcasted_iota(jnp.float32, shape, 1)
+    # int32 iota cast to f32: Mosaic-on-silicon rejects a float tpu.iota
+    # (round-4 on-TPU probe; interpret mode accepted it)
+    yy = lax.broadcasted_iota(jnp.int32, shape, 0).astype(jnp.float32)
+    xx = lax.broadcasted_iota(jnp.int32, shape, 1).astype(jnp.float32)
     zz = jnp.asarray(z0, jnp.float32)
     comps = tuple(cfg.force_fn({"xx": xx, "yy": yy, "zz": zz,
                                 "nx": cfg.nx, "ny": cfg.ny, "nz": cfg.nz}))

@@ -131,6 +131,12 @@ def make_local_step_tiled(problem: Problem, local_shape: tuple[int, ...],
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     fields = _physics_cfg_fields(problem)
+    if fields["bz"]:
+        # the x-tiled pipeline does not thread the Bouzidi q table (tile
+        # DMAs + halo-column stitching for bz_planes extra channels);
+        # x-sharded bouzidi meshes take the jax tier with a warning —
+        # full-width meshes run the fused 1-step kernel (step_pallas)
+        return None
     nyl, nxl = local_shape
     Q = fields["Q"]
     has_solid = fields["has_solid"]

@@ -70,14 +70,17 @@ def make_chunk_fn(problem: Problem, mesh: Mesh, chunk_len: int,
     local_step = None
     bz_q = None
     if problem.obstacle_bc == "bouzidi" and has_solid:
-        if backend == "pallas":
-            import warnings
-            warnings.warn("obstacle_bc='bouzidi' (curved-wall interpolated "
-                          "bounce-back) runs on the jax tier; falling back "
-                          "to backend='jax'")
-            backend = "jax"
         from ..ops.bouzidi import link_tables
         bz_q = link_tables(problem)
+        if backend == "pallas" and ndim == 3:
+            # the 2-D kernels fuse the cut-link rewrite (the q table rides
+            # the slab pipeline next to the solid mask, step_pallas); the
+            # 3-D plane kernels do not thread it yet
+            import warnings
+            warnings.warn("obstacle_bc='bouzidi' runs the jax tier in 3-D "
+                          "(the fused 3-D kernels do not thread the q "
+                          "table); falling back to backend='jax'")
+            backend = "jax"
     if (problem.force_fn is not None and backend == "pallas"
             and len(problem.spatial_shape) == 3
             and tuple(mesh.devices.shape) != (1, 1)):
@@ -101,11 +104,6 @@ def make_chunk_fn(problem: Problem, mesh: Mesh, chunk_len: int,
                 if mesh_shape[1] != 1:
                     raise ValueError(
                         "thermal pallas kernel needs an x-unsharded mesh")
-                if not problem.walls_y:
-                    raise ValueError(
-                        "the fused thermal kernel bakes y-wall BCs; "
-                        "periodic scalar transport (passive-scalar) runs "
-                        "the jax tier")
                 from ..ops.step_thermal_pallas import \
                     make_local_step_thermal_pallas
                 th_pad = (-local_shape[-1]) % 128 if problem.walls_x else 0
@@ -298,7 +296,7 @@ def make_chunk_fn(problem: Problem, mesh: Mesh, chunk_len: int,
         # (no temporal blocking); single-chip it adds two kernel launches
         # per step, which is why it is not the default.
         if (os.environ.get("TPULBM_HALO_OVERLAP") and not x_sharded
-                and problem.force_fn is None):
+                and problem.force_fn is None and bz_q is None):
             from ..ops.step_pallas import make_local_step_pallas_ranged
             try:
                 pallas_ranged = make_local_step_pallas_ranged(
@@ -489,8 +487,12 @@ def make_chunk_fn(problem: Problem, mesh: Mesh, chunk_len: int,
         rows = np.nonzero(problem.solid.any(axis=1))[0]
         if len(rows):
             solid_rows = (int(rows.min()), int(rows.max()))
+            if bz_q is not None:
+                # bouzidi cut links live at FLUID cells one row outside the
+                # solid bounding box — widen so their slabs get the q DMA
+                solid_rows = (solid_rows[0] - 1, solid_rows[1] + 1)
 
-    def body_pallas(f_local, solid_local):
+    def body_pallas(f_local, solid_local, bz_local=None):
         iy = lax.axis_index("y")
         nyl, nxl = local_shape[-2], local_shape[-1]
         y0 = iy * nyl
@@ -520,6 +522,11 @@ def make_chunk_fn(problem: Problem, mesh: Mesh, chunk_len: int,
                 solid_local = jnp.concatenate(
                     [solid_local,
                      jnp.zeros((nyl, pad2), solid_local.dtype)], axis=-1)
+            if bz_local is not None:
+                # pad columns carry q = -1 (no cut link) in every plane
+                bz_local = jnp.concatenate(
+                    [bz_local, jnp.full((bz_local.shape[0], nyl, pad2),
+                                        -1.0, bz_local.dtype)], axis=-1)
 
         def sflags_for(stepper):
             # int32 (n_ty,): does slab t of this shard intersect the solid
@@ -566,7 +573,8 @@ def make_chunk_fn(problem: Problem, mesh: Mesh, chunk_len: int,
         def one_step(f, _):
             rb, rt = halo.ring_rows(f, eq_ring=eq_ring, mesh_shape=mesh_shape,
                                     periodic_y=problem.periodic_y)
-            return pallas_step(f, rb, rt, flags, mask, mrb, mrt, sflags), None
+            return pallas_step(f, rb, rt, flags, mask, mrb, mrt, sflags,
+                               bzq=bz_local), None
 
         f_local, _ = lax.scan(one_step, f_local, None, length=chunk_len)
         return f_local[..., :nxl] if pad2 else f_local
@@ -739,8 +747,13 @@ def make_chunk_fn(problem: Problem, mesh: Mesh, chunk_len: int,
         iy = lax.axis_index("y")
         nyl = local_shape[-2]
         y0 = iy * nyl
+        # periodic_y (passive scalar): no shard owns a physical y edge —
+        # the kernel's wall branches stay off and the rings carry real
+        # wrapped rows (same flag discipline as body_pallas)
+        phys_y = not problem.periodic_y
         flags = jnp.stack([
-            (y0 == 0), (y0 + nyl == problem.params.ny),
+            (y0 == 0) & phys_y,
+            (y0 + nyl == problem.params.ny) & phys_y,
             jnp.array(True), jnp.array(True)]).astype(jnp.int32)
         padx = thermal_pallas.pad_x
         nxl = local_shape[-1]
@@ -756,7 +769,8 @@ def make_chunk_fn(problem: Problem, mesh: Mesh, chunk_len: int,
 
         def one_step(f, _):
             rb, rt = halo.ring_rows(f, eq_ring=eq_ring,
-                                    mesh_shape=mesh_shape)
+                                    mesh_shape=mesh_shape,
+                                    periodic_y=problem.periodic_y)
             return thermal_pallas(f, rb, rt, flags), None
 
         f_local, _ = lax.scan(one_step, f_local, None, length=chunk_len)

@@ -19,6 +19,7 @@ compile-time constants.
 from __future__ import annotations
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from .lattice import Lattice
@@ -140,6 +141,14 @@ def collide_trt(lat: Lattice, f: jnp.ndarray, inv_tau: float,
 
         f_post = f − ω⁺ (f⁺ − feq⁺) − ω⁻ (f⁻ − feq⁻),
         g±_i = (g_i ± g_opp(i)) / 2.
+
+    Caveat for the reference-parity boundary chain (same mechanism as the
+    MRT ghost-rate note below): Λ = 3/16 sends ω⁻ → 0 as tau → 1/2
+    (ω⁻ = 0.186 at tau = 0.5384, Re = 200 bench defaults), and the heavily
+    under-relaxed odd modes amplify the Zou-He corner re-injection loop —
+    measured blow-up by t = 800 on 512×128 f32. `zou_he_corners="clean"`
+    removes the loop and is measured stable at the same tau; with clean
+    corners TRT delivers its tau → 1/2 stability advantage as advertised.
     """
     rho, u = moments(lat, f)
     feq = equilibrium(lat, rho, u)
@@ -191,7 +200,10 @@ def collide_regularized(lat: Lattice, f: jnp.ndarray, inv_tau: float,
                                           for b in range(a + 1, D)]
     for a, b in pairs:
         cab = c[:, a] * c[:, b]                  # (Q,) host
-        pi_ab = jnp.tensordot(jnp.asarray(cab, f.dtype), fneq, axes=(0, 0))
+        # precision=HIGHEST: a default-precision tensordot lowers to the
+        # MXU in bfloat16 passes on TPU (see moments())
+        pi_ab = jnp.tensordot(jnp.asarray(cab, f.dtype), fneq, axes=(0, 0),
+                              precision=jax.lax.Precision.HIGHEST)
         coeff = cab - (1.0 / 3.0 if a == b else 0.0)
         if a != b:
             coeff = 2.0 * coeff
@@ -284,17 +296,34 @@ def collide_kbc(lat: Lattice, f: jnp.ndarray, inv_tau: float,
     feq = equilibrium(lat, rho, u)
     dneq = f - feq
     S, H = kbc_projectors(lat)
-    ds = jnp.tensordot(jnp.asarray(S, f.dtype), dneq, axes=(1, 0))
-    dh = jnp.tensordot(jnp.asarray(H, f.dtype), dneq, axes=(1, 0))
+    # precision=HIGHEST: at TPU default precision these 9×9 projector
+    # contractions run on the MXU in bfloat16 passes, planting ~1e-3
+    # relative noise in ds/dh that the sh/hh entropic ratio then amplifies
+    # — the round-4 on-TPU probe measured the pallas tier (exact f32 VPU
+    # sums) 300+ tolerance-units away from the jax tier through exactly
+    # this. HIGHEST keeps the contraction in f32 like moments() does.
+    ds = jnp.tensordot(jnp.asarray(S, f.dtype), dneq, axes=(1, 0),
+                       precision=jax.lax.Precision.HIGHEST)
+    dh = jnp.tensordot(jnp.asarray(H, f.dtype), dneq, axes=(1, 0),
+                       precision=jax.lax.Precision.HIGHEST)
     inv_feq = 1.0 / feq
     sh = jnp.sum(ds * dh * inv_feq, axis=0)
     hh = jnp.sum(dh * dh * inv_feq, axis=0)
     beta = 0.5 * inv_tau
-    tiny = 1e-30 if f.dtype == jnp.float64 else 1e-18
-    gamma = jnp.where(hh > tiny,
-                      1.0 / beta - (2.0 - 1.0 / beta)
-                      * sh / jnp.where(hh > tiny, hh, 1.0),
-                      2.0)
+    # Tikhonov-regularized entropic estimate: γ = 1/β − (2−1/β)·sh/(hh+λ).
+    # The raw sh/hh ratio is catastrophically ill-conditioned whenever the
+    # higher-mode deviation dh is rounding noise while the shear deviation
+    # ds is real: |sh| ≤ √(ss·hh) (Cauchy–Schwarz), so γ·dh = O(ds) with a
+    # NOISE-DIRECTION-dependent sign — the round-4 on-TPU probe measured a
+    # 1000×/step amplification of pallas-vs-XLA fma rounding differences
+    # through it (a hard hh-threshold guard does not help: flips just move
+    # to the threshold). With the λ floor the worst-case damage of an
+    # O(eps) input perturbation is O(eps·√(ss·feq)) — true roundoff — while
+    # resolved physics (hh ≫ λ) sees γ to ≤1% at hh = 100λ. λ sits ~5
+    # decades below resolved-turbulence hh (~1e-5·rho) and ~5 above the
+    # f32 rounding floor of hh (~1e-15).
+    lam = 1e-20 if f.dtype == jnp.float64 else 1e-10
+    gamma = 1.0 / beta - (2.0 - 1.0 / beta) * sh / (hh + lam)
     f_post = f - (2.0 * beta) * ds - (beta * gamma)[None] * dh
     if force:
         c = lat.c.astype(np.float64)
@@ -385,6 +414,13 @@ def _mrt_basis(lat: Lattice) -> tuple[np.ndarray, tuple[str, ...]]:
 # stable for tau in [0.55, 0.8] and reproduces the BGK flow field. (The
 # bulk periodic operator is stable for ANY of these rates — it is strictly
 # a boundary-feedback effect; see tests/test_mrt.py's stability gate.)
+# Below tau ≈ 0.55 the fixed e/eps literature rates join the same loop:
+# at tau = 0.5384 (Re = 200 bench defaults) the defaults blow up by t = 400
+# on 512×128 f32 even with clean corners. Overriding e → s_nu is measured
+# stable at both 512×128 and the full 2048×512 (2240 steps, TPU); the
+# eps-only override suffices at 512×128 but still blows up at 2048×512 —
+# e is the dominant feedback rate at scale. Use --mrt-rates 'e=1.857' for
+# near-tau-1/2 runs through the Zou-He inlet/outlet chain.
 # D3Q19 keeps the literature values: its model BCs (equilibrium inlet +
 # zero-gradient outlet) have no such re-injection loop — measured stable.
 _MRT_GHOST_RATES = {
