@@ -88,6 +88,14 @@ def configs():
         precision="f32"), 2, 10, {"TPULBM_FORCE_TILED": "1"})
     out["kolmogorov-3d"] = (PRESETS["kolmogorov3d"].replace(
         nx=128, ny=64, nz=32, precision="f32"), 1, 6, {})
+    # y-tiled periodic kernels (in-kernel wrapped z ring planes + per-tile
+    # force coords — the path big periodic boxes and sharded meshes take)
+    out["periodic-3d-tiled"] = (PRESETS["taylor-green"].replace(
+        nx=128, ny=64, nz=32, precision="f32"), 1, 6,
+        {"TPULBM_FORCE_TILED": "1"})
+    out["kolmogorov-3d-tiled"] = (PRESETS["kolmogorov3d"].replace(
+        nx=128, ny=64, nz=32, precision="f32"), 1, 6,
+        {"TPULBM_FORCE_TILED": "1"})
     # --- 3-D kernels ---
     out["d3q19"] = (SimulationParams(nx=128, ny=32, nz=32,
                                      problem="cylinder3d", tau=0.6,

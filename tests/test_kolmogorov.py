@@ -319,22 +319,27 @@ def test_3d_pallas_force_matches_jax():
     np.testing.assert_allclose(b, a, atol=3e-6, rtol=0)
 
 
-def test_3d_sharded_force_demotes_to_jax():
-    """Sharded 3-D meshes have no force-capable kernel (the y-tiled
-    cascade would need per-tile offsets); they must warn and fall back to
-    the jax tier, still correct."""
+def test_3d_sharded_force_tiled_pallas_matches_jax():
+    """Sharded 3-D Kolmogorov runs the y-tiled kernel with per-tile force
+    coordinates (flags[4]/flags[5] global offsets + tyi*Ty - H) and
+    in-kernel wrapped z ring planes. Must match the jax tier on the same
+    mesh — no demotion warning allowed."""
     params = _params3(precision="f32", nx=32, ny=16, nz=8)
     pr = make_problem(params)
     solid = np.zeros(pr.spatial_shape, bool)
     mesh = make_mesh((2, 1), devices=jax.devices()[:2])
-    with pytest.warns(UserWarning, match="full-plane"):
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")        # no silent tier loss
         cp = make_chunk_fn(pr, mesh, 4, backend="pallas")
     cj = make_chunk_fn(pr, mesh, 4, backend="jax")
     sj, sd = shard_state(mesh, pr.initial_state(), solid)
     sp, _ = shard_state(mesh, pr.initial_state(), solid)
-    a = np.asarray(jax.device_get(cj(sj, sd)))
-    b = np.asarray(jax.device_get(cp(sp, sd)))
-    np.testing.assert_allclose(b, a, rtol=1e-6)
+    for _ in range(2):
+        sj = cj(sj, sd)
+        sp = cp(sp, sd)
+    a = np.asarray(jax.device_get(sj))
+    b = np.asarray(jax.device_get(sp))
+    np.testing.assert_allclose(b, a, atol=3e-6, rtol=0)
 
 
 def test_runner_end_to_end_with_stats_and_spectrum(tmp_path):

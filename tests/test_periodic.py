@@ -295,10 +295,55 @@ def test_periodic3d_pallas_full_plane_matches_oracle():
     assert d / np.abs(s_ref).max() < 3e-5, d
 
 
-def test_periodic3d_sharded_pallas_demotes():
-    # only the full-plane kernel wraps; sharded meshes take the jax tier
+def _run_periodic3d_pallas(pr, mesh_shape, n_chunks=2, chunk_len=5,
+                           env=None):
+    import os
+    env = env or {}
+    old = {k: os.environ.get(k) for k in env}
+    os.environ.update(env)
+    try:
+        n = mesh_shape[0] * mesh_shape[1]
+        mesh = make_mesh(mesh_shape, devices=jax.devices()[:n])
+        with warnings.catch_warnings():
+            warnings.simplefilter("error")        # no silent tier loss
+            chunk = make_chunk_fn(pr, mesh, chunk_len, backend="pallas")
+        s, solid = shard_state(mesh, pr.initial_state(),
+                               np.zeros(pr.spatial_shape, bool))
+        for _ in range(n_chunks):
+            s = chunk(s, solid)
+        return np.asarray(jax.device_get(s))
+    finally:
+        for k in env:
+            os.environ.pop(k, None)
+            if old[k] is not None:
+                os.environ[k] = old[k]
+
+
+def test_periodic3d_tiled_pallas_matches_oracle():
+    # the y-tiled 1-step kernel wraps fully periodic boxes: y via the
+    # periodic ring rows, x via native lane rolls, z via in-kernel
+    # wrapped ring planes (zc scratch) — forced past the full-plane
+    # kernel on (1,1), then y-sharded (2,1)
     pr = make_problem(_params3d(precision="f32"))
-    mesh = make_mesh((2, 1), devices=jax.devices()[:2])
+    step = jax.jit(make_step_rolled(pr))
+    s_ref = pr.initial_state()
+    for _ in range(10):
+        s_ref = step(s_ref)
+    s_ref = np.asarray(jax.device_get(s_ref))
+    got = _run_periodic3d_pallas(pr, (1, 1),
+                                 env={"TPULBM_FORCE_TILED": "1"})
+    d = np.max(np.abs(got - s_ref))
+    assert d / np.abs(s_ref).max() < 3e-5, d
+    got2 = _run_periodic3d_pallas(pr, (2, 1))
+    d2 = np.max(np.abs(got2 - s_ref))
+    assert d2 / np.abs(s_ref).max() < 3e-5, d2
+
+
+def test_periodic3d_x_sharded_pallas_demotes():
+    # x-sharded periodic boxes still take the jax tier (the extended
+    # ring rows carry no periodic wrap yet)
+    pr = make_problem(_params3d(precision="f32"))
+    mesh = make_mesh((1, 2), devices=jax.devices()[:2])
     with pytest.warns(UserWarning, match="periodicity"):
         chunk = make_chunk_fn(pr, mesh, 4, backend="pallas")
     s, solid = shard_state(mesh, pr.initial_state(),

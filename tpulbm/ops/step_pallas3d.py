@@ -64,8 +64,9 @@ class _Cfg3d:
     reg: bool = False
     # fully periodic boxes (3-D Taylor-Green): the y/x rolls already wrap,
     # so periodicity just SKIPS the corresponding edge sanitize; z wraps
-    # via two extra ring-plane inputs collided in-kernel (full-plane
-    # kernel only — the y-tiled kernel declines periodic problems)
+    # via two extra ring planes collided in-kernel (full-plane kernel:
+    # zb/zt inputs; y-tiled kernel: zc scratch slabs fetched at the
+    # prologue, n_sub == 1 + (my, 1) meshes only)
     periodic_x: bool = False
     periodic_y: bool = False
     periodic_z: bool = False
@@ -79,16 +80,21 @@ class _Cfg3d:
     xr_col: int = -1
     # Spatially varying body force (problem.force_fn, e.g. 3-D Kolmogorov
     # F_x(z) = F0·cos(κz)): evaluated IN-KERNEL per plane — yy/xx from
-    # broadcasted_iota, zz the (traced) plane index. Full-plane kernel
-    # only ((1,1) mesh, so plane coords ARE global); the y-tiled kernel
-    # declines force problems (sharded_step demotes them to jax).
+    # broadcasted_iota (+ per-tile global offsets in the y-tiled kernel),
+    # zz the (traced) plane index. The force dict's domain dims are the
+    # GLOBAL grid (ny_g/nx_g; the y-tiled kernel's cfg.ny/nx are buffer
+    # dims Wy/Wx).
     force_fn: object = None
+    ny_g: int = 0
+    nx_g: int = 0
 
 
-def _collide_planes(cfg: _Cfg3d, fw, solid, z0=None):
+def _collide_planes(cfg: _Cfg3d, fw, solid, z0=None, y0=None, x0=None):
     """Generic-Q BGK/TRT relaxation of a list of Q same-shape blocks,
     plus the spatially varying force source when the problem has one
-    (`z0`: global z of the plane — required iff cfg.force_fn is set)."""
+    (`z0`: global z of the plane — required iff cfg.force_fn is set;
+    `y0`/`x0`: global coordinates of buffer cell (0, 0), for the y-tiled
+    kernel whose planes are tile slabs rather than whole global planes)."""
     out = _collide_planes_core(cfg, fw, solid)
     if cfg.force_fn is None:
         return out
@@ -97,9 +103,15 @@ def _collide_planes(cfg: _Cfg3d, fw, solid, z0=None):
     # (round-4 on-TPU probe; interpret mode accepted it)
     yy = lax.broadcasted_iota(jnp.int32, shape, 0).astype(jnp.float32)
     xx = lax.broadcasted_iota(jnp.int32, shape, 1).astype(jnp.float32)
+    if y0 is not None:
+        yy = yy + jnp.asarray(y0, jnp.float32)
+    if x0 is not None:
+        xx = xx + jnp.asarray(x0, jnp.float32)
     zz = jnp.asarray(z0, jnp.float32)
     comps = tuple(cfg.force_fn({"xx": xx, "yy": yy, "zz": zz,
-                                "nx": cfg.nx, "ny": cfg.ny, "nz": cfg.nz}))
+                                "nx": cfg.nx_g or cfg.nx,
+                                "ny": cfg.ny_g or cfg.ny,
+                                "nz": cfg.nz}))
 
     def live(comp):
         return not (isinstance(comp, (int, float)) and comp == 0.0)
@@ -724,8 +736,7 @@ def make_local_step_pallas3d_tiled(problem: Problem,
     equilibrium inlet, zero-gradient outlet) fire only on shards whose
     flags mark them at the global x edges. Each substep consumes one halo
     column of validity per side (trapezoid tiling); only the owned center
-    columns are written back. step signature gains (rl, rr, ml, mr) and
-    flags becomes (4,) [is_bottom, is_top, is_left, is_right].
+    columns are written back. step signature gains (rl, rr, ml, mr).
 
     Lifts the full-plane kernel's VMEM cap (ny*nx ≲ 27k cells) by tiling
     each z-plane along y — slabs are (Q, Ty + 2H, nx) with H = 8 halo rows
@@ -746,24 +757,56 @@ def make_local_step_pallas3d_tiled(problem: Problem,
 
       f:      (Q, nz, nyl, nx) local block
       rb/rt:  (Q, nz, H, nx) ring rows
-      flags:  (2,) int32 [is_bottom, is_top] — physical y edges of the shard
+      flags:  (6,) int32 [is_bottom, is_top, is_left, is_right, y0, x0] —
+              physical-edge flags (all zero for periodic boxes) + the
+              shard's global offsets (consumed by in-kernel force coords)
       mask:   (nz, nyl, nx) f32; mrb/mrt: (nz, H, nx) mask ring rows
 
-    Returns None when no y-tile fits VMEM, nz < n_sub + 1, or n_sub > H.
+    Fully periodic boxes (Taylor-Green / 3-D Kolmogorov) are supported at
+    n_sub == 1 on (my, 1) meshes: y wraps via the (periodic) ring rows, x
+    via the native lane rolls, z via two wrapped ring planes fetched and
+    collided at the prologue (zc scratch) — the tiled analog of the
+    full-plane kernel's zb/zt inputs, lifting its ny*nx VMEM cap.
+
+    Returns None when no y-tile fits VMEM, nz < n_sub + 1, n_sub > H, or
+    an unsupported periodic combination (blocked / x-sharded).
     """
     lat = problem.lattice
     if lat.D != 3:
         raise ValueError("pallas3d requires a 3-D lattice")
-    if problem.force_fn is not None:
-        # in-kernel force coords are full-plane only (the tiled cascade
-        # would need per-tile (z, y) offsets threaded per substep)
-        return None
     if problem.dtype != np.float32:
         raise ValueError("pallas backend is f32; use backend='jax' for 3-D f64")
-    if problem.periodic_x:
+    periodic3d = problem.periodic_y or problem.periodic_z
+    if problem.periodic_x and not periodic3d:
         raise ValueError("the 3-D pallas kernels pin the physical x edges "
                          "every substep (non-periodic duct flow); "
-                         "periodic_x needs backend='jax'")
+                         "periodic_x needs backend='jax' (or a fully "
+                         "periodic box)")
+    if periodic3d:
+        # fully periodic boxes only (Taylor-Green / 3-D Kolmogorov): x
+        # wraps natively (full-width lane rolls / wrapped ring columns),
+        # y wraps via the ring rows (halo.ring_rows_3d periodic_y=True),
+        # z via two wrapped ring planes collided in-kernel (zc scratch).
+        if not (problem.periodic_x and problem.periodic_y
+                and problem.periodic_z):
+            raise ValueError("mixed-periodicity 3-D ducts run on the jax "
+                             "tier (the tiled kernel wraps fully periodic "
+                             "boxes only)")
+        if problem.solid is not None:
+            raise ValueError("periodic 3-D boxes with obstacles run on "
+                             "the jax tier")
+        if n_sub > 1:
+            # temporal blocking across the z wrap would need stage-k
+            # collided copies of planes that are only produced at the END
+            # of the same sweep — circular within one invocation. The
+            # extended-sweep form (iterate z in [-N, nz+N), wrapped raw
+            # fetches, outputs gated to [0, nz)) lifts this; not built yet.
+            return None
+        if x_halo:
+            # x-sharded periodic boxes: the extended y ring rows
+            # (ring_rows_ext_3d) have no periodic wrap yet — (my, 1)
+            # meshes only for now
+            return None
     nz, nyl, nx = local_shape
     Q = lat.Q
     if interpret is None:
@@ -784,7 +827,8 @@ def make_local_step_pallas3d_tiled(problem: Problem,
 
     def usage(wy, rs):
         # f-sized plane rings: rs raw slots + 3-slot stage rings + 2 out
-        S = rs + 3 * (N - 1) + 2
+        # (+ 2 wrapped-z collided ring planes for periodic boxes)
+        S = rs + 3 * (N - 1) + 2 + (2 if problem.periodic_z else 0)
         return (S * Q * wy * Wx + (M * wy * Wx if has_solid else 0)) * 4
 
     # Raw-ring slots: 4 gives 2-plane DMA prefetch depth; 3 trims one
@@ -873,6 +917,10 @@ def make_local_step_pallas3d_tiled(problem: Problem,
         walls_y=problem.walls_y, walls_z=problem.walls_z,
         inlet_equilibrium=problem.inlet_equilibrium,
         outlet_zero_grad=problem.outlet_zero_grad,
+        periodic_x=problem.periodic_x, periodic_y=problem.periodic_y,
+        periodic_z=problem.periodic_z,
+        force_fn=problem.force_fn,
+        ny_g=problem.params.ny, nx_g=problem.params.nx,
         nz=nz, ny=Wy, nx=Wx, guard_bcs=guard3d,
         xl_col=Hx, xr_col=Hx + nx - 1)
     # global-edge row/column positions inside the tile buffer
@@ -890,9 +938,10 @@ def make_local_step_pallas3d_tiled(problem: Problem,
         gs = list(rest[:N - 1])                       # stages 1..N-1
         (ob, msl, sem_fc, sem_fb, sem_ft, sem_ob, sem_m, sem_mb,
          sem_mt) = rest[N - 1:N + 8]
-        extra = rest[N + 8:]
-        sem_fx = extra[0] if x_halo else None
-        sem_mx = extra[1] if (x_halo and has_solid) else None
+        extra = list(rest[N + 8:])
+        sem_fx = extra.pop(0) if x_halo else None
+        sem_mx = extra.pop(0) if (x_halo and has_solid) else None
+        zc = extra.pop(0) if cfg.periodic_z else None
         fb, ft = flags_ref[0], flags_ref[1]
         fxl, fxr = flags_ref[2], flags_ref[3]
         tyi = pl.program_id(0)
@@ -906,6 +955,17 @@ def make_local_step_pallas3d_tiled(problem: Problem,
         gb = jnp.logical_and(at_bot, fb == 1)
         gt = jnp.logical_and(at_top, ft == 1)
         tyflag = tyflags_ref[tyi]
+        # spatially varying force: flags[4]/flags[5] carry the shard's
+        # global (y, x) offsets; buffer cell (r, b) of tile tyi is global
+        # (flags[4] + tyi*Ty - H + r, flags[5] - Hx + b) — halo rows /
+        # columns sit at the unwrapped out-of-range offsets, exactly what
+        # the jax tier's padded block computes (periodic force_fns wrap
+        # analytically).
+        if cfg.force_fn is not None:
+            y_k = flags_ref[4] + tyi * Ty - H
+            x_k = flags_ref[5] - Hx
+        else:
+            y_k = x_k = None
 
         def plane_flag(z):
             """Does (tile tyi, plane z) intersect the solid bounding box?"""
@@ -1070,11 +1130,67 @@ def make_local_step_pallas3d_tiled(problem: Problem,
                 ob.at[z % 2, :, H:H + Ty, Hx:Hx + nx],
                 out_ref.at[:, z, pl.ds(ya, Ty), :], sem_ob.at[z % 2])
 
+        # ---- wrapped-z ring planes (periodic boxes): raw slabs of planes
+        # nz-1 / 0 fetched into zc[0]/zc[1] at the prologue (same center +
+        # y-ring/inner + x-piece split as start_in, reusing semaphore
+        # lanes 0/1 — nothing else is in flight at prologue start), then
+        # collided in place with the UNWRAPPED force coordinates -1 / nz
+        # (jax-tier padded-block semantics). ----
+        def zc_start(slot, z):
+            pltpu.make_async_copy(
+                f_ref.at[:, z, pl.ds(ya, Ty), :],
+                zc.at[slot, :, H:H + Ty, Hx:Hx + nx], sem_fc.at[slot]
+            ).start()
+
+            def ring_b():
+                pltpu.make_async_copy(rb_ref.at[:, z],
+                                      zc.at[slot, :, 0:H, :],
+                                      sem_fb.at[slot]).start()
+
+            def inner_b():
+                pltpu.make_async_copy(f_ref.at[:, z, pl.ds(ya_b, H), :],
+                                      zc.at[slot, :, 0:H, Hx:Hx + nx],
+                                      sem_fb.at[slot]).start()
+
+            def ring_t():
+                pltpu.make_async_copy(rt_ref.at[:, z],
+                                      zc.at[slot, :, H + Ty:Wy, :],
+                                      sem_ft.at[slot]).start()
+
+            def inner_t():
+                pltpu.make_async_copy(f_ref.at[:, z, pl.ds(ya_t, H), :],
+                                      zc.at[slot, :, H + Ty:Wy, Hx:Hx + nx],
+                                      sem_ft.at[slot]).start()
+
+            pl.when(at_bot)(ring_b)
+            pl.when(jnp.logical_not(at_bot))(inner_b)
+            pl.when(at_top)(ring_t)
+            pl.when(jnp.logical_not(at_top))(inner_t)
+
+        def zc_wait(slot, z):
+            pltpu.make_async_copy(
+                f_ref.at[:, z, pl.ds(ya, Ty), :],
+                zc.at[slot, :, H:H + Ty, Hx:Hx + nx], sem_fc.at[slot]
+            ).wait()
+            # full-width mode: ring and inner y-row copies move the same
+            # byte counts, so one unconditional wait per side suffices
+            pltpu.make_async_copy(rb_ref.at[:, z], zc.at[slot, :, 0:H, :],
+                                  sem_fb.at[slot]).wait()
+            pltpu.make_async_copy(rt_ref.at[:, z],
+                                  zc.at[slot, :, H + Ty:Wy, :],
+                                  sem_ft.at[slot]).wait()
+
+        def zc_collide(slot, z0):
+            fw = [zc[slot, i] for i in range(Q)]
+            fp = _collide_planes(cfg, fw, None, z0, y_k, x_k)
+            for i in range(Q):
+                zc[slot, i] = fp[i]
+
         def collide_a(z):
             slot = z % RS
             fw = [fa[slot, i] for i in range(Q)]
             solid = (msl[z % M] > 0.5) if cfg.bounce_back else None
-            fp = _collide_planes(cfg, fw, solid)
+            fp = _collide_planes(cfg, fw, solid, z, y_k, x_k)
             for i in range(Q):
                 fa[slot, i] = fp[i]
 
@@ -1235,33 +1351,56 @@ def make_local_step_pallas3d_tiled(problem: Problem,
                 if cx:
                     plane = pltpu.roll(plane, cx % Wx, axis=1)
                 tgt[tslot, i] = plane
-            # z-edge ghost planes are UNIFORM eq (roll-invariant), so fix
-            # them up under a scalar branch taken on 2 of nz planes instead
-            # of a per-element select on every interior plane. The
+            # z-edge ghost planes: UNIFORM eq (roll-invariant) for walled
+            # ducts, the collided WRAPPED ring plane (zc, y/x-rolled like
+            # an interior neighbor) for periodic boxes — fixed up under a
+            # scalar branch taken on 2 of nz planes instead of a
+            # per-element select on every interior plane. The
             # unconditional pull above may read a stale/uninitialized ring
             # slot at the edges — pure data, fully overwritten here.
+            def _z_edge_val(i, slot):
+                if not cfg.periodic_z:
+                    return eq_tile[i]
+                cx, cy = cfg.c[i][0], cfg.c[i][1]
+                pln = zc[slot, i]
+                if cy:
+                    pln = pltpu.roll(pln, cy % Wy, axis=0)
+                if cx:
+                    pln = pltpu.roll(pln, cx % Wx, axis=1)
+                return pln
+
             if below_eq is not True:
                 @pl.when(is_z0)
                 def _():
                     for i in range(Q):
                         if cfg.c[i][2] > 0:
-                            tgt[tslot, i] = eq_tile[i]
+                            tgt[tslot, i] = _z_edge_val(i, 0)
             if above_eq is not True:
                 @pl.when(is_zl)
                 def _():
                     for i in range(Q):
                         if cfg.c[i][2] < 0:
-                            tgt[tslot, i] = eq_tile[i]
+                            tgt[tslot, i] = _z_edge_val(i, 1)
             apply_bcs(tgt, tslot, idx % M, is_z0, is_zl,
                       solid_flag=plane_flag(idx))
             if collide_after:
                 fw = [tgt[tslot, i] for i in range(Q)]
                 solid = (msl[idx % M] > 0.5) if cfg.bounce_back else None
-                fp = _collide_planes(cfg, fw, solid)
+                fp = _collide_planes(cfg, fw, solid, idx, y_k, x_k)
                 for i in range(Q):
                     tgt[tslot, i] = fp[i]
 
         false_ = jnp.asarray(False, jnp.bool_)
+
+        if cfg.periodic_z:
+            # wrapped ring planes first (their semaphore lanes 0/1 are
+            # reused by the regular prologue below, after the waits)
+            zc_start(0, nz - 1)
+            zc_start(1, 0)
+            zc_wait(0, nz - 1)
+            zc_collide(0, -1)
+            zc_wait(1, 0)
+            zc_collide(1, nz)
 
         # ---- prologue: raw planes 0..N-1 collided; stage-k planes
         # 0..N-k-1 (loop iteration z first needs stage-k plane z+N-k) ----
@@ -1339,6 +1478,9 @@ def make_local_step_pallas3d_tiled(problem: Problem,
         scratch_shapes.append(pltpu.SemaphoreType.DMA((6, RS)))  # f x-pieces
         if has_solid:
             scratch_shapes.append(pltpu.SemaphoreType.DMA((6, M)))
+    if problem.periodic_z:
+        # wrapped-z collided ring planes (slabs of planes nz-1 / 0)
+        scratch_shapes.append(pltpu.VMEM((2, Q, Wy, Wx), jnp.float32))
 
     in_specs = [
         pl.BlockSpec(memory_space=pltpu.SMEM),  # flags (4,)

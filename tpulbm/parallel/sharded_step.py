@@ -81,17 +81,6 @@ def make_chunk_fn(problem: Problem, mesh: Mesh, chunk_len: int,
                           "(the fused 3-D kernels do not thread the q "
                           "table); falling back to backend='jax'")
             backend = "jax"
-    if (problem.force_fn is not None and backend == "pallas"
-            and len(problem.spatial_shape) == 3
-            and tuple(mesh.devices.shape) != (1, 1)):
-        # the full-plane kernel evaluates the force per plane in-kernel
-        # ((1,1) mesh — plane coords are global); the y-tiled 3-D kernel
-        # would need per-tile (z, y) offsets threaded through the cascade
-        import warnings
-        warnings.warn("force_fn (spatially varying body force) runs the "
-                      "full-plane 3-D pallas kernel only; sharded 3-D "
-                      "meshes fall back to backend='jax'")
-        backend = "jax"
     thermal_pallas = None
     if problem.thermal is not None:
         # double-population (thermal) problems: fused 1-step pallas kernel
@@ -155,9 +144,11 @@ def make_chunk_fn(problem: Problem, mesh: Mesh, chunk_len: int,
         # x-sharded meshes stitch ppermute'd halo columns into the tile
         # buffers (x_halo mode — the 2-D x-tiled design one dimension up)
         x_sharded3d = mesh_shape[1] != 1
-        # fully periodic 3-D boxes: only the full-plane kernel wraps (its
-        # y/x rolls wrap natively and z rides two ring-plane inputs); the
-        # y-tiled kernel's halo rows assume y walls / z eq
+        # fully periodic 3-D boxes: the full-plane kernel wraps natively
+        # (y/x rolls + two z ring-plane inputs); the y-tiled 1-step kernel
+        # wraps on (my, 1) meshes (periodic ring rows + in-kernel wrapped
+        # z ring planes). Temporal blocking across the z wrap is not
+        # built (the tiled builder declines it).
         periodic3d = problem.periodic_y or problem.periodic_z
         try:
             # Temporal blocking cuts the HBM traffic of this DMA-bound
@@ -198,9 +189,10 @@ def make_chunk_fn(problem: Problem, mesh: Mesh, chunk_len: int,
                 # full-plane 1-step kernel: no halo-row overhead
                 pallas3d_step = make_local_step_pallas3d(problem,
                                                          local_shape)
-            if (pallas3d_step is None and pallas3d_plan is None
-                    and not periodic3d):
-                # y-tiled 1-step: big planes and/or sharded meshes
+            if pallas3d_step is None and pallas3d_plan is None:
+                # y-tiled 1-step: big planes and/or sharded meshes (incl.
+                # fully periodic boxes on (my, 1) meshes — wrapped ring
+                # rows + in-kernel wrapped z ring planes)
                 st = make_local_step_pallas3d_tiled(
                     problem, local_shape, 1, x_halo=x_sharded3d)
                 if st is not None:
@@ -417,10 +409,19 @@ def make_chunk_fn(problem: Problem, mesh: Mesh, chunk_len: int,
         nyl3, nxl3 = local_shape[-2], local_shape[-1]
         y0 = iy * nyl3
         x0 = ix * nxl3
-        flags = jnp.stack([(y0 == 0),
-                           (y0 + nyl3 == problem.params.ny),
-                           (x0 == 0),
-                           (x0 + nxl3 == problem.params.nx)]).astype(jnp.int32)
+        # physical-edge flags (zeroed on periodic axes — no wall/sanitize
+        # strips there) + the shard's global offsets for in-kernel force
+        # coordinates (flags[4]/flags[5])
+        nope = jnp.zeros((), jnp.bool_)
+        flags = jnp.stack([
+            (y0 == 0) if not problem.periodic_y else nope,
+            (y0 + nyl3 == problem.params.ny)
+            if not problem.periodic_y else nope,
+            (x0 == 0) if not problem.periodic_x else nope,
+            (x0 + nxl3 == problem.params.nx)
+            if not problem.periodic_x else nope]).astype(jnp.int32)
+        flags = jnp.concatenate(
+            [flags, jnp.stack([y0, x0]).astype(jnp.int32)])
 
         def run_segment(f_local, stepper, n_iters):
             """Scan one blocking-depth segment (its halo depths / tile
@@ -444,7 +445,8 @@ def make_chunk_fn(problem: Problem, mesh: Mesh, chunk_len: int,
                                                    depth=H)
                     return rl, rr, rb, rt
                 rb, rt = halo.ring_rows_3d(arr, eq_ring=ring,
-                                           mesh_shape=mesh_shape, depth=H)
+                                           mesh_shape=mesh_shape, depth=H,
+                                           periodic_y=problem.periodic_y)
                 return None, None, rb, rt
 
             mask = mrb = mrt = ml = mr = tyflags = None
