@@ -96,6 +96,13 @@ def configs():
     out["kolmogorov-3d-tiled"] = (PRESETS["kolmogorov3d"].replace(
         nx=128, ny=64, nz=32, precision="f32"), 1, 6,
         {"TPULBM_FORCE_TILED": "1"})
+    # blocked periodic: the extended z sweep (wrapped refetches, no zc)
+    out["periodic-3d-blocked"] = (PRESETS["taylor-green"].replace(
+        nx=128, ny=64, nz=32, precision="f32"), 1, 6,
+        {"TPULBM_FORCE_TILED": "1", "TPULBM_SUBSTEPS": "3"})
+    out["kolmogorov-3d-blocked"] = (PRESETS["kolmogorov3d"].replace(
+        nx=128, ny=64, nz=32, precision="f32"), 1, 6,
+        {"TPULBM_FORCE_TILED": "1", "TPULBM_SUBSTEPS": "3"})
     # --- 3-D kernels ---
     out["d3q19"] = (SimulationParams(nx=128, ny=32, nz=32,
                                      problem="cylinder3d", tau=0.6,

@@ -339,6 +339,28 @@ def test_periodic3d_tiled_pallas_matches_oracle():
     assert d2 / np.abs(s_ref).max() < 3e-5, d2
 
 
+@pytest.mark.parametrize("subs,mesh_shape", [("2", (1, 1)), ("3", (2, 1))],
+                         ids=["n2", "n3-sharded"])
+def test_periodic3d_blocked_extended_sweep(subs, mesh_shape):
+    # temporally blocked periodic boxes run the EXTENDED sweep (iterate
+    # [-N, nz+N), wrapped raw refetches, gated output DMAs) — no zc
+    # scratch, no eq ghosts
+    pr = make_problem(_params3d(precision="f32"))
+    step = jax.jit(make_step_rolled(pr))
+    s_ref = pr.initial_state()
+    for _ in range(12):
+        s_ref = step(s_ref)
+    s_ref = np.asarray(jax.device_get(s_ref))
+    # chunk_len 6 divides by both depths — TPULBM_SUBSTEPS only engages
+    # when it divides the chunk, so an indivisible length would silently
+    # test the 1-step path
+    got = _run_periodic3d_pallas(pr, mesh_shape, n_chunks=2, chunk_len=6,
+                                 env={"TPULBM_FORCE_TILED": "1",
+                                      "TPULBM_SUBSTEPS": subs})
+    d = np.max(np.abs(got - s_ref))
+    assert d / np.abs(s_ref).max() < 3e-5, d
+
+
 def test_periodic3d_x_sharded_pallas_demotes():
     # x-sharded periodic boxes still take the jax tier (the extended
     # ring rows carry no periodic wrap yet)

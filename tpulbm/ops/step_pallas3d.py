@@ -795,13 +795,6 @@ def make_local_step_pallas3d_tiled(problem: Problem,
         if problem.solid is not None:
             raise ValueError("periodic 3-D boxes with obstacles run on "
                              "the jax tier")
-        if n_sub > 1:
-            # temporal blocking across the z wrap would need stage-k
-            # collided copies of planes that are only produced at the END
-            # of the same sweep — circular within one invocation. The
-            # extended-sweep form (iterate z in [-N, nz+N), wrapped raw
-            # fetches, outputs gated to [0, nz)) lifts this; not built yet.
-            return None
         if x_halo:
             # x-sharded periodic boxes: the extended y ring rows
             # (ring_rows_ext_3d) have no periodic wrap yet — (my, 1)
@@ -827,8 +820,10 @@ def make_local_step_pallas3d_tiled(problem: Problem,
 
     def usage(wy, rs):
         # f-sized plane rings: rs raw slots + 3-slot stage rings + 2 out
-        # (+ 2 wrapped-z collided ring planes for periodic boxes)
-        S = rs + 3 * (N - 1) + 2 + (2 if problem.periodic_z else 0)
+        # (+ 2 wrapped-z collided ring planes for 1-step periodic boxes;
+        # blocked periodic uses the extended sweep — no extra buffers)
+        S = (rs + 3 * (N - 1) + 2
+             + (2 if problem.periodic_z and N == 1 else 0))
         return (S * Q * wy * Wx + (M * wy * Wx if has_solid else 0)) * 4
 
     # Raw-ring slots: 4 gives 2-plane DMA prefetch depth; 3 trims one
@@ -941,10 +936,27 @@ def make_local_step_pallas3d_tiled(problem: Problem,
         extra = list(rest[N + 8:])
         sem_fx = extra.pop(0) if x_halo else None
         sem_mx = extra.pop(0) if (x_halo and has_solid) else None
-        zc = extra.pop(0) if cfg.periodic_z else None
+        zc = extra.pop(0) if (cfg.periodic_z and N == 1) else None
         fb, ft = flags_ref[0], flags_ref[1]
         fxl, fxr = flags_ref[2], flags_ref[3]
         tyi = pl.program_id(0)
+        # Blocked periodic boxes run the EXTENDED sweep: iterate extended
+        # plane indices e in [0, nz + 2N) == true planes [-N, nz + N),
+        # with raw fetches wrapped through whbm() and output DMAs gated to
+        # the true domain. Stage-k plane e is valid for e >= k (garbage
+        # below feeds only garbage — stale-slot data, never a valid
+        # output), so no eq ghosts and no wrapped-plane scratch are
+        # needed: the 2N refetched planes supply the wrap directly.
+        ext = N if (cfg.periodic_z and N > 1) else 0
+        L = nz + 2 * ext
+
+        def whbm(e):
+            """HBM plane index for (possibly extended) sweep index e."""
+            if ext == 0:
+                return e
+            return jnp.where(e < ext, e + (nz - ext),
+                             jnp.where(e >= nz + ext, e - (nz + ext),
+                                       e - ext))
         algn = 8 if not interpret else 1
         ya = pl.multiple_of(tyi * Ty, algn)
         ya_b = pl.multiple_of(tyi * Ty - H, algn)
@@ -979,7 +991,7 @@ def make_local_step_pallas3d_tiled(problem: Problem,
 
         def fc_dma(z):
             return pltpu.make_async_copy(
-                f_ref.at[:, z, pl.ds(ya, Ty), :],
+                f_ref.at[:, whbm(z), pl.ds(ya, Ty), :],
                 fa.at[z % RS, :, H:H + Ty, Hx:Hx + nx], sem_fc.at[z % RS])
 
         # y-ring rows span the FULL buffer width: in x_halo mode the ring
@@ -988,21 +1000,22 @@ def make_local_step_pallas3d_tiled(problem: Problem,
         # filled from rl/rr below.
         def fb_ring(z):
             return pltpu.make_async_copy(
-                rb_ref.at[:, z], fa.at[z % RS, :, 0:H, :], sem_fb.at[z % RS])
+                rb_ref.at[:, whbm(z)], fa.at[z % RS, :, 0:H, :],
+                sem_fb.at[z % RS])
 
         def fb_inner(z):
             return pltpu.make_async_copy(
-                f_ref.at[:, z, pl.ds(ya_b, H), :],
+                f_ref.at[:, whbm(z), pl.ds(ya_b, H), :],
                 fa.at[z % RS, :, 0:H, Hx:Hx + nx], sem_fb.at[z % RS])
 
         def ft_ring(z):
             return pltpu.make_async_copy(
-                rt_ref.at[:, z], fa.at[z % RS, :, H + Ty:Wy, :],
+                rt_ref.at[:, whbm(z)], fa.at[z % RS, :, H + Ty:Wy, :],
                 sem_ft.at[z % RS])
 
         def ft_inner(z):
             return pltpu.make_async_copy(
-                f_ref.at[:, z, pl.ds(ya_t, H), :],
+                f_ref.at[:, whbm(z), pl.ds(ya_t, H), :],
                 fa.at[z % RS, :, H + Ty:Wy, Hx:Hx + nx], sem_ft.at[z % RS])
 
         def x_pieces(z, src_l, src_r, tgt, slot, sems, lead):
@@ -1126,9 +1139,13 @@ def make_local_step_pallas3d_tiled(problem: Problem,
             mask_op(z, _masks)
 
         def out_dma(z):
+            # extended sweep: true output plane z - ext (clamped — the
+            # garbage-range copies are gated off by the caller and never
+            # issued, but the index must stay in bounds for tracing)
+            oz = z if ext == 0 else jnp.clip(z - ext, 0, nz - 1)
             return pltpu.make_async_copy(
                 ob.at[z % 2, :, H:H + Ty, Hx:Hx + nx],
-                out_ref.at[:, z, pl.ds(ya, Ty), :], sem_ob.at[z % 2])
+                out_ref.at[:, oz, pl.ds(ya, Ty), :], sem_ob.at[z % 2])
 
         # ---- wrapped-z ring planes (periodic boxes): raw slabs of planes
         # nz-1 / 0 fetched into zc[0]/zc[1] at the prologue (same center +
@@ -1190,7 +1207,7 @@ def make_local_step_pallas3d_tiled(problem: Problem,
             slot = z % RS
             fw = [fa[slot, i] for i in range(Q)]
             solid = (msl[z % M] > 0.5) if cfg.bounce_back else None
-            fp = _collide_planes(cfg, fw, solid, z, y_k, x_k)
+            fp = _collide_planes(cfg, fw, solid, z - ext, y_k, x_k)
             for i in range(Q):
                 fa[slot, i] = fp[i]
 
@@ -1359,7 +1376,10 @@ def make_local_step_pallas3d_tiled(problem: Problem,
             # unconditional pull above may read a stale/uninitialized ring
             # slot at the edges — pure data, fully overwritten here.
             def _z_edge_val(i, slot):
-                if not cfg.periodic_z:
+                if not cfg.periodic_z or zc is None:
+                    # walled ducts; also the (never-executed) edge branch
+                    # bodies of the extended periodic sweep, where is_z0 /
+                    # is_zl are constant-false and there is no zc scratch
                     return eq_tile[i]
                 cx, cy = cfg.c[i][0], cfg.c[i][1]
                 pln = zc[slot, i]
@@ -1386,13 +1406,13 @@ def make_local_step_pallas3d_tiled(problem: Problem,
             if collide_after:
                 fw = [tgt[tslot, i] for i in range(Q)]
                 solid = (msl[idx % M] > 0.5) if cfg.bounce_back else None
-                fp = _collide_planes(cfg, fw, solid, idx, y_k, x_k)
+                fp = _collide_planes(cfg, fw, solid, idx - ext, y_k, x_k)
                 for i in range(Q):
                     tgt[tslot, i] = fp[i]
 
         false_ = jnp.asarray(False, jnp.bool_)
 
-        if cfg.periodic_z:
+        if cfg.periodic_z and N == 1:
             # wrapped ring planes first (their semaphore lanes 0/1 are
             # reused by the regular prologue below, after the waits)
             zc_start(0, nz - 1)
@@ -1413,51 +1433,69 @@ def make_local_step_pallas3d_tiled(problem: Problem,
             for j in range(N - k):
                 make_stage_plane(k, j, jnp.asarray(j == 0, jnp.bool_),
                                  false_, below_eq=(j == 0), above_eq=False)
-        if nz > N:
+        if L > N:
             start_in(N)
 
         def loop(z, carry):
-            @pl.when(z + N < nz)
+            @pl.when(z + N < L)
             def _():
                 wait_in(z + N)
                 collide_a(z + N)
 
             if RS == 4:
                 # 2-plane prefetch: slot (z+N+1) % 4 is already free here
-                @pl.when(z + N + 1 < nz)
+                @pl.when(z + N + 1 < L)
                 def _():
                     start_in(z + N + 1)
 
             for k in range(1, N):
                 idx = z + (N - k)
 
-                @pl.when(idx < nz)
+                @pl.when(idx < L)
                 def _(k=k, idx=idx):
                     make_stage_plane(k, idx, jnp.asarray(False, jnp.bool_),
-                                     idx == nz - 1, below_eq=False,
-                                     above_eq=False)
+                                     false_ if ext else idx == nz - 1,
+                                     below_eq=False, above_eq=False)
 
-            @pl.when(z >= 2)
-            def _():
-                out_dma(z - 2).wait()
+            if ext == 0:
+                @pl.when(z >= 2)
+                def _():
+                    out_dma(z - 2).wait()
 
-            make_stage_plane(N, z, z == 0, z == nz - 1, below_eq=False,
-                             above_eq=False, collide_after=False)
+                make_stage_plane(N, z, z == 0, z == nz - 1, below_eq=False,
+                                 above_eq=False, collide_after=False)
+            else:
+                # output DMAs exist only for true planes [0, nz): gate the
+                # starts to z in [ext, nz+ext) and the waits to match (the
+                # final two waits also land inside the loop — z-2 reaches
+                # nz+ext-1 by z = L-1 since ext >= 2)
+                @pl.when(jnp.logical_and(z >= ext + 2, z < nz + ext + 2))
+                def _():
+                    out_dma(z - 2).wait()
+
+                make_stage_plane(N, z, false_, false_, below_eq=False,
+                                 above_eq=False, collide_after=False)
             if RS == 3:
                 # 3-slot raw ring: slot (z+N+1) % 3 holds raw plane z+N-2,
                 # consumed by the deepest stage above — start its
                 # replacement DMA only now (1-plane prefetch)
-                @pl.when(z + N + 1 < nz)
+                @pl.when(z + N + 1 < L)
                 def _():
                     start_in(z + N + 1)
-            out_dma(z).start()
+            if ext == 0:
+                out_dma(z).start()
+            else:
+                @pl.when(jnp.logical_and(z >= ext, z < nz + ext))
+                def _():
+                    out_dma(z).start()
             return carry
 
-        lax.fori_loop(0, nz, loop, 0,
+        lax.fori_loop(0, L, loop, 0,
                       unroll=int(os.environ.get("TPULBM_UNROLL", "1")))
-        if nz >= 2:
-            out_dma(nz - 2).wait()
-        out_dma(nz - 1).wait()
+        if ext == 0:
+            if nz >= 2:
+                out_dma(nz - 2).wait()
+            out_dma(nz - 1).wait()
 
     scratch_shapes = (
         [pltpu.VMEM((RS, Q, Wy, Wx), jnp.float32)]           # raw/stage-0

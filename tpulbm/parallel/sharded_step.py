@@ -160,7 +160,9 @@ def make_chunk_fn(problem: Problem, mesh: Mesh, chunk_len: int,
             # (_blocking_split), both under a Ty >= 4H guard.
             # TPULBM_SUBSTEPS forces a depth, TPULBM_NO_FUSED2 disables
             # blocking.
-            if not os.environ.get("TPULBM_NO_FUSED2") and not periodic3d:
+            # periodic boxes block too (the extended-sweep kernel refetches
+            # the 2N wrapped planes instead of holding ghost scratch)
+            if not os.environ.get("TPULBM_NO_FUSED2"):
                 forced = os.environ.get("TPULBM_SUBSTEPS")
                 if forced:
                     n = int(forced)
