@@ -100,12 +100,18 @@ def bench(nx=2048, ny=512, backend="pallas", chunk_len=280, chunks=8,
                                   inlet_velocity=0.04, periodic_x=True,
                                   cylinder_radius=0.0)
     elif nz:
-        # D3Q19 sphere-in-duct at the stable stock parameters (tau=0.6)
+        # D3Q19 sphere-in-duct at the stable stock parameters (tau=0.6);
+        # --obstacle-bc bouzidi uses a fractional radius so the q table
+        # carries real cut fractions, not the 0.5 staircase fallback
         params = SimulationParams(nx=nx, ny=ny, nz=nz, problem="cylinder3d",
                                   precision=precision, backend=backend,
                                   mesh_shape=mesh_shape, collision=collision,
                                   smagorinsky=smagorinsky,
                                   power_law_n=power_law_n,
+                                  obstacle_bc=obstacle_bc,
+                                  **({"cylinder_radius": 0.23,
+                                      "cylinder_x": 0.5, "cylinder_y": 0.5}
+                                     if obstacle_bc == "bouzidi" else {}),
                                   inlet_velocity=0.05)
     else:
         # the driver metric is at Re=200 (the re200 preset's stable params)

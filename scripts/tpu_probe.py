@@ -123,6 +123,11 @@ def configs():
     out["d3q19-powerlaw"] = (SimulationParams(
         nx=128, ny=32, nz=32, problem="cylinder3d", tau=0.6,
         power_law_n=0.7, inlet_velocity=0.05, precision="f32"), 1, 6, {})
+    # 3-D bouzidi through the y-tiled kernel (q slab, center rows only)
+    out["bouzidi-3d"] = (SimulationParams(
+        nx=128, ny=32, nz=32, problem="cylinder3d", tau=0.6,
+        obstacle_bc="bouzidi", inlet_velocity=0.05, cylinder_radius=0.23,
+        precision="f32"), 1, 6, {})
     return out
 
 

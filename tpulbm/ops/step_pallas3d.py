@@ -87,6 +87,14 @@ class _Cfg3d:
     force_fn: object = None
     ny_g: int = 0
     nx_g: int = 0
+    # Bouzidi curved-wall obstacle BC (ops/bouzidi.py), y-tiled 1-step
+    # kernel only: the per-link q table (bz_planes = Q, or 2Q when the
+    # wall moves) rides the slab DMA pipeline next to the solid mask —
+    # center rows only (halo-row BCs are dead at n_sub == 1). bz_active:
+    # static per-direction any-cut-link flags (global mask).
+    bz: bool = False
+    bz_planes: int = 0
+    bz_active: tuple | None = None
 
 
 def _collide_planes(cfg: _Cfg3d, fw, solid, z0=None, y0=None, x0=None):
@@ -809,6 +817,17 @@ def make_local_step_pallas3d_tiled(problem: Problem,
     has_solid = problem.solid is not None
     if has_solid and _solid_touches_x_edges(problem):
         return None  # inlet/outlet-piercing solids: jax tier handles them
+    bz = has_solid and problem.obstacle_bc == "bouzidi"
+    if bz and (n_sub > 1 or x_halo):
+        # the q table rides center rows only (valid at 1 substep), and the
+        # x-tile pipeline does not thread it — mirror of the 2-D contract
+        return None
+    bz_planes = 0
+    bz_active = None
+    if bz:
+        from .bouzidi import active_directions, link_tables
+        bz_planes = int(link_tables(problem).shape[0])  # Q or 2Q (moving)
+        bz_active = active_directions(problem)
     H = 8 if not interpret else max(2, n_sub)
     N = n_sub
     if N > H or nz < N + 1:
@@ -821,10 +840,12 @@ def make_local_step_pallas3d_tiled(problem: Problem,
     def usage(wy, rs):
         # f-sized plane rings: rs raw slots + 3-slot stage rings + 2 out
         # (+ 2 wrapped-z collided ring planes for 1-step periodic boxes;
-        # blocked periodic uses the extended sweep — no extra buffers)
+        # blocked periodic uses the extended sweep — no extra buffers;
+        # + the M-slot bouzidi q-slab ring, center rows only)
         S = (rs + 3 * (N - 1) + 2
              + (2 if problem.periodic_z and N == 1 else 0))
-        return (S * Q * wy * Wx + (M * wy * Wx if has_solid else 0)) * 4
+        return (S * Q * wy * Wx + (M * wy * Wx if has_solid else 0)
+                + (M * bz_planes * (wy - 2 * H) * nx if bz else 0)) * 4
 
     # Raw-ring slots: 4 gives 2-plane DMA prefetch depth; 3 trims one
     # f-sized plane buffer (1.5 MB at 256³/Ty=64), starting the next
@@ -890,10 +911,14 @@ def make_local_step_pallas3d_tiled(problem: Problem,
                        or s[0].any() or s[-1].any())
         zr = np.nonzero(s.any(axis=(1, 2)))[0]
         yr = np.nonzero(s.any(axis=(0, 2)))[0]
+        # bouzidi cut links live at FLUID cells one cell outside the solid
+        # bounding box — widen so their planes/tiles get the q + mask DMAs
+        wide = 1 if bz else 0
         zflags_np = np.zeros((nz,), np.int32)
         if len(zr):
-            zflags_np[zr.min():zr.max() + 1] = 1
-        solid_yrange = ((int(yr.min()), int(yr.max())) if len(yr) else None)
+            zflags_np[max(zr.min() - wide, 0):zr.max() + 1 + wide] = 1
+        solid_yrange = ((int(yr.min()) - wide, int(yr.max()) + wide)
+                        if len(yr) else None)
     slab_skip = has_solid and not bounce_back and not guard3d
 
     cfg = _Cfg3d(
@@ -916,6 +941,7 @@ def make_local_step_pallas3d_tiled(problem: Problem,
         periodic_z=problem.periodic_z,
         force_fn=problem.force_fn,
         ny_g=problem.params.ny, nx_g=problem.params.nx,
+        bz=bz, bz_planes=bz_planes, bz_active=bz_active,
         nz=nz, ny=Wy, nx=Wx, guard_bcs=guard3d,
         xl_col=Hx, xr_col=Hx + nx - 1)
     # global-edge row/column positions inside the tile buffer
@@ -924,12 +950,17 @@ def make_local_step_pallas3d_tiled(problem: Problem,
 
     def kernel(flags_ref, zflags_ref, tyflags_ref, f_ref, rb_ref, rt_ref,
                *more):
+        more = list(more)
         if x_halo:
-            (rl_ref, rr_ref, mask_ref, mrb_ref, mrt_ref, ml_ref, mr_ref,
-             out_ref, fa, *rest) = more
+            (rl_ref, rr_ref, mask_ref, mrb_ref, mrt_ref, ml_ref, mr_ref
+             ) = more[:7]
+            more = more[7:]
         else:
-            mask_ref, mrb_ref, mrt_ref, out_ref, fa, *rest = more
+            mask_ref, mrb_ref, mrt_ref = more[:3]
+            more = more[3:]
             rl_ref = rr_ref = ml_ref = mr_ref = None
+        q_ref = more.pop(0) if cfg.bz else None
+        out_ref, fa, *rest = more
         gs = list(rest[:N - 1])                       # stages 1..N-1
         (ob, msl, sem_fc, sem_fb, sem_ft, sem_ob, sem_m, sem_mb,
          sem_mt) = rest[N - 1:N + 8]
@@ -937,6 +968,8 @@ def make_local_step_pallas3d_tiled(problem: Problem,
         sem_fx = extra.pop(0) if x_halo else None
         sem_mx = extra.pop(0) if (x_halo and has_solid) else None
         zc = extra.pop(0) if (cfg.periodic_z and N == 1) else None
+        qsl = extra.pop(0) if cfg.bz else None
+        sem_q = extra.pop(0) if cfg.bz else None
         fb, ft = flags_ref[0], flags_ref[1]
         fxl, fxr = flags_ref[2], flags_ref[3]
         tyi = pl.program_id(0)
@@ -1063,6 +1096,13 @@ def make_local_step_pallas3d_tiled(problem: Problem,
                 mask_ref.at[z, pl.ds(ya, Ty), :],
                 msl.at[z % M, H:H + Ty, Hx:Hx + nx], sem_m.at[z % M])
 
+        def qc_dma(z):
+            # bouzidi q slab: center rows only (halo-row BCs are dead at
+            # n_sub == 1, the only depth bouzidi fuses at)
+            return pltpu.make_async_copy(
+                q_ref.at[:, z, pl.ds(ya, Ty), :],
+                qsl.at[z % M], sem_q.at[z % M])
+
         def mb_ring(z):
             return pltpu.make_async_copy(
                 mrb_ref.at[z], msl.at[z % M, 0:H, :], sem_mb.at[z % M])
@@ -1106,6 +1146,8 @@ def make_local_step_pallas3d_tiled(problem: Problem,
                 pl.when(jnp.logical_not(at_top))(lambda: mt_inner(z).start())
                 if x_halo:
                     _run_pieces(mx_pieces(z), "start")
+                if cfg.bz:
+                    qc_dma(z).start()
 
             mask_op(z, _masks)
 
@@ -1135,6 +1177,8 @@ def make_local_step_pallas3d_tiled(problem: Problem,
                 else:
                     mb_ring(z).wait()
                     mt_ring(z).wait()
+                if cfg.bz:
+                    qc_dma(z).wait()
 
             mask_op(z, _masks)
 
@@ -1214,7 +1258,8 @@ def make_local_step_pallas3d_tiled(problem: Problem,
         eq_tile = [jnp.full((Wy, Wx), cfg.eq_in[i], jnp.float32)
                    for i in range(Q)]
 
-        def apply_bcs(tgt, tslot, mslot, is_z0, is_zl, solid_flag=None):
+        def apply_bcs(tgt, tslot, mslot, is_z0, is_zl, solid_flag=None,
+                      fpost=None):
             """Per-substep BC sweep on tile tgt[tslot] (reference order:
             ghost sanitize → walls → inlet/outlet → obstacle)."""
             # ghost sanitize — x edges only on shards at the physical x
@@ -1331,7 +1376,44 @@ def make_local_step_pallas3d_tiled(problem: Problem,
             if has_solid:
                 def _obstacle():
                     solid_p = msl[mslot] > 0.5
-                    if cfg.bounce_back:
+                    if cfg.bz:
+                        # Bouzidi cut-link rewrite (ops/bouzidi.
+                        # apply_bouzidi, fused — the 2-D kernels' scheme
+                        # one dimension up): per direction j a pointwise
+                        # select between the q<1/2 interpolation (post-
+                        # collision f̂_i + the post-STREAM plane i) and the
+                        # q≥1/2 one, center rows only (the q slab carries
+                        # no halo rows — dead at n_sub == 1), then rest-eq
+                        # pin on the solid interior
+                        rs, re = H, H + Ty
+                        cs, ce = Hx, Hx + nx
+                        snap = [tgt[tslot, i][rs:re, cs:ce]
+                                for i in range(Q)]
+                        for j in range(Q):
+                            if (cfg.bz_active is not None
+                                    and not cfg.bz_active[j]):
+                                continue
+                            i = cfg.opp[j]
+                            qj = qsl[mslot, j]
+                            lt = (qj >= 0.0) & (qj < 0.5)
+                            ge = qj >= 0.5
+                            fpi = fpost(i)[rs:re, cs:ce]
+                            val_lt = (2.0 * qj * fpi
+                                      + (1.0 - 2.0 * qj) * snap[i])
+                            inv2q = 1.0 / (2.0 * jnp.maximum(qj, 0.5))
+                            val_ge = (inv2q * fpi + (1.0 - inv2q)
+                                      * fpost(j)[rs:re, cs:ce])
+                            if cfg.bz_planes == 2 * Q:  # moving wall
+                                tw = qsl[mslot, Q + j]
+                                val_lt = val_lt + 6.0 * tw
+                                val_ge = val_ge + (6.0 * inv2q) * tw
+                            tgt[tslot, j, rs:re, cs:ce] = jnp.where(
+                                lt, val_lt,
+                                jnp.where(ge, val_ge, snap[j]))
+                        for i in range(Q):
+                            tgt[tslot, i] = jnp.where(solid_p, cfg.w[i],
+                                                      tgt[tslot, i])
+                    elif cfg.bounce_back:
                         snap = [tgt[tslot, i] for i in range(Q)]
                         for i in range(Q):
                             tgt[tslot, i] = jnp.where(
@@ -1402,7 +1484,9 @@ def make_local_step_pallas3d_tiled(problem: Problem,
                         if cfg.c[i][2] < 0:
                             tgt[tslot, i] = _z_edge_val(i, 1)
             apply_bcs(tgt, tslot, idx % M, is_z0, is_zl,
-                      solid_flag=plane_flag(idx))
+                      solid_flag=plane_flag(idx),
+                      fpost=((lambda i: srcref[idx % m_src, i])
+                             if cfg.bz else None))
             if collide_after:
                 fw = [tgt[tslot, i] for i in range(Q)]
                 solid = (msl[idx % M] > 0.5) if cfg.bounce_back else None
@@ -1516,9 +1600,13 @@ def make_local_step_pallas3d_tiled(problem: Problem,
         scratch_shapes.append(pltpu.SemaphoreType.DMA((6, RS)))  # f x-pieces
         if has_solid:
             scratch_shapes.append(pltpu.SemaphoreType.DMA((6, M)))
-    if problem.periodic_z:
+    if problem.periodic_z and N == 1:
         # wrapped-z collided ring planes (slabs of planes nz-1 / 0)
         scratch_shapes.append(pltpu.VMEM((2, Q, Wy, Wx), jnp.float32))
+    if bz:
+        # bouzidi q-slab ring (center rows only) + its DMA semaphores
+        scratch_shapes += [pltpu.VMEM((M, bz_planes, Ty, nx), jnp.float32),
+                           pltpu.SemaphoreType.DMA((M,))]
 
     in_specs = [
         pl.BlockSpec(memory_space=pltpu.SMEM),  # flags (4,)
@@ -1539,6 +1627,8 @@ def make_local_step_pallas3d_tiled(problem: Problem,
     if x_halo:
         in_specs += [pl.BlockSpec(memory_space=pl.ANY),  # ml
                      pl.BlockSpec(memory_space=pl.ANY)]  # mr
+    if bz:
+        in_specs.append(pl.BlockSpec(memory_space=pl.ANY))  # bouzidi q
 
     call = pl.pallas_call(
         kernel,
@@ -1558,20 +1648,25 @@ def make_local_step_pallas3d_tiled(problem: Problem,
     ones_ty = np.ones((n_ty,), np.int32)
 
     def step(f, rb, rt, flags, mask=None, mrb=None, mrt=None, tyflags=None,
-             rl=None, rr=None, ml=None, mr=None):
+             rl=None, rr=None, ml=None, mr=None, bzq=None):
         if has_solid and mask is None:
             raise ValueError("pallas3d needs the solid mask")
         mask = jnp.asarray(zero_mask) if mask is None else mask
         mrb = jnp.asarray(zero_ring) if mrb is None else mrb
         mrt = jnp.asarray(zero_ring) if mrt is None else mrt
         tyflags = jnp.asarray(ones_ty) if tyflags is None else tyflags
+        bz_args = ()
+        if bz:
+            if bzq is None:
+                raise ValueError("bouzidi pallas3d kernel needs the q table")
+            bz_args = (bzq,)
         if not x_halo:
             return call(flags, jnp.asarray(zflags_np), tyflags, f, rb, rt,
-                        mask, mrb, mrt)
+                        mask, mrb, mrt, *bz_args)
         ml = jnp.asarray(zero_cols) if ml is None else ml
         mr = jnp.asarray(zero_cols) if mr is None else mr
         return call(flags, jnp.asarray(zflags_np), tyflags, f, rb, rt,
-                    rl, rr, mask, mrb, mrt, ml, mr)
+                    rl, rr, mask, mrb, mrt, ml, mr, *bz_args)
 
     step.halo_height = H
     step.halo_width = Hx

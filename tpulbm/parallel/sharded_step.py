@@ -72,14 +72,15 @@ def make_chunk_fn(problem: Problem, mesh: Mesh, chunk_len: int,
     if problem.obstacle_bc == "bouzidi" and has_solid:
         from ..ops.bouzidi import link_tables
         bz_q = link_tables(problem)
-        if backend == "pallas" and ndim == 3:
-            # the 2-D kernels fuse the cut-link rewrite (the q table rides
-            # the slab pipeline next to the solid mask, step_pallas); the
-            # 3-D plane kernels do not thread it yet
+        if backend == "pallas" and ndim == 3 and mesh_shape[1] != 1:
+            # the y-tiled 3-D kernel threads the q table on (my, 1)
+            # meshes (center rows only — no q halo exchange); the x-tile
+            # pipeline does not, mirroring the 2-D contract
             import warnings
-            warnings.warn("obstacle_bc='bouzidi' runs the jax tier in 3-D "
-                          "(the fused 3-D kernels do not thread the q "
-                          "table); falling back to backend='jax'")
+            warnings.warn("obstacle_bc='bouzidi' runs the jax tier on "
+                          "x-sharded 3-D meshes (the x-tile pipeline does "
+                          "not thread the q table); falling back to "
+                          "backend='jax'")
             backend = "jax"
     thermal_pallas = None
     if problem.thermal is not None:
@@ -187,8 +188,10 @@ def make_chunk_fn(problem: Problem, mesh: Mesh, chunk_len: int,
                         pallas3d_plan = [(steppers[d], k) for d, k in split]
                         break
             if (pallas3d_plan is None and mesh_shape == (1, 1)
+                    and bz_q is None
                     and not os.environ.get("TPULBM_FORCE_TILED")):
-                # full-plane 1-step kernel: no halo-row overhead
+                # full-plane 1-step kernel: no halo-row overhead (does not
+                # thread the bouzidi q table — the tiled kernel does)
                 pallas3d_step = make_local_step_pallas3d(problem,
                                                          local_shape)
             if pallas3d_step is None and pallas3d_plan is None:
@@ -396,7 +399,7 @@ def make_chunk_fn(problem: Problem, mesh: Mesh, chunk_len: int,
         center = (slice(None),) + (slice(1, -1),) * ndim
         return fpad[center]
 
-    def body_pallas3d(f_local, solid_local):
+    def body_pallas3d(f_local, solid_local, bz_local=None):
         mask = solid_local.astype(jnp.float32) if has_solid else None
 
         def one_step(f, _):
@@ -405,7 +408,7 @@ def make_chunk_fn(problem: Problem, mesh: Mesh, chunk_len: int,
         f_local, _ = lax.scan(one_step, f_local, None, length=chunk_len)
         return f_local
 
-    def body_pallas3d_tiled(f_local, solid_local):
+    def body_pallas3d_tiled(f_local, solid_local, bz_local=None):
         iy = lax.axis_index("y")
         ix = lax.axis_index("x")
         nyl3, nxl3 = local_shape[-2], local_shape[-1]
@@ -476,7 +479,8 @@ def make_chunk_fn(problem: Problem, mesh: Mesh, chunk_len: int,
             def n_steps(f, _):
                 rl, rr, rb, rt = rings_for(f, eq_ring)
                 return stepper(f, rb, rt, flags, mask, mrb, mrt,
-                               tyflags, rl, rr, ml, mr), None
+                               tyflags, rl, rr, ml, mr,
+                               bzq=bz_local), None
 
             f_local, _ = lax.scan(n_steps, f_local, None, length=n_iters)
             return f_local
