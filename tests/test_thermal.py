@@ -260,11 +260,12 @@ def test_thermal_vtk_frames_carry_temperature(tmp_path):
 
 
 @pytest.mark.parametrize("mesh_shape,cs", [((1, 1), 0.0), ((4, 1), 0.0),
-                                           ((1, 1), 0.17)],
-                         ids=["single", "y-sharded", "les"])
+                                           ((2, 2), 0.0), ((1, 1), 0.17)],
+                         ids=["single", "y-sharded", "xy-sharded", "les"])
 def test_thermal_pallas_matches_oracle(mesh_shape, cs):
     # fused thermal pallas kernel (interpret mode on CPU) vs the rolled
-    # oracle, single-device and y-sharded
+    # oracle — single-device, y-sharded, and x-sharded (stitched-halo
+    # kernel: periodic-x ring columns + extended y rows)
     from tpulbm.parallel.mesh import make_mesh
     from tpulbm.parallel.sharded_step import make_chunk_fn, shard_state
 
@@ -296,10 +297,6 @@ def test_thermal_pallas_fallbacks_warn():
     mesh = make_mesh((1, 1), devices=jax.devices()[:1])
     with pytest.warns(UserWarning, match="thermal config"):
         make_chunk_fn(prob, mesh, 4, backend="pallas")
-    mesh22 = make_mesh((2, 2), devices=jax.devices()[:4])
-    prob32 = make_problem(params.replace(precision="f32"))
-    with pytest.warns(UserWarning, match="x-unsharded"):
-        make_chunk_fn(prob32, mesh22, 4, backend="pallas")
 
 
 def test_thermal_checkpoint_resume(tmp_path):

@@ -109,8 +109,8 @@ def test_heated_cavity_sharded_matches_oracle(mesh_shape):
 
 
 @pytest.mark.parametrize("mesh_shape,cs", [((1, 1), 0.0), ((2, 1), 0.0),
-                                           ((2, 1), 0.17)],
-                         ids=["single", "y-sharded", "les"])
+                                           ((1, 2), 0.0), ((2, 1), 0.17)],
+                         ids=["single", "y-sharded", "x-sharded", "les"])
 def test_cavity_pallas_matches_oracle(mesh_shape, cs):
     # fused thermal pallas kernel on the x-WALLED cavity (buoyancy axis x,
     # adiabatic x walls, lane-padded 48-wide grid) vs the rolled oracle —
@@ -137,14 +137,12 @@ def test_cavity_pallas_matches_oracle(mesh_shape, cs):
                                rtol=2e-5, atol=1e-6)
 
 
-def test_pallas_falls_back_for_x_sharded_cavity():
-    # x-sharded meshes stay on the jax tier (lane rolls are local to the
-    # shard width; the fused kernel has no x-ring plumbing)
-    pr = make_problem(_params(nx=32, ny=32))
-    mesh = make_mesh((1, 2), devices=jax.devices()[:2])
-    with pytest.warns(UserWarning, match="x-unsharded"):
-        chunk = make_chunk_fn(pr, mesh, 2, backend="pallas")
-    s, solid = shard_state(mesh, pr.initial_state(),
-                           np.zeros(pr.spatial_shape, bool))
-    s = chunk(s, solid)
-    assert np.isfinite(np.asarray(jax.device_get(s))).all()
+def test_x_halo_kernel_rejects_lane_padding():
+    # the stitched-halo kernel carries no lane padding — the chunk builder
+    # must pass pad_x=0 on x-sharded meshes (unaligned widths demote to the
+    # jax tier on hardware via the nxl % 128 check instead)
+    from tpulbm.ops.step_thermal_pallas import make_local_step_thermal_pallas
+    pr = make_problem(_params(nx=48, ny=32))
+    with pytest.raises(ValueError, match="128-aligned"):
+        make_local_step_thermal_pallas(pr, (32, 48 + 80), pad_x=80,
+                                       x_halo=True)

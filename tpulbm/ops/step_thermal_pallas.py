@@ -147,16 +147,30 @@ def _collide_thermal_rows(cfg: _CfgT, fw):
 def make_local_step_thermal_pallas(problem: Problem,
                                    local_shape: tuple[int, ...],
                                    interpret: bool | None = None,
-                                   pad_x: int = 0):
-    """1-step fused thermal kernel: step(s, rb, rt, flags) -> s_new.
+                                   pad_x: int = 0,
+                                   x_halo: bool = False):
+    """1-step fused thermal kernel: step(s, rb, rt, flags[, rl, rr]) -> s_new.
 
     s: (Qs, nyl, nxl); rb/rt: (Qs, 1, nxl) ring rows; flags: (4,) int32
-    [is_bottom, is_top, _, _]. local_shape is the (possibly lane-padded)
-    buffer shape; pad_x of its trailing columns are dead padding (only
-    legal for walls_x problems — a periodic grid's lane rolls would wrap
-    through the pad). Raises ValueError for configurations the kernel
-    does not cover (f64, unaligned periodic nx) — the chunk builder
-    degrades to the jax tier with a warning.
+    [is_bottom, is_top, is_left, is_right] (the x entries gate the
+    walls_x bounce — full-width callers pass 1). local_shape is the
+    (possibly lane-padded) buffer shape; pad_x of its trailing columns
+    are dead padding (only legal for walls_x problems — a periodic
+    grid's lane rolls would wrap through the pad).
+
+    x_halo=True makes the kernel x-SHARDABLE (the 3-D kernels' stitched
+    buffer scheme): each slab gains Hx = 128 halo columns per side from
+    ring inputs rl/rr = halo.ring_cols (Qs, nyl, Hx), the y ring rows
+    arrive EXTENDED across the halo regions (halo.ring_rows_ext —
+    diagonal corner data), x pulls stay plain lane rolls of the stitched
+    (Ty, nxl + 2Hx) buffer (one substep needs one column of validity),
+    and only the owned center columns are written back. Physical-x wall
+    bounces fire only on shards whose flags mark them at the global x
+    edges. Requires aligned shard widths (nxl % 128, pad_x == 0).
+
+    Raises ValueError for configurations the kernel does not cover
+    (f64, unaligned periodic/sharded nx) — the chunk builder degrades
+    to the jax tier with a warning.
     """
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
@@ -172,6 +186,10 @@ def make_local_step_thermal_pallas(problem: Problem,
     if pad_x and not walls_x:
         raise ValueError("lane padding needs x walls (periodic lane rolls "
                          "would wrap through the pad)")
+    if x_halo and pad_x:
+        raise ValueError("x-sharded thermal meshes need 128-aligned shard "
+                         "widths (the stitched-halo kernel carries no "
+                         "lane padding)")
     nyl, nxl = local_shape
     if not interpret and nxl % 128 != 0:
         raise ValueError(f"pallas backend needs padded local nx % 128 == 0, "
@@ -186,9 +204,12 @@ def make_local_step_thermal_pallas(problem: Problem,
     from .. import physics
     pad_vals = np.concatenate([physics.rest_equilibrium(lat, np.float32),
                                (lg.w * th.t_ref).astype(np.float32)])
+    # x-halo width: 128-lane aligned on TPU; tiny in interpret mode
+    Hx = (128 if not interpret else 2) if x_halo else 0
+    Wx = nxl + 2 * Hx
 
     def usage(ty):
-        return (4 + 2) * Qs * ty * nxl * 4
+        return (4 + 2) * Qs * ty * Wx * 4
     valid = [ty for ty in range(1, nyl + 1)
              if nyl % ty == 0 and usage(ty) <= _VMEM_BUDGET
              and (interpret or ty % 8 == 0)]
@@ -216,7 +237,7 @@ def make_local_step_thermal_pallas(problem: Problem,
         t_top=float(th.t_top),
         ghost_bottom=tuple(float(v) for v in gb),
         ghost_top=tuple(float(v) for v in gt),
-        Ty=Ty, nxl=nxl, n_ty=nyl // Ty,
+        Ty=Ty, nxl=Wx, n_ty=nyl // Ty,
     )
     n_ty = cfg.n_ty
 
@@ -226,19 +247,44 @@ def make_local_step_thermal_pallas(problem: Problem,
     g_in_bottom = [i for i in range(Qf, Qs) if c_all[i, 1] > 0]
     g_in_top = [i for i in range(Qf, Qs) if c_all[i, 1] < 0]
 
-    def kernel(flags_ref, s_ref, rb_ref, rt_ref, out_ref, fsl, ob,
-               sem_f, sem_ob):
+    def kernel(flags_ref, s_ref, rb_ref, rt_ref, *more):
+        if x_halo:
+            rl_ref, rr_ref, out_ref, fsl, ob, sem_f, sem_ob, sem_x = more
+        else:
+            out_ref, fsl, ob, sem_f, sem_ob = more
+            rl_ref = rr_ref = sem_x = None
         fb, ft = flags_ref[0], flags_ref[1]
+        fxl, fxr = flags_ref[2], flags_ref[3]
 
         def f_dma(t):
             return pltpu.make_async_copy(
-                s_ref.at[:, pl.ds(t * Ty, Ty), :], fsl.at[t % 4],
-                sem_f.at[t % 4])
+                s_ref.at[:, pl.ds(t * Ty, Ty), :],
+                fsl.at[t % 4, :, :, Hx:Hx + nxl], sem_f.at[t % 4])
+
+        def x_dmas(t):
+            return [pltpu.make_async_copy(
+                        rl_ref.at[:, pl.ds(t * Ty, Ty), :],
+                        fsl.at[t % 4, :, :, 0:Hx], sem_x.at[0, t % 4]),
+                    pltpu.make_async_copy(
+                        rr_ref.at[:, pl.ds(t * Ty, Ty), :],
+                        fsl.at[t % 4, :, :, Hx + nxl:Wx], sem_x.at[1, t % 4])]
+
+        def f_start(t):
+            f_dma(t).start()
+            if x_halo:
+                for cp in x_dmas(t):
+                    cp.start()
+
+        def f_wait(t):
+            f_dma(t).wait()
+            if x_halo:
+                for cp in x_dmas(t):
+                    cp.wait()
 
         def out_dma(t):
             return pltpu.make_async_copy(
-                ob.at[t % 2], out_ref.at[:, pl.ds(t * Ty, Ty), :],
-                sem_ob.at[t % 2])
+                ob.at[t % 2, :, :, Hx:Hx + nxl],
+                out_ref.at[:, pl.ds(t * Ty, Ty), :], sem_ob.at[t % 2])
 
         def collide_slab(slot):
             fp = _collide_thermal_rows(cfg, [fsl[slot, i]
@@ -255,21 +301,21 @@ def make_local_step_thermal_pallas(problem: Problem,
             rb_fp[i] = jnp.where(fb == 1, cfg.ghost_bottom[i], rb_fp[i])
             rt_fp[i] = jnp.where(ft == 1, cfg.ghost_top[i], rt_fp[i])
 
-        f_dma(0).start()
+        f_start(0)
         if n_ty > 1:
-            f_dma(1).start()
-        f_dma(0).wait()
+            f_start(1)
+        f_wait(0)
         collide_slab(0)
 
         def loop(t, carry):
             @pl.when(t + 1 < n_ty)
             def _():
-                f_dma(t + 1).wait()
+                f_wait(t + 1)
                 collide_slab((t + 1) % 4)
 
             @pl.when(t + 2 < n_ty)
             def _():
-                f_dma(t + 2).start()
+                f_start(t + 2)
 
             oslot = t % 2
 
@@ -278,8 +324,9 @@ def make_local_step_thermal_pallas(problem: Problem,
                 out_dma(t - 2).wait()
 
             cur = t % 4
-            col = lax.broadcasted_iota(jnp.int32, (Ty, nxl), 1)
-            xr = nxl - 1 - cfg.pad_x   # physical east-wall column
+            col = lax.broadcasted_iota(jnp.int32, (Ty, Wx), 1)
+            xl = Hx                         # physical west-wall column
+            xr = Hx + nxl - 1 - cfg.pad_x   # physical east-wall column
             for i in range(Qs):
                 cx, cy = cfg.c[i]
                 if cy == 0:
@@ -295,14 +342,20 @@ def make_local_step_thermal_pallas(problem: Problem,
                     rows = jnp.concatenate([fsl[cur, i, 1:Ty, :], above],
                                            axis=0)
                 if cx:
-                    rows = pltpu.roll(rows, cx % nxl, axis=1)
+                    rows = pltpu.roll(rows, cx % Wx, axis=1)
                 if cfg.walls_x and cx:
                     # adiabatic no-slip x walls: BOTH populations take the
                     # node's own post-collision opposite on the physical
                     # edge column (ops/step_thermal.make_step_thermal);
-                    # the lane roll put wrap/pad garbage exactly here
-                    rows = jnp.where(col == (0 if cx > 0 else xr),
-                                     fsl[cur, cfg.opp[i]], rows)
+                    # the lane roll put wrap/pad garbage exactly here. On
+                    # x-sharded meshes only the global-edge shards bounce
+                    # (flags[2]/flags[3]); interior shards' edge columns
+                    # stream from the stitched halo instead.
+                    fe = fxl if cx > 0 else fxr
+                    rows = jnp.where(
+                        jnp.logical_and(col == (xl if cx > 0 else xr),
+                                        fe == 1),
+                        fsl[cur, cfg.opp[i]], rows)
                 if cfg.pad_x:
                     # re-pin the dead pad columns to their fixed point
                     rows = jnp.where(col > xr, cfg.pad_vals[i], rows)
@@ -337,32 +390,45 @@ def make_local_step_thermal_pallas(problem: Problem,
             out_dma(n_ty - 2).wait()
         out_dma(n_ty - 1).wait()
 
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),  # flags (4,) int32
+        pl.BlockSpec(memory_space=pl.ANY),      # s (HBM)
+        pl.BlockSpec(memory_space=pltpu.VMEM),  # rb (Qs, 1, Wx)
+        pl.BlockSpec(memory_space=pltpu.VMEM),  # rt
+    ]
+    scratch = [
+        pltpu.VMEM((4, Qs, Ty, Wx), jnp.float32),
+        pltpu.VMEM((2, Qs, Ty, Wx), jnp.float32),
+        pltpu.SemaphoreType.DMA((4,)),
+        pltpu.SemaphoreType.DMA((2,)),
+    ]
+    if x_halo:
+        in_specs += [pl.BlockSpec(memory_space=pl.ANY),   # rl (Qs, nyl, Hx)
+                     pl.BlockSpec(memory_space=pl.ANY)]   # rr
+        scratch.append(pltpu.SemaphoreType.DMA((2, 4)))   # x-halo pieces
     call = pl.pallas_call(
         kernel,
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # flags (4,) int32
-            pl.BlockSpec(memory_space=pl.ANY),      # s (HBM)
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # rb (Qs, 1, nxl)
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # rt
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         out_shape=jax.ShapeDtypeStruct((Qs, nyl, nxl), jnp.float32),
-        scratch_shapes=[
-            pltpu.VMEM((4, Qs, Ty, nxl), jnp.float32),
-            pltpu.VMEM((2, Qs, Ty, nxl), jnp.float32),
-            pltpu.SemaphoreType.DMA((4,)),
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
+        scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=_VMEM_BUDGET + 3 * 1024 * 1024),
         interpret=interpret,
     )
 
-    def step(s, rb, rt, flags):
-        return call(flags, s, rb, rt)
+    def step(s, rb, rt, flags, rl=None, rr=None):
+        if not x_halo:
+            return call(flags, s, rb, rt)
+        if rl is None or rr is None:
+            raise ValueError("x-sharded thermal kernel needs rl/rr ring "
+                             "columns")
+        return call(flags, s, rb, rt, rl, rr)
 
     step.tile_height = Ty
     step.n_ty = n_ty
     step.pad_x = int(pad_x)
     step.pad_vals = pad_vals
+    step.x_halo = x_halo
+    step.halo_width = Hx
     return step

@@ -91,15 +91,17 @@ def make_chunk_fn(problem: Problem, mesh: Mesh, chunk_len: int,
         # generic ring/scan body below — only the collision/BC core differs.
         if backend == "pallas":
             try:
-                if mesh_shape[1] != 1:
-                    raise ValueError(
-                        "thermal pallas kernel needs an x-unsharded mesh")
                 from ..ops.step_thermal_pallas import \
                     make_local_step_thermal_pallas
-                th_pad = (-local_shape[-1]) % 128 if problem.walls_x else 0
+                th_xh = mesh_shape[1] != 1
+                # x-sharded shards stitch 128-lane halo columns instead of
+                # lane-padding (the two are mutually exclusive in-kernel),
+                # so unaligned walls_x widths demote via the ValueError
+                th_pad = ((-local_shape[-1]) % 128
+                          if problem.walls_x and not th_xh else 0)
                 thermal_pallas = make_local_step_thermal_pallas(
                     problem, (local_shape[0], local_shape[1] + th_pad),
-                    pad_x=th_pad)
+                    pad_x=th_pad, x_halo=th_xh)
             except ValueError as e:
                 import warnings
                 warnings.warn(f"pallas backend unavailable for this "
@@ -759,12 +761,20 @@ def make_chunk_fn(problem: Problem, mesh: Mesh, chunk_len: int,
         # the kernel's wall branches stay off and the rings carry real
         # wrapped rows (same flag discipline as body_pallas)
         phys_y = not problem.periodic_y
+        nxl = local_shape[-1]
+        if thermal_pallas.x_halo:
+            ix = lax.axis_index("x")
+            x0 = ix * nxl
+            phys_x = not problem.periodic_x
+            fx_l = (x0 == 0) & phys_x
+            fx_r = (x0 + nxl == problem.params.nx) & phys_x
+        else:
+            fx_l = fx_r = jnp.array(True)
         flags = jnp.stack([
             (y0 == 0) & phys_y,
             (y0 + nyl == problem.params.ny) & phys_y,
-            jnp.array(True), jnp.array(True)]).astype(jnp.int32)
+            fx_l, fx_r]).astype(jnp.int32)
         padx = thermal_pallas.pad_x
-        nxl = local_shape[-1]
         if padx:
             # x-walled cavity on an unaligned width: append the dead pad
             # columns at their fixed-point values (the kernel re-pins them
@@ -776,6 +786,17 @@ def make_chunk_fn(problem: Problem, mesh: Mesh, chunk_len: int,
             f_local = jnp.concatenate([f_local, pad], axis=-1)
 
         def one_step(f, _):
+            if thermal_pallas.x_halo:
+                # x-sharded: stitched-halo exchange (columns first, then
+                # extended rows — corners carry diagonal-neighbor data)
+                rl, rr = halo.ring_cols(f, eq_ring=eq_ring,
+                                        mesh_shape=mesh_shape, depth=1,
+                                        H=thermal_pallas.halo_width,
+                                        periodic_x=problem.periodic_x)
+                rb, rt = halo.ring_rows_ext(f, rl, rr, eq_ring=eq_ring,
+                                            mesh_shape=mesh_shape, depth=1,
+                                            periodic_y=problem.periodic_y)
+                return thermal_pallas(f, rb, rt, flags, rl, rr), None
             rb, rt = halo.ring_rows(f, eq_ring=eq_ring,
                                     mesh_shape=mesh_shape,
                                     periodic_y=problem.periodic_y)
