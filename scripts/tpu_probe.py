@@ -128,6 +128,17 @@ def configs():
         nx=128, ny=32, nz=32, problem="cylinder3d", tau=0.6,
         obstacle_bc="bouzidi", inlet_velocity=0.05, cylinder_radius=0.23,
         precision="f32"), 1, 6, {})
+    # x-halo (stitched x-sharded) tiles on one chip: ring_cols degenerates
+    # to the physical-edge eq blocks, exercising the exact Mosaic program
+    # an x-sharded shard runs — incl. the q slab at owned columns
+    out["d3q19-xhalo"] = (SimulationParams(
+        nx=128, ny=32, nz=32, problem="cylinder3d", tau=0.6,
+        inlet_velocity=0.05, precision="f32"), 1, 6,
+        {"TPULBM_FORCE_XHALO": "1"})
+    out["bouzidi-3d-xhalo"] = (SimulationParams(
+        nx=128, ny=32, nz=32, problem="cylinder3d", tau=0.6,
+        obstacle_bc="bouzidi", inlet_velocity=0.05, cylinder_radius=0.23,
+        precision="f32"), 1, 6, {"TPULBM_FORCE_XHALO": "1"})
     return out
 
 

@@ -270,19 +270,32 @@ def test_bouzidi_3d_pallas_matches_jax():
     np.testing.assert_allclose(got2, ref, rtol=5e-6, atol=1e-7)
 
 
-def test_bouzidi_3d_xsharded_demotes_with_warning():
-    # the 3-D x-tile pipeline does not thread the q table either
-    params = SimulationParams(nx=256, ny=16, nz=16, problem="cylinder3d",
+def test_bouzidi_3d_xsharded_matches_jax():
+    """x-sharded 3-D bouzidi runs FUSED (x_halo tiles at n_sub == 1: the
+    rewrite touches owned columns only, so the q slab needs no halo
+    exchange) — sphere straddling the x shard boundary, no demotion."""
+    params = SimulationParams(nx=64, ny=16, nz=16, problem="cylinder3d",
                               precision="f32", obstacle_bc="bouzidi",
                               inlet_velocity=0.05, tau=0.6,
-                              cylinder_radius=0.2)
+                              cylinder_x=0.5, cylinder_radius=0.35)
     pr = make_problem(params)
-    mesh = make_mesh((1, 2), devices=jax.devices()[:2])
-    with pytest.warns(UserWarning, match="falling back"):
-        chunk = make_chunk_fn(pr, mesh, 4, backend="pallas")
-    s, solid = shard_state(mesh, pr.initial_state(), pr.solid)
-    s = chunk(s, solid)
-    assert np.isfinite(np.asarray(jax.device_get(s))).all()
+
+    def run(mesh_shape, backend):
+        import warnings as _w
+        n = mesh_shape[0] * mesh_shape[1]
+        mesh = make_mesh(mesh_shape, devices=jax.devices()[:n])
+        with _w.catch_warnings():
+            _w.simplefilter("error")          # no silent tier loss
+            chunk = make_chunk_fn(pr, mesh, 4, backend=backend)
+        s, solid = shard_state(mesh, pr.initial_state(), pr.solid)
+        for _ in range(2):
+            s = chunk(s, solid)
+        return np.asarray(jax.device_get(s))
+
+    ref = run((1, 1), "jax")
+    for ms in [(1, 2), (2, 2)]:
+        got = run(ms, "pallas")
+        np.testing.assert_allclose(got, ref, rtol=5e-6, atol=1e-7)
 
 
 def test_super_chunk_and_runner_smoke(tmp_path):

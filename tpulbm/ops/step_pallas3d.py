@@ -644,23 +644,25 @@ def make_local_step_pallas3d(problem: Problem,
                                 val = jnp.where(fluid_plane, val, ob[oslot, i])
                             ob[oslot, i] = val
 
-            # ---- equilibrium inlet, column 0 ----
+            # ---- equilibrium inlet, column 0 (ONE whole-Q store — these
+            # strips run per plane per step; per-scalar fulls because a
+            # captured f32[Q] constant is rejected by pallas_call) ----
             if cfg.inlet_equilibrium:
-                for i in range(Q):
-                    val = jnp.full((ny, 1), cfg.eq_in[i], jnp.float32)
-                    if has_solid:
-                        val = jnp.where(fluid_rows(0, ny, 0, 1), val,
-                                        ob[oslot, i, :, 0:1])
-                    ob[oslot, i, :, 0:1] = val
+                val = jnp.concatenate(
+                    [jnp.full((1, ny, 1), cfg.eq_in[i], jnp.float32)
+                     for i in range(Q)], axis=0)
+                if has_solid:
+                    val = jnp.where(fluid_rows(0, ny, 0, 1)[None], val,
+                                    ob[oslot, :, :, 0:1])
+                ob[oslot, :, :, 0:1] = val
 
             # ---- zero-gradient outlet, column nx-1 ----
             if cfg.outlet_zero_grad:
-                for i in range(Q):
-                    val = ob[oslot, i, :, nx - 2:nx - 1]
-                    if has_solid:
-                        val = jnp.where(fluid_rows(0, ny, nx - 1, nx), val,
-                                        ob[oslot, i, :, nx - 1:nx])
-                    ob[oslot, i, :, nx - 1:nx] = val
+                val = ob[oslot, :, :, nx - 2:nx - 1]
+                if has_solid:
+                    val = jnp.where(fluid_rows(0, ny, nx - 1, nx)[None], val,
+                                    ob[oslot, :, :, nx - 1:nx])
+                ob[oslot, :, :, nx - 1:nx] = val
 
             # ---- obstacle ----
             if has_solid:
@@ -818,9 +820,12 @@ def make_local_step_pallas3d_tiled(problem: Problem,
     if has_solid and _solid_touches_x_edges(problem):
         return None  # inlet/outlet-piercing solids: jax tier handles them
     bz = has_solid and problem.obstacle_bc == "bouzidi"
-    if bz and (n_sub > 1 or x_halo):
-        # the q table rides center rows only (valid at 1 substep), and the
-        # x-tile pipeline does not thread it — mirror of the 2-D contract
+    if bz and n_sub > 1:
+        # the q table rides center rows only — valid at exactly 1 substep
+        # (halo-row/column BCs are dead when nothing is consumed after
+        # them). x_halo composes at n_sub == 1 for the same reason: the
+        # rewrite touches owned columns only (cs:ce below) and the halo
+        # columns' post-BC values feed nothing.
         return None
     bz_planes = 0
     bz_active = None
@@ -1350,27 +1355,34 @@ def make_local_step_pallas3d_tiled(problem: Problem,
                                                 tgt[tslot, i])
                             tgt[tslot, i] = val
 
-            # equilibrium inlet, physical column xlc (global x = 0)
+            # equilibrium inlet, physical column xlc (global x = 0).
+            # ONE whole-Q (Q, Wy, 1) store instead of Q per-population
+            # column stores: these strips run on every plane at every
+            # substep, and in the N-substep cascade (DMA amortized N×)
+            # their op-issue overhead is VPU-critical-path time.
             if cfg.inlet_equilibrium:
                 @pl.when(fxl == 1)
                 def _():
-                    for i in range(Q):
-                        val = jnp.full((Wy, 1), cfg.eq_in[i], jnp.float32)
-                        if has_solid and cfg.guard_bcs:
-                            val = jnp.where(fluid_rows(0, Wy, xlc, xlc + 1),
-                                            val, tgt[tslot, i, :, xlc:xlc + 1])
-                        tgt[tslot, i, :, xlc:xlc + 1] = val
+                    # per-scalar fulls (a captured f32[Q] constant array is
+                    # rejected by pallas_call) — the compiler folds the
+                    # concat into one constant column
+                    val = jnp.concatenate(
+                        [jnp.full((1, Wy, 1), cfg.eq_in[i], jnp.float32)
+                         for i in range(Q)], axis=0)
+                    if has_solid and cfg.guard_bcs:
+                        val = jnp.where(fluid_rows(0, Wy, xlc, xlc + 1)[None],
+                                        val, tgt[tslot, :, :, xlc:xlc + 1])
+                    tgt[tslot, :, :, xlc:xlc + 1] = val
 
             # zero-gradient outlet, physical column xrc (global x = nx-1)
             if cfg.outlet_zero_grad:
                 @pl.when(fxr == 1)
                 def _():
-                    for i in range(Q):
-                        val = tgt[tslot, i, :, xrc - 1:xrc]
-                        if has_solid and cfg.guard_bcs:
-                            val = jnp.where(fluid_rows(0, Wy, xrc, xrc + 1),
-                                            val, tgt[tslot, i, :, xrc:xrc + 1])
-                        tgt[tslot, i, :, xrc:xrc + 1] = val
+                    val = tgt[tslot, :, :, xrc - 1:xrc]
+                    if has_solid and cfg.guard_bcs:
+                        val = jnp.where(fluid_rows(0, Wy, xrc, xrc + 1)[None],
+                                        val, tgt[tslot, :, :, xrc:xrc + 1])
+                    tgt[tslot, :, :, xrc:xrc + 1] = val
 
             # obstacle (skipped on tiles outside the solid bounding box)
             if has_solid:

@@ -72,16 +72,6 @@ def make_chunk_fn(problem: Problem, mesh: Mesh, chunk_len: int,
     if problem.obstacle_bc == "bouzidi" and has_solid:
         from ..ops.bouzidi import link_tables
         bz_q = link_tables(problem)
-        if backend == "pallas" and ndim == 3 and mesh_shape[1] != 1:
-            # the y-tiled 3-D kernel threads the q table on (my, 1)
-            # meshes (center rows only — no q halo exchange); the x-tile
-            # pipeline does not, mirroring the 2-D contract
-            import warnings
-            warnings.warn("obstacle_bc='bouzidi' runs the jax tier on "
-                          "x-sharded 3-D meshes (the x-tile pipeline does "
-                          "not thread the q table); falling back to "
-                          "backend='jax'")
-            backend = "jax"
     thermal_pallas = None
     if problem.thermal is not None:
         # double-population (thermal) problems: fused 1-step pallas kernel
@@ -146,7 +136,11 @@ def make_chunk_fn(problem: Problem, mesh: Mesh, chunk_len: int,
                                          make_local_step_pallas3d_tiled)
         # x-sharded meshes stitch ppermute'd halo columns into the tile
         # buffers (x_halo mode — the 2-D x-tiled design one dimension up)
-        x_sharded3d = mesh_shape[1] != 1
+        # TPULBM_FORCE_XHALO routes single-shard-x runs through the
+        # stitched x-halo tiles (silicon probes on a 1-chip host: ring_cols
+        # degenerates to the eq ghost blocks a physical-edge shard sees)
+        x_sharded3d = (mesh_shape[1] != 1
+                       or bool(os.environ.get("TPULBM_FORCE_XHALO")))
         # fully periodic 3-D boxes: the full-plane kernel wraps natively
         # (y/x rolls + two z ring-plane inputs); the y-tiled 1-step kernel
         # wraps on (my, 1) meshes (periodic ring rows + in-kernel wrapped
