@@ -459,44 +459,79 @@ def _apply_bcs(cfg: _Cfg, ref, slot, msl, mslot, is_bottom, is_top, fl, fr,
             m = m[:, cs:ce]
         return m
 
-    # Ghost sanitize at physical x edges. The reference's E/W ghost columns
-    # are ZERO every step (unpack_ghost_cells copies never-received,
-    # zero-initialized recv buffers unconditionally, LBMGrid.h:448-466,
-    # verified against the compiled reference); only the four corner ghosts
-    # keep the frozen initial equilibrium (no unpack touches them).
-    if not cfg.periodic_x:
+    # Edge-column BC fusion: every strip that touches the physical x-edge
+    # COLUMNS (ghost sanitize, corner ghost pulls, cavity side walls +
+    # corners, Zou-He inlet/outlet, clean corners) is accumulated
+    # value-level in cL/cR below and committed with ONE whole-Q (Q, Ty, 1)
+    # store per edge — the 2-D analog of the 3-D kernels' whole-Q strip
+    # stores (per-population (Ty, 1) stores are sublane-strided 1-lane
+    # writes, ~12 of them per edge slab per substep before this fusion).
+    # Wall ROW stores stay as (1, nxl) row stores, but their reads are
+    # patched with the PENDING sanitize values at the edge columns
+    # (_san_row) so the sequencing matches the reference BC order
+    # (LBMSolver.h:150-263) exactly.
+    colx_fused = not cfg.periodic_x
+    if colx_fused:
+        rowi = lax.broadcasted_iota(jnp.int32, (Ty, 1), 0)
+        onL = (rowi >= 0) & (fl == 1)
+        onR = (rowi >= 0) & (fr == 1)
+        bot_m = (rowi == 0) & is_bottom
+        top_m = (rowi == Ty - 1) & is_top
+        colL = ref[slot, :, :, xl:xl + 1]
+        colR = ref[slot, :, :, xr:xr + 1]
+        cL = [colL[i] for i in range(Q)]
+        cR = [colR[i] for i in range(Q)]
+        mcL = mrow(0, Ty, xl, xl + 1) if cfg.guard_bcs else None
+        mcR = mrow(0, Ty, xr, xr + 1) if cfg.guard_bcs else None
+
+        # Ghost sanitize at physical x edges. The reference's E/W ghost
+        # columns are ZERO every step (unpack_ghost_cells copies
+        # never-received, zero-initialized recv buffers unconditionally,
+        # LBMGrid.h:448-466, verified against the compiled reference); only
+        # the four corner ghosts keep the frozen initial equilibrium (no
+        # unpack touches them) — the diagonal population whose source is a
+        # corner ghost reads that equilibrium instead of zero.
         for i in range(Q):
             cx, cy = cfg.c[i]
             if cx == 0:
                 continue
-            xc = xl if cx > 0 else xr
-            fe = fl if cx > 0 else fr
-
-            @pl.when(fe == 1)
-            def _(i=i, xc=xc):
-                ref[slot, i, :, xc:xc + 1] = jnp.zeros((Ty, 1), jnp.float32)
-
-            # corner ghost pulls: the diagonal population whose source is a
-            # corner ghost reads the frozen equilibrium instead of zero
+            v = jnp.zeros((Ty, 1), jnp.float32)
             if cy > 0:
-                @pl.when(jnp.logical_and(fe == 1, is_bottom))
-                def _(i=i, xc=xc):
-                    ref[slot, i, 0:1, xc:xc + 1] = jnp.full(
-                        (1, 1), eq_in[i], jnp.float32)
+                v = jnp.where(bot_m, jnp.float32(eq_in[i]), v)
             elif cy < 0:
-                @pl.when(jnp.logical_and(fe == 1, is_top))
-                def _(i=i, xc=xc):
-                    ref[slot, i, Ty - 1:Ty, xc:xc + 1] = jnp.full(
-                        (1, 1), eq_in[i], jnp.float32)
+                v = jnp.where(top_m, jnp.float32(eq_in[i]), v)
+            if cx > 0:
+                cL[i] = jnp.where(onL, v, cL[i])
+            else:
+                cR[i] = jnp.where(onR, v, cR[i])
+
+    colx = lax.broadcasted_iota(jnp.int32, (1, nxl), 1)
+
+    def _san_row(v, i, top):
+        """Patch a (1, nxl) row read of population i with the PENDING
+        (not yet stored) x-edge sanitize value at the physical edge
+        columns: the frozen corner-ghost equilibrium where the corner
+        pull applies at this wall row, zero otherwise."""
+        if not colx_fused:
+            return v
+        cx, cy = cfg.c[i]
+        if cx == 0:
+            return v
+        corner = (cy < 0) if top else (cy > 0)
+        const = eq_in[i] if corner else 0.0
+        xc = xl if cx > 0 else xr
+        fe = fl if cx > 0 else fr
+        return jnp.where((colx == xc) & (fe == 1), jnp.float32(const), v)
 
     # walls (LBMSolver.h:153-176)
     if cfg.walls_y:
         @pl.when(is_bottom)
         def _bottom():
             for i in (2, 5, 6):  # f2<-f4, f5<-f7, f6<-f8
-                val = ref[slot, opp[i], 0:1, :]
+                val = _san_row(ref[slot, opp[i], 0:1, :], opp[i], top=False)
                 if cfg.guard_bcs:
-                    val = jnp.where(mrow(0, 1) < 0.5, val, ref[slot, i, 0:1, :])
+                    old = _san_row(ref[slot, i, 0:1, :], i, top=False)
+                    val = jnp.where(mrow(0, 1) < 0.5, val, old)
                 ref[slot, i, 0:1, :] = val
 
         @pl.when(is_top)
@@ -512,50 +547,76 @@ def _apply_bcs(cfg: _Cfg, ref, slot, msl, mslot, is_bottom, is_top, fl, fr,
                     cy = cfg.c[i][1]
                     if cy < 0:
                         continue
-                    term = ref[slot, i, Ty - 1:Ty, :]
+                    term = _san_row(ref[slot, i, Ty - 1:Ty, :], i, top=True)
                     if cy > 0:
                         term = 2.0 * term
                     rho_w = term if rho_w is None else rho_w + term
             for i in (4, 7, 8):  # f4<-f2, f7<-f5, f8<-f6
-                val = ref[slot, opp[i], Ty - 1:Ty, :]
+                val = _san_row(ref[slot, opp[i], Ty - 1:Ty, :], opp[i],
+                               top=True)
                 if cfg.lid_u:
                     cu = cfg.c[i][0] * cfg.lid_u
                     if cu:
                         val = val + (6.0 * w[i] * cu) * rho_w
                 if cfg.guard_bcs:
-                    val = jnp.where(mrow(Ty - 1, Ty) < 0.5, val,
-                                    ref[slot, i, Ty - 1:Ty, :])
+                    old = _san_row(ref[slot, i, Ty - 1:Ty, :], i, top=True)
+                    val = jnp.where(mrow(Ty - 1, Ty) < 0.5, val, old)
                 ref[slot, i, Ty - 1:Ty, :] = val
+
+        # fold the wall-row effect at the edge columns into the pending
+        # column state (the row stores above already wrote these cells;
+        # the final column store must carry the same values)
+        if colx_fused:
+            for c_, mc in ((cL, mcL), (cR, mcR)):
+                s_ = list(c_)
+                for i in (2, 5, 6):
+                    v = s_[opp[i]]
+                    if cfg.guard_bcs:
+                        v = jnp.where(mc < 0.5, v, s_[i])
+                    c_[i] = jnp.where(bot_m, v, c_[i])
+                if cfg.lid_u:
+                    rho_w = None
+                    for i in range(Q):
+                        cy = cfg.c[i][1]
+                        if cy < 0:
+                            continue
+                        term = 2.0 * s_[i] if cy > 0 else s_[i]
+                        rho_w = term if rho_w is None else rho_w + term
+                for i in (4, 7, 8):
+                    v = s_[opp[i]]
+                    if cfg.lid_u:
+                        cu = cfg.c[i][0] * cfg.lid_u
+                        if cu:
+                            v = v + (6.0 * w[i] * cu) * rho_w
+                    if cfg.guard_bcs:
+                        v = jnp.where(mc < 0.5, v, s_[i])
+                    c_[i] = jnp.where(top_m, v, c_[i])
 
     # side walls at the physical x edges (cavity;
     # ops/boundaries.apply_walls with axis_component=0) — bounce-back on
     # the xl/xr columns, after the y-walls exactly like apply_all's order
     if cfg.walls_x:
-        @pl.when(fl == 1)
-        def _left_wall():
-            for i in (1, 5, 8):  # cx > 0: inward at x = xl
-                val = ref[slot, opp[i], :, xl:xl + 1]
-                if cfg.guard_bcs:
-                    val = jnp.where(mrow(0, Ty, xl, xl + 1) < 0.5, val,
-                                    ref[slot, i, :, xl:xl + 1])
-                ref[slot, i, :, xl:xl + 1] = val
-
-        @pl.when(fr == 1)
-        def _right_wall():
-            for i in (3, 6, 7):  # cx < 0: inward at x = xr
-                val = ref[slot, opp[i], :, xr:xr + 1]
-                if cfg.guard_bcs:
-                    val = jnp.where(mrow(0, Ty, xr, xr + 1) < 0.5, val,
-                                    ref[slot, i, :, xr:xr + 1])
-                ref[slot, i, :, xr:xr + 1] = val
+        sL, sR = list(cL), list(cR)
+        for i in (1, 5, 8):  # cx > 0: inward at x = xl
+            val = sL[opp[i]]
+            if cfg.guard_bcs:
+                val = jnp.where(mcL < 0.5, val, sL[i])
+            cL[i] = jnp.where(onL, val, cL[i])
+        for i in (3, 6, 7):  # cx < 0: inward at x = xr
+            val = sR[opp[i]]
+            if cfg.guard_bcs:
+                val = jnp.where(mcR < 0.5, val, sR[i])
+            cR[i] = jnp.where(onR, val, cR[i])
 
         # wall∩wall corner closure (ops/boundaries.apply_cavity_corners):
         # the edge-diagonal pair is mutually unknown — bounce the three
         # known-opposite unknowns, split the density residual against the
         # diagonally-inward neighbor's rho* (mass-conserving; the plain
-        # reflections above would integrate the zeroed-ghost leak)
-        def _cav_corner(row, nrow, xc, ncol, assigns, pair):
-            vals = [ref[slot, i, row:row + 1, xc:xc + 1] for i in range(Q)]
+        # reflections above would integrate the zeroed-ghost leak).
+        # rho* comes from the INTERIOR neighbor column (ncol = xl+1/xr-1),
+        # untouched by the pending column state, so it reads ref directly.
+        def _cav_corner(c_, mc, gate_m, row, nrow, ncol, assigns, pair):
+            vals = [c_[i][row:row + 1] for i in range(Q)]
             rho_star = sum(ref[slot, i, nrow:nrow + 1, ncol:ncol + 1]
                            for i in range(Q))
             resid = (0.5 * (rho_star - vals[0])
@@ -564,73 +625,61 @@ def _apply_bcs(cfg: _Cfg, ref, slot, msl, mslot, is_bottom, is_top, fl, fr,
             for i in pair:
                 new[i] = resid
             if cfg.has_solid and cfg.guard_bcs:
-                fluid = mrow(row, row + 1, xc, xc + 1) < 0.5
+                fluid = mc[row:row + 1] < 0.5
                 for i in new:
                     new[i] = jnp.where(fluid, new[i], vals[i])
             for i, v in new.items():
-                ref[slot, i, row:row + 1, xc:xc + 1] = v
+                c_[i] = jnp.where(gate_m, v, c_[i])
 
-        @pl.when(jnp.logical_and(is_bottom, fl == 1))
-        def _cav_bl():
-            _cav_corner(0, 1, xl, xl + 1, [(1, 3), (2, 4), (5, 7)], (6, 8))
-
-        @pl.when(jnp.logical_and(is_bottom, fr == 1))
-        def _cav_br():
-            _cav_corner(0, 1, xr, xr - 1, [(3, 1), (2, 4), (6, 8)], (5, 7))
-
-        @pl.when(jnp.logical_and(is_top, fl == 1))
-        def _cav_tl():
-            _cav_corner(Ty - 1, Ty - 2, xl, xl + 1,
-                        [(1, 3), (4, 2), (8, 6)], (5, 7))
-
-        @pl.when(jnp.logical_and(is_top, fr == 1))
-        def _cav_tr():
-            _cav_corner(Ty - 1, Ty - 2, xr, xr - 1,
-                        [(3, 1), (4, 2), (7, 5)], (6, 8))
+        _cav_corner(cL, mcL, bot_m & onL, 0, 1, xl + 1,
+                    [(1, 3), (2, 4), (5, 7)], (6, 8))
+        _cav_corner(cR, mcR, bot_m & onR, 0, 1, xr - 1,
+                    [(3, 1), (2, 4), (6, 8)], (5, 7))
+        _cav_corner(cL, mcL, top_m & onL, Ty - 1, Ty - 2, xl + 1,
+                    [(1, 3), (4, 2), (8, 6)], (5, 7))
+        _cav_corner(cR, mcR, top_m & onR, Ty - 1, Ty - 2, xr - 1,
+                    [(3, 1), (4, 2), (7, 5)], (6, 8))
 
     # Zou-He inlet, physical column xl (LBMSolver.h:179-207)
     if cfg.inlet_zou_he:
-        @pl.when(fl == 1)
-        def _inlet():
-            pr = [ref[slot, i, :, xl:xl + 1] for i in range(Q)]
-            rho_bc = (pr[0] + pr[2] + pr[4]
-                      + 2.0 * (pr[3] + pr[6] + pr[7])) / (1.0 - u_in)
-            ru = rho_bc * u_in
-            ht = 0.5 * (pr[2] - pr[4])
-            new = {1: pr[3] + (2.0 / 3.0) * ru,
-                   5: pr[7] - ht + (1.0 / 6.0) * ru,
-                   8: pr[6] + ht + (1.0 / 6.0) * ru}
-            for i, val in new.items():
-                if cfg.guard_bcs:
-                    val = jnp.where(mrow(0, Ty, xl, xl + 1) < 0.5, val, pr[i])
-                ref[slot, i, :, xl:xl + 1] = val
+        pr = list(cL)
+        rho_bc = (pr[0] + pr[2] + pr[4]
+                  + 2.0 * (pr[3] + pr[6] + pr[7])) / (1.0 - u_in)
+        ru = rho_bc * u_in
+        ht = 0.5 * (pr[2] - pr[4])
+        new = {1: pr[3] + (2.0 / 3.0) * ru,
+               5: pr[7] - ht + (1.0 / 6.0) * ru,
+               8: pr[6] + ht + (1.0 / 6.0) * ru}
+        for i, val in new.items():
+            if cfg.guard_bcs:
+                val = jnp.where(mcL < 0.5, val, pr[i])
+            cL[i] = jnp.where(onL, val, cL[i])
 
     # Zou-He pressure outlet, physical column xr (LBMSolver.h:210-236)
     if cfg.outlet_zou_he:
-        @pl.when(fr == 1)
-        def _outlet():
-            xc = xr
-            pr = [ref[slot, i, :, xc:xc + 1] for i in range(Q)]
-            u_out = -1.0 + (pr[0] + pr[2] + pr[4]
-                            + 2.0 * (pr[1] + pr[5] + pr[8]))  # rho_out = 1
-            ht = 0.5 * (pr[2] - pr[4])
-            new = {3: pr[1] - (2.0 / 3.0) * u_out,
-                   6: pr[8] - ht - (1.0 / 6.0) * u_out,
-                   7: pr[5] + ht - (1.0 / 6.0) * u_out}
-            for i, val in new.items():
-                if cfg.guard_bcs:
-                    val = jnp.where(mrow(0, Ty, xc, xc + 1) < 0.5, val, pr[i])
-                ref[slot, i, :, xc:xc + 1] = val
+        pr = list(cR)
+        u_out = -1.0 + (pr[0] + pr[2] + pr[4]
+                        + 2.0 * (pr[1] + pr[5] + pr[8]))  # rho_out = 1
+        ht = 0.5 * (pr[2] - pr[4])
+        new = {3: pr[1] - (2.0 / 3.0) * u_out,
+               6: pr[8] - ht - (1.0 / 6.0) * u_out,
+               7: pr[5] + ht - (1.0 / 6.0) * u_out}
+        for i, val in new.items():
+            if cfg.guard_bcs:
+                val = jnp.where(mcR < 0.5, val, pr[i])
+            cR[i] = jnp.where(onR, val, cR[i])
 
     # Optional Zou & He (1997) corner closure at the 4 wall∩inlet/outlet
     # cells (semantics: ops/boundaries.apply_zou_he_corners) — only on the
-    # slab owning the physical wall row of a physical-x-edge shard
+    # slab owning the physical wall row of a physical-x-edge shard.
+    # rho* for the inlet corners is the adjacent inlet-column node's
+    # density — SAME column, so it reads the pending post-Zou-He state.
     if cfg.clean_corners:
-        def _corner(row, nrow, xc, assigns, pair, use_neighbor_rho):
-            vals = [ref[slot, i, row:row + 1, xc:xc + 1] for i in range(Q)]
+        def _corner(c_, mc, gate_m, row, nrow, assigns, pair,
+                    use_neighbor_rho):
+            vals = [c_[i][row:row + 1] for i in range(Q)]
             if use_neighbor_rho:   # adjacent inlet-column node's density
-                rho_star = sum(ref[slot, i, nrow:nrow + 1, xc:xc + 1]
-                               for i in range(Q))
+                rho_star = sum(c_[i][nrow:nrow + 1] for i in range(Q))
             else:                  # outlet corners: fixed rho_out = 1
                 rho_star = jnp.full((1, 1), 1.0, jnp.float32)
             resid = (0.5 * (rho_star - vals[0])
@@ -639,29 +688,32 @@ def _apply_bcs(cfg: _Cfg, ref, slot, msl, mslot, is_bottom, is_top, fl, fr,
             for i in pair:
                 new[i] = resid
             if cfg.has_solid and cfg.guard_bcs:  # solid corner: leave as-is
-                fluid = mrow(row, row + 1, xc, xc + 1) < 0.5
+                fluid = mc[row:row + 1] < 0.5
                 for i in new:
                     new[i] = jnp.where(fluid, new[i], vals[i])
             for i, v in new.items():
-                ref[slot, i, row:row + 1, xc:xc + 1] = v
+                c_[i] = jnp.where(gate_m, v, c_[i])
 
-        @pl.when(jnp.logical_and(is_bottom, fl == 1))
-        def _bl():
-            _corner(0, 1, xl, [(1, 3), (2, 4), (5, 7)], (6, 8), True)
+        _corner(cL, mcL, bot_m & onL, 0, 1,
+                [(1, 3), (2, 4), (5, 7)], (6, 8), True)
+        _corner(cR, mcR, bot_m & onR, 0, 1,
+                [(3, 1), (2, 4), (6, 8)], (5, 7), False)
+        _corner(cL, mcL, top_m & onL, Ty - 1, Ty - 2,
+                [(1, 3), (4, 2), (8, 6)], (5, 7), True)
+        _corner(cR, mcR, top_m & onR, Ty - 1, Ty - 2,
+                [(3, 1), (4, 2), (7, 5)], (6, 8), False)
 
-        @pl.when(jnp.logical_and(is_bottom, fr == 1))
-        def _br():
-            _corner(0, 1, xr, [(3, 1), (2, 4), (6, 8)], (5, 7), False)
+    # Commit the fused edge columns: ONE whole-Q store per physical edge
+    if colx_fused:
+        @pl.when(fl == 1)
+        def _store_left():
+            ref[slot, :, :, xl:xl + 1] = jnp.concatenate(
+                [v[None] for v in cL], axis=0)
 
-        @pl.when(jnp.logical_and(is_top, fl == 1))
-        def _tl():
-            _corner(Ty - 1, Ty - 2, xl, [(1, 3), (4, 2), (8, 6)], (5, 7),
-                    True)
-
-        @pl.when(jnp.logical_and(is_top, fr == 1))
-        def _tr():
-            _corner(Ty - 1, Ty - 2, xr, [(3, 1), (4, 2), (7, 5)], (6, 8),
-                    False)
+        @pl.when(fr == 1)
+        def _store_right():
+            ref[slot, :, :, xr:xr + 1] = jnp.concatenate(
+                [v[None] for v in cR], axis=0)
 
     # obstacle (semantics: ops/boundaries.apply_obstacle); skipped entirely
     # on slabs the (static) solid mask does not touch
