@@ -229,16 +229,26 @@ def test_bouzidi_pallas_matches_jax_moving_wall():
     np.testing.assert_allclose(got, ref, rtol=5e-6, atol=1e-7)
 
 
-def test_bouzidi_pallas_xsharded_demotes_with_warning():
-    # the x-tiled pipeline does not thread the q table (documented
-    # trade-off); x-sharded meshes degrade to the jax tier, loudly
+@pytest.mark.parametrize("mesh_shape", [(1, 2), (2, 2)],
+                         ids=["x-sharded", "2d-mesh"])
+def test_bouzidi_pallas_xsharded_matches_jax(mesh_shape):
+    """x-sharded meshes run bouzidi FUSED through the x-tiled kernel at
+    depth 1 (the q tile rides the slab pipeline center-only, halo columns
+    pinned to -1 — the rewrite touches owned cells only) with NO demotion
+    warning. The cylinder straddles the x shard boundary at nx=64/mx=2."""
     pr = make_problem(_cyl_params(precision="f32"))
-    mesh = make_mesh((1, 2), devices=jax.devices()[:2])
-    with pytest.warns(UserWarning, match="falling back"):
-        chunk = make_chunk_fn(pr, mesh, 4, backend="pallas")
-    s, solid = shard_state(mesh, pr.initial_state(), pr.solid)
-    s = chunk(s, solid)
-    assert np.isfinite(np.asarray(jax.device_get(s))).all()
+    ref = _run_bz(pr, (1, 1), "jax")
+    got = _run_bz(pr, mesh_shape, "pallas", forbid_demotion=True)
+    np.testing.assert_allclose(got, ref, rtol=5e-6, atol=1e-7)
+
+
+def test_bouzidi_pallas_xsharded_moving_wall_matches_jax():
+    """Spinning cylinder on an x-sharded mesh: the 2Q-plane link table
+    (momentum scalars stacked under q) rides the same tiled q DMA."""
+    pr = make_problem(_cyl_params(precision="f32", cylinder_omega=0.02))
+    ref = _run_bz(pr, (1, 1), "jax")
+    got = _run_bz(pr, (1, 2), "pallas", forbid_demotion=True)
+    np.testing.assert_allclose(got, ref, rtol=5e-6, atol=1e-7)
 
 
 def test_bouzidi_3d_pallas_matches_jax():

@@ -60,7 +60,8 @@ def _divisors(n: int):
 
 
 def _choose_tiles(nyl: int, nxl: int, N: int, Q: int, has_solid: bool,
-                  interpret: bool, pad_x: int = 0) -> _TileCfg | None:
+                  interpret: bool, pad_x: int = 0,
+                  bz_planes: int = 0) -> _TileCfg | None:
     """Pick (Tx, Ty) maximizing Tx (smallest halo-overlap fraction), then Ty,
     subject to the VMEM budget. Returns None if nothing fits. pad_x > 0:
     the last tile must contain the whole pad region (Tx > pad_x), so the
@@ -76,6 +77,8 @@ def _choose_tiles(nyl: int, nxl: int, N: int, Q: int, has_solid: bool,
         u += 2 * Q * N * W                               # y-ring row scratch
         if has_solid:
             u += M * ty * W + 2 * N * W                  # mask slabs + rings
+        if bz_planes:
+            u += 4 * bz_planes * ty * W                  # bouzidi q slots
         if N > 1:
             u += (N - 1) * Q * N * W                     # top ghost chains
         return u * 4
@@ -131,16 +134,17 @@ def make_local_step_tiled(problem: Problem, local_shape: tuple[int, ...],
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     fields = _physics_cfg_fields(problem)
-    if fields["bz"]:
-        # the x-tiled pipeline does not thread the Bouzidi q table (tile
-        # DMAs + halo-column stitching for bz_planes extra channels);
-        # x-sharded bouzidi meshes take the jax tier with a warning —
-        # full-width meshes run the fused 1-step kernel (step_pallas)
+    if fields["bz"] and n_sub > 1:
+        # bouzidi fuses at depth 1 only (same restriction as the full-width
+        # kernels: the rewrite needs the post-collision pre-stream slab of
+        # the SAME substep; deeper cascades recycle those slots) — the
+        # dispatcher falls through to the depth-1 tiled attempt
         return None
     nyl, nxl = local_shape
     Q = fields["Q"]
     has_solid = fields["has_solid"]
-    tiles = _choose_tiles(nyl, nxl, n_sub, Q, has_solid, interpret, pad_x)
+    tiles = _choose_tiles(nyl, nxl, n_sub, Q, has_solid, interpret, pad_x,
+                          bz_planes=fields["bz_planes"])
     if tiles is None:
         return None
     if (min(tiles.Ty, tiles.Tx) < 2
@@ -155,12 +159,17 @@ def make_local_step_tiled(problem: Problem, local_shape: tuple[int, ...],
     bounce_back = cfg.bounce_back
 
     def kernel(flags_ref, sflags_ref, f_ref, rb_ref, rt_ref, rl_ref, rr_ref,
-               mask_ref, mrb_ref, mrt_ref, ml_ref, mr_ref, out_ref,
-               fa, *rest):
+               mask_ref, mrb_ref, mrt_ref, ml_ref, mr_ref, *refs):
+        if cfg.bz:
+            bzq_ref, out_ref, fa, *rest = refs
+        else:
+            bzq_ref = None
+            out_ref, fa, *rest = refs
         gs = list(rest[:N - 1])                     # stages 1..N-1
         (ob, msl, rbs, rts, mrbs, mrts, t_scr,
          sem_fc, sem_fl, sem_fr, sem_ob, sem_mc, sem_ml, sem_mr,
-         sem_r) = rest[N - 1:]
+         sem_r, *bz_scr) = rest[N - 1:]
+        qsl, sem_q = bz_scr if cfg.bz else (None, None)
         fb, ft, fl, fr = (flags_ref[k] for k in range(4))
         tx = pl.program_id(0)
         # Spatially varying force (cfg.force_fn): flags[4]/flags[5] carry
@@ -260,6 +269,22 @@ def make_local_step_tiled(problem: Problem, local_shape: tuple[int, ...],
                 mask_ref.at[pl.ds(t * Ty, Ty), pl.ds(xa_r, H)],
                 msl.at[t % M, :, H + Tx:W], sem_mr.at[t % M])
 
+        if cfg.bz:
+            # Bouzidi q tile: CENTER columns only — the cut-link rewrite is
+            # pointwise at owned cells and halo-column results are never
+            # written back at depth 1, so the halo columns of every q slot
+            # are pinned to -1 (no cut link) once per tile and the DMA
+            # (riding the mask's per-slab skip — sflags is widened by one
+            # row for cut links in parallel/sharded_step) fills the center
+            neg_h = jnp.full((4, cfg.bz_planes, Ty, H), -1.0, jnp.float32)
+            qsl[:, :, :, 0:H] = neg_h
+            qsl[:, :, :, H + Tx:W] = neg_h
+
+        def q_dma(t):
+            return pltpu.make_async_copy(
+                bzq_ref.at[:, pl.ds(t * Ty, Ty), pl.ds(xa, Tx)],
+                qsl.at[t % 4, :, :, H:H + Tx], sem_q.at[t % 4])
+
         def _start_pieces(t, center, lring, linner, rring, rinner):
             center(t).start()
             pl.when(tx == 0)(lambda: lring(t).start())
@@ -279,6 +304,8 @@ def make_local_step_tiled(problem: Problem, local_shape: tuple[int, ...],
             _start_pieces(t, fc_dma, fl_ring, fl_inner, fr_ring, fr_inner)
             mask_op(t, lambda: _start_pieces(t, mc_dma, ml_ring, ml_inner,
                                              mr_ring, mr_inner))
+            if cfg.bz:
+                mask_op(t, lambda: q_dma(t).start())
 
         def wait_in(t):
             fc_dma(t).wait()
@@ -289,6 +316,8 @@ def make_local_step_tiled(problem: Problem, local_shape: tuple[int, ...],
                 mc_dma(t).wait()
                 ml_ring(t).wait()
                 mr_ring(t).wait()
+                if cfg.bz:
+                    q_dma(t).wait()
 
             mask_op(t, _wait_masks)
 
@@ -357,8 +386,17 @@ def make_local_step_tiled(problem: Problem, local_shape: tuple[int, ...],
             for i in range(Q):
                 tgt[tslot, i] = _stream_rows(cfg, i, srcref[idx % m_src, i],
                                              below[i], above[i])
+            bz = None
+            if cfg.bz:
+                # depth 1 only: srcref == fa holds the post-collision
+                # pre-stream tile of this substep; q slot rotation matches
+                # the raw slab rotation (both mod 4)
+                src_slot = idx % m_src
+                bz = ((lambda j: qsl[idx % 4, j]),
+                      (lambda i: srcref[src_slot, i]))
             _apply_bcs(cfg, tgt, tslot, msl if has_solid else None, idx % M,
-                       is_bottom, is_top, flt, frt, solid_flag=slab_flag(idx))
+                       is_bottom, is_top, flt, frt, solid_flag=slab_flag(idx),
+                       bz=bz)
             if collide_after:
                 fw = [tgt[tslot, i] for i in range(Q)]
                 solid_rows = (msl[idx % M] > 0.5) if bounce_back else None
@@ -501,6 +539,8 @@ def make_local_step_tiled(problem: Problem, local_shape: tuple[int, ...],
            pltpu.SemaphoreType.DMA((M,)),                      # mask left
            pltpu.SemaphoreType.DMA((M,)),                      # mask right
            pltpu.SemaphoreType.DMA((4,))]                      # ring slices
+        + ([pltpu.VMEM((4, cfg.bz_planes, Ty, W), jnp.float32),  # bouzidi q
+            pltpu.SemaphoreType.DMA((4,))] if cfg.bz else [])
     )
 
     call = pl.pallas_call(
@@ -519,7 +559,8 @@ def make_local_step_tiled(problem: Problem, local_shape: tuple[int, ...],
             pl.BlockSpec(memory_space=pl.ANY),       # mrt ext
             pl.BlockSpec(memory_space=pl.ANY),       # ml
             pl.BlockSpec(memory_space=pl.ANY),       # mr
-        ],
+        ] + ([pl.BlockSpec(memory_space=pl.ANY)]     # bouzidi q table
+             if cfg.bz else []),
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         out_shape=jax.ShapeDtypeStruct((Q, nyl, nxl), jnp.float32),
         scratch_shapes=scratch_shapes,
@@ -534,7 +575,7 @@ def make_local_step_tiled(problem: Problem, local_shape: tuple[int, ...],
     ones_sflags = np.ones((n_ty,), np.int32)
 
     def step(f, rb, rt, rl, rr, flags, mask=None, mrb=None, mrt=None,
-             ml=None, mr=None, sflags=None):
+             ml=None, mr=None, sflags=None, bzq=None):
         if has_solid and mask is None:
             raise ValueError("pallas backend needs the solid mask")
         mask = jnp.asarray(zero_mask) if mask is None else mask
@@ -543,6 +584,11 @@ def make_local_step_tiled(problem: Problem, local_shape: tuple[int, ...],
         ml = jnp.asarray(zero_cols) if ml is None else ml
         mr = jnp.asarray(zero_cols) if mr is None else mr
         sflags = jnp.asarray(ones_sflags) if sflags is None else sflags
+        if cfg.bz:
+            if bzq is None:
+                raise ValueError("bouzidi pallas kernel needs the q table")
+            return call(flags, sflags, f, rb, rt, rl, rr, mask, mrb, mrt,
+                        ml, mr, bzq)
         return call(flags, sflags, f, rb, rt, rl, rr, mask, mrb, mrt, ml, mr)
 
     step.tile_height = Ty

@@ -656,7 +656,7 @@ def make_chunk_fn(problem: Problem, mesh: Mesh, chunk_len: int,
                                    length=chunk_len)
         return f_local[..., :nxl] if pad2 else f_local
 
-    def body_pallas_tiled(f_local, solid_local):
+    def body_pallas_tiled(f_local, solid_local, bz_local=None):
         iy = lax.axis_index("y")
         ix = lax.axis_index("x")
         nyl, nxl = local_shape[-2], local_shape[-1]
@@ -690,6 +690,14 @@ def make_chunk_fn(problem: Problem, mesh: Mesh, chunk_len: int,
                 jnp.asarray(eq_ring, f_local.dtype).reshape(Qn, 1, 1),
                 (Qn, nyl, padx))
             f_local = jnp.concatenate([f_local, eqb], axis=-1)
+            if bz_local is not None:
+                # pad columns carry q = -1 (no cut link): dead on the
+                # physical-east shard, and on interior shards the shadow
+                # columns' rewrite is the east neighbor's job (their
+                # post-step values are overwritten by the next stitch)
+                bz_local = jnp.concatenate(
+                    [bz_local, jnp.full((bz_local.shape[0], nyl, padx),
+                                        -1.0, bz_local.dtype)], axis=-1)
 
         # per-y-slab solid flags (static geometry, traced shard offset)
         sflags = None
@@ -741,7 +749,7 @@ def make_chunk_fn(problem: Problem, mesh: Mesh, chunk_len: int,
                                         mesh_shape=mesh_shape, depth=N,
                                         periodic_y=problem.periodic_y)
             return pallas_tiled(f, rb, rt, rl, rr, flags, mask, mrb, mrt,
-                                ml, mr, sflags), None
+                                ml, mr, sflags, bzq=bz_local), None
 
         f_local, _ = lax.scan(n_steps, f_local, None,
                               length=chunk_len // N)
