@@ -1,9 +1,10 @@
 #!/bin/bash
 # Family x tier bench ladder (BENCH.md rows) — one bench.py invocation per
 # row, strictly sequential (never two TPU processes). Appends JSON lines
-# to runs/bench_ladder_r04.jsonl with a "row" tag line before each.
+# to runs/bench_ladder_r05.jsonl (override with LADDER_OUT) with a "row"
+# tag line before each.
 cd "$(dirname "$0")/.."
-OUT=runs/bench_ladder_r04.jsonl
+OUT=${LADDER_OUT:-runs/bench_ladder_r05.jsonl}
 run_row() {
   name="$1"; shift
   echo "# row: $name  ($*)" >> "$OUT"

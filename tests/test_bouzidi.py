@@ -6,7 +6,9 @@ table is exact against the closed-form circle-line intersection; a
 channel whose walls sit at FRACTIONAL positions between lattice rows
 recovers those positions from the flow itself (the staircase scheme
 cannot, by construction — it always sees the half-way wall); sharded ==
-oracle; pallas requests demote with a warning.
+oracle; pallas runs FUSED on every mesh shape (x-sharded meshes route
+through the x-tiled kernel with pad columns pinned to q=-1) and matches
+the jax tier — no demotion warning.
 """
 import warnings
 
@@ -229,13 +231,20 @@ def test_bouzidi_pallas_matches_jax_moving_wall():
     np.testing.assert_allclose(got, ref, rtol=5e-6, atol=1e-7)
 
 
+@pytest.mark.parametrize("force_pad", [0, 8], ids=["aligned", "lane-padded"])
 @pytest.mark.parametrize("mesh_shape", [(1, 2), (2, 2)],
                          ids=["x-sharded", "2d-mesh"])
-def test_bouzidi_pallas_xsharded_matches_jax(mesh_shape):
+def test_bouzidi_pallas_xsharded_matches_jax(mesh_shape, force_pad,
+                                             monkeypatch):
     """x-sharded meshes run bouzidi FUSED through the x-tiled kernel at
     depth 1 (the q tile rides the slab pipeline center-only, halo columns
     pinned to -1 — the rewrite touches owned cells only) with NO demotion
-    warning. The cylinder straddles the x shard boundary at nx=64/mx=2."""
+    warning. The cylinder straddles the x shard boundary at nx=64/mx=2.
+    force_pad=8 exercises the q=-1 pad-column branch of the q-tile builder
+    (sharded_step bz_local lane padding), which nx=64/mx=2 would never hit
+    in interpret mode (ADVICE r4)."""
+    if force_pad:
+        monkeypatch.setenv("TPULBM_FORCE_PAD", str(force_pad))
     pr = make_problem(_cyl_params(precision="f32"))
     ref = _run_bz(pr, (1, 1), "jax")
     got = _run_bz(pr, mesh_shape, "pallas", forbid_demotion=True)

@@ -51,7 +51,8 @@ class SimulationParams:
     # --- new capabilities (absent from the reference) ---
     problem: str = "cylinder"        # "cylinder" | "poiseuille" | "cavity" | "cylinder3d"
     obstacle_bc: str = "equilibrium"  # "equilibrium" (reference parity) |
-    # "bounce_back" (full-way) | "bouzidi" (curved-wall interpolated, jax tier)
+    # "bounce_back" (full-way) | "bouzidi" (curved-wall interpolated;
+    # fused into the pallas kernels on every mesh shape)
     collision: str = "bgk"           # "bgk" (reference parity) | "trt" |
     # "mrt" | "regularized" | "kbc" (new: stable at low tau)
     trt_magic: float = 3.0 / 16.0    # TRT magic parameter Λ
