@@ -12,10 +12,13 @@ few chunks and compares the raw f state.
 Usage (one TPU process at a time — never run two concurrently):
     python scripts/tpu_probe.py [--only name1,name2] [--fresh]
 
-Results append to runs/tpu_probe_r04.jsonl; configs already recorded with
+Results append to runs/tpu_probe_r05.jsonl; configs already recorded with
 ok=true are skipped on re-runs (remote compiles cost 30-90 s/program, so
 the ladder is resumable). A pallas run that silently demotes to the jax
 tier (a "falling back" warning) is recorded as DEMOTED, not verified.
+Configs carrying an expected blocking depth additionally assert the
+chunk fn actually chose that depth (a silent fall-through to a shallower
+kernel would otherwise make the probe vacuous).
 """
 from __future__ import annotations
 
@@ -29,7 +32,7 @@ import warnings
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 RESULTS = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                       "runs", "tpu_probe_r04.jsonl")
+                       "runs", "tpu_probe_r05.jsonl")
 
 
 def configs():
@@ -53,6 +56,16 @@ def configs():
     out["bouzidi-moving"] = (SimulationParams(obstacle_bc="bouzidi",
                                               cylinder_omega=0.02, **cyl),
                              2, 10, {})
+    # blocked bouzidi: the q table through the N-step cascade (q slab ring
+    # + q halo rows for the ghost chains). TPULBM_PALLAS_TY=8 keeps
+    # n_ty >= N+1 at this small probe grid; the depth assertion guards
+    # against a silent fall-through to the 1-step kernel.
+    out["bouzidi-blocked"] = (SimulationParams(obstacle_bc="bouzidi", **cyl),
+                              2, 12, {"TPULBM_SUBSTEPS": "4",
+                                      "TPULBM_PALLAS_TY": "8"}, 4)
+    out["bouzidi-moving-blocked"] = (
+        SimulationParams(obstacle_bc="bouzidi", cylinder_omega=0.02, **cyl),
+        2, 12, {"TPULBM_SUBSTEPS": "4", "TPULBM_PALLAS_TY": "8"}, 4)
     # lane-padded unaligned width (nx=250 pads to 256 lanes in-kernel)
     out["lane-padded"] = (SimulationParams(nx=250, ny=64, tau=0.55,
                                            inlet_velocity=0.05,
@@ -127,7 +140,13 @@ def configs():
     out["bouzidi-3d"] = (SimulationParams(
         nx=128, ny=32, nz=32, problem="cylinder3d", tau=0.6,
         obstacle_bc="bouzidi", inlet_velocity=0.05, cylinder_radius=0.23,
-        precision="f32"), 1, 6, {})
+        precision="f32"), 1, 6, {"TPULBM_SUBSTEPS": "1"}, 1)
+    # 3-D blocked bouzidi: q tiles widened to the buffer height, halo rows
+    # via qb/qt DMAs + ring_rows_3d of the link table
+    out["bouzidi-3d-blocked"] = (SimulationParams(
+        nx=128, ny=32, nz=32, problem="cylinder3d", tau=0.6,
+        obstacle_bc="bouzidi", inlet_velocity=0.05, cylinder_radius=0.23,
+        precision="f32"), 1, 6, {"TPULBM_SUBSTEPS": "3"}, 3)
     # x-halo (stitched x-sharded) tiles on one chip: ring_cols degenerates
     # to the physical-edge eq blocks, exercising the exact Mosaic program
     # an x-sharded shard runs — incl. the q slab at owned columns
@@ -142,7 +161,7 @@ def configs():
     return out
 
 
-def run_backend(params, backend, n_chunks, chunk_len):
+def run_backend(params, backend, n_chunks, chunk_len, expect_depth=None):
     """Run n_chunks x chunk_len steps; return (np_state, seconds, warns)."""
     import jax
     import numpy as np
@@ -158,6 +177,15 @@ def run_backend(params, backend, n_chunks, chunk_len):
         warnings.simplefilter("always")
         chunk = make_chunk_fn(problem, mesh, chunk_len, backend=backend)
         caught = [str(x.message) for x in w]
+    if expect_depth is not None and backend == "pallas":
+        got_depth = getattr(chunk, "pallas_substeps", None)
+        d3 = getattr(chunk, "pallas3d_depths", None)
+        if d3:
+            got_depth = d3[0]
+        if got_depth != expect_depth:
+            raise RuntimeError(
+                f"expected blocking depth {expect_depth}, dispatch chose "
+                f"{got_depth} (silent fall-through — probe would be vacuous)")
     solid = problem.solid if problem.solid is not None else \
         np.zeros(problem.spatial_shape, bool)
     f, solid = shard_state(mesh, problem.initial_state(), solid)
@@ -262,15 +290,18 @@ SPECIAL_PROBES = {
 }
 
 
-def probe_one(name, params, n_chunks, chunk_len, env):
+def probe_one(name, params, n_chunks, chunk_len, env, expect_depth=None):
     old_env = {k: os.environ.get(k) for k in env}
     os.environ.update(env)
     try:
         rec = {"name": name, "chunks": n_chunks, "chunk_len": chunk_len,
                "grid": f"{params.nx}x{params.ny}" +
                        (f"x{params.nz}" if params.nz else "")}
+        if expect_depth is not None:
+            rec["depth"] = expect_depth
         ref, _, _ = run_backend(params, "jax", n_chunks, chunk_len)
-        got, dt, warns = run_backend(params, "pallas", n_chunks, chunk_len)
+        got, dt, warns = run_backend(params, "pallas", n_chunks, chunk_len,
+                                     expect_depth=expect_depth)
         demoted = [w for w in warns if "falling back" in w
                    or "jax tier" in w]
         if demoted:
@@ -343,8 +374,10 @@ def main():
             if not rec["ok"]:
                 n_fail += 1
             continue
-        params, n_chunks, chunk_len, env = cfgs[name]
-        rec = probe_one(name, params, n_chunks, chunk_len, env)
+        params, n_chunks, chunk_len, env, *opt = cfgs[name]
+        expect_depth = opt[0] if opt else None
+        rec = probe_one(name, params, n_chunks, chunk_len, env,
+                        expect_depth=expect_depth)
         rec["wall_s"] = round(time.perf_counter() - t0, 1)
         with open(RESULTS, "a") as fh:
             fh.write(json.dumps(rec) + "\n")

@@ -195,7 +195,7 @@ def test_bouzidi_sharded_matches_oracle(mesh_shape):
 
 
 def _run_bz(pr, mesh_shape, backend, n_chunks=2, chunk_len=5,
-            forbid_demotion=False):
+            forbid_demotion=False, expect_substeps=None):
     n = mesh_shape[0] * mesh_shape[1]
     mesh = make_mesh(mesh_shape, devices=jax.devices()[:n])
     if forbid_demotion:
@@ -204,6 +204,10 @@ def _run_bz(pr, mesh_shape, backend, n_chunks=2, chunk_len=5,
             chunk = make_chunk_fn(pr, mesh, chunk_len, backend=backend)
     else:
         chunk = make_chunk_fn(pr, mesh, chunk_len, backend=backend)
+    if expect_substeps is not None:
+        # guard against a silent fall-through to a shallower depth, which
+        # would make the blocked-parity assertion vacuous
+        assert chunk.pallas_substeps == expect_substeps
     s, solid = shard_state(mesh, pr.initial_state(), pr.solid)
     for _ in range(n_chunks):
         s = chunk(s, solid)
@@ -218,6 +222,39 @@ def test_bouzidi_pallas_matches_jax(mesh_shape):
     pr = make_problem(_cyl_params(precision="f32"))
     ref = _run_bz(pr, (1, 1), "jax")
     got = _run_bz(pr, mesh_shape, "pallas", forbid_demotion=True)
+    np.testing.assert_allclose(got, ref, rtol=5e-6, atol=1e-7)
+
+
+@pytest.mark.parametrize("n_sub", [2, 3, 4])
+@pytest.mark.parametrize("mesh_shape", [(1, 1), (2, 1)],
+                         ids=["single", "y-sharded"])
+def test_bouzidi_blocked_pallas_matches_jax(mesh_shape, n_sub, monkeypatch):
+    """Bouzidi through the N-step temporally blocked cascade (VERDICT r4
+    #1): the q table rides the slab pipeline in an M-slot ring and the
+    ghost-chain rows apply the cut-link rewrite from q HALO rows
+    (halo.ring_rows of the link table), so sharded blocked results match
+    the jax tier exactly like the staircase BCs do. The cylinder straddles
+    the y shard boundary at ny=64/my=2."""
+    monkeypatch.setenv("TPULBM_SUBSTEPS", str(n_sub))
+    monkeypatch.setenv("TPULBM_PALLAS_TY", "4")
+    pr = make_problem(_cyl_params(precision="f32", ny=64))
+    ref = _run_bz(pr, (1, 1), "jax", n_chunks=1, chunk_len=12)
+    got = _run_bz(pr, mesh_shape, "pallas", n_chunks=1, chunk_len=12,
+                  forbid_demotion=True, expect_substeps=n_sub)
+    np.testing.assert_allclose(got, ref, rtol=5e-6, atol=1e-7)
+
+
+def test_bouzidi_blocked_moving_wall_matches_jax(monkeypatch):
+    """Spinning cylinder through the blocked cascade: the 2Q link table
+    (momentum scalars under q) rides the M-slot q ring and the ghost-chain
+    q halo rows carry both blocks."""
+    monkeypatch.setenv("TPULBM_SUBSTEPS", "3")
+    monkeypatch.setenv("TPULBM_PALLAS_TY", "4")
+    pr = make_problem(_cyl_params(precision="f32", ny=64,
+                                  cylinder_omega=0.02))
+    ref = _run_bz(pr, (1, 1), "jax", n_chunks=1, chunk_len=12)
+    got = _run_bz(pr, (2, 1), "pallas", n_chunks=1, chunk_len=12,
+                  forbid_demotion=True, expect_substeps=3)
     np.testing.assert_allclose(got, ref, rtol=5e-6, atol=1e-7)
 
 
@@ -286,6 +323,40 @@ def test_bouzidi_3d_pallas_matches_jax():
     got = run((1, 1), "pallas")
     np.testing.assert_allclose(got, ref, rtol=5e-6, atol=1e-7)
     got2 = run((2, 1), "pallas")
+    np.testing.assert_allclose(got2, ref, rtol=5e-6, atol=1e-7)
+
+
+@pytest.mark.parametrize("n_sub", [2, 3])
+def test_bouzidi_3d_blocked_pallas_matches_jax(n_sub, monkeypatch):
+    """Bouzidi through the 3-D y-tiled N-step blocked cascade (VERDICT r4
+    #1): the q tile is widened to the full buffer height (halo rows via
+    qb/qt DMAs + ring_rows_3d of the link table) and the cut-link rewrite
+    covers halo rows, whose post-BC values feed the center during later
+    substeps. Sphere straddles the y shard boundary on the (2, 1) mesh."""
+    monkeypatch.setenv("TPULBM_SUBSTEPS", str(n_sub))
+    params = SimulationParams(nx=48, ny=24, nz=24, problem="cylinder3d",
+                              precision="f32", obstacle_bc="bouzidi",
+                              inlet_velocity=0.05, tau=0.6,
+                              cylinder_radius=0.23)
+    pr = make_problem(params)
+
+    def run(mesh_shape, backend, expect_depths=None):
+        import warnings as _w
+        n = mesh_shape[0] * mesh_shape[1]
+        mesh = make_mesh(mesh_shape, devices=jax.devices()[:n])
+        with _w.catch_warnings():
+            _w.simplefilter("error")          # no silent tier loss
+            chunk = make_chunk_fn(pr, mesh, 2 * n_sub, backend=backend)
+        if expect_depths is not None:
+            assert chunk.pallas3d_depths == expect_depths
+        s, solid = shard_state(mesh, pr.initial_state(), pr.solid)
+        s = chunk(s, solid)
+        return np.asarray(jax.device_get(s))
+
+    ref = run((1, 1), "jax")
+    got = run((1, 1), "pallas", expect_depths=[n_sub])
+    np.testing.assert_allclose(got, ref, rtol=5e-6, atol=1e-7)
+    got2 = run((2, 1), "pallas", expect_depths=[n_sub])
     np.testing.assert_allclose(got2, ref, rtol=5e-6, atol=1e-7)
 
 

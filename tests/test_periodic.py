@@ -361,14 +361,20 @@ def test_periodic3d_blocked_extended_sweep(subs, mesh_shape):
     assert d / np.abs(s_ref).max() < 3e-5, d
 
 
-def test_periodic3d_x_sharded_pallas_demotes():
-    # x-sharded periodic boxes still take the jax tier (the extended
-    # ring rows carry no periodic wrap yet)
+@pytest.mark.parametrize("mesh_shape", [(1, 2), (2, 2)],
+                         ids=["x-sharded", "2d-mesh"])
+def test_periodic3d_x_sharded_pallas_matches_oracle(mesh_shape):
+    # x-sharded periodic boxes run FUSED through the blocked extended
+    # sweep (VERDICT r4 #3b): ring_cols_3d wraps x (periodic_x ppermute),
+    # ring_rows_ext_3d wraps y with diagonally-wrapped corner data from
+    # the x-first composition, and the sweep's wrapped raw refetches ride
+    # the x-piece DMAs (whbm). No demotion warning allowed.
     pr = make_problem(_params3d(precision="f32"))
-    mesh = make_mesh((1, 2), devices=jax.devices()[:2])
-    with pytest.warns(UserWarning, match="periodicity"):
-        chunk = make_chunk_fn(pr, mesh, 4, backend="pallas")
-    s, solid = shard_state(mesh, pr.initial_state(),
-                           np.zeros(pr.spatial_shape, bool))
-    s = chunk(s, solid)
-    assert np.isfinite(np.asarray(jax.device_get(s))).all()
+    step = jax.jit(make_step_rolled(pr))
+    s_ref = pr.initial_state()
+    for _ in range(12):
+        s_ref = step(s_ref)
+    s_ref = np.asarray(jax.device_get(s_ref))
+    got = _run_periodic3d_pallas(pr, mesh_shape, n_chunks=2, chunk_len=6)
+    d = np.max(np.abs(got - s_ref))
+    assert d / np.abs(s_ref).max() < 3e-5, d

@@ -727,24 +727,11 @@ def _apply_bcs(cfg: _Cfg, ref, slot, msl, mslot, is_bottom, is_top, fl, fr,
                 # STREAM plane i = f̂_i one cell upwind) and the q≥1/2 one
                 # (f̂_i, f̂_j here), then rest-eq pin on the solid interior
                 q_rows, fpost = bz   # callables: plane index -> (Ty, nxl)
-                snap = [ref[slot, i] for i in range(Q)]
+                vals = _bz_rewrite(cfg, [ref[slot, i] for i in range(Q)],
+                                   q_rows, fpost)
                 for j in range(Q):
-                    if cfg.bz_active is not None and not cfg.bz_active[j]:
-                        continue
-                    i = opp[j]
-                    qj = q_rows(j)
-                    lt = (qj >= 0.0) & (qj < 0.5)
-                    ge = qj >= 0.5
-                    val_lt = 2.0 * qj * fpost(i) + (1.0 - 2.0 * qj) * snap[i]
-                    inv2q = 1.0 / (2.0 * jnp.maximum(qj, 0.5))
-                    val_ge = inv2q * fpost(i) + (1.0 - inv2q) * fpost(j)
-                    if cfg.bz_planes == 2 * Q:   # moving wall: momentum term
-                        tw = q_rows(Q + j)
-                        val_lt = val_lt + 6.0 * tw
-                        val_ge = val_ge + (6.0 * inv2q) * tw
-                    ref[slot, j] = jnp.where(lt, val_lt,
-                                             jnp.where(ge, val_ge,
-                                                       ref[slot, j]))
+                    if vals[j] is not None:
+                        ref[slot, j] = vals[j]
                 for i in range(Q):
                     ref[slot, i] = jnp.where(solid_c, w[i], ref[slot, i])
             elif cfg.bounce_back:
@@ -779,11 +766,40 @@ def _apply_bcs(cfg: _Cfg, ref, slot, msl, mslot, is_bottom, is_top, fl, fr,
                     (Ty, cfg.pad_x), eq_in[i], jnp.float32)
 
 
-def _bc_row_values(cfg: _Cfg, planes, mask_row, fl, fr):
+def _bz_rewrite(cfg: _Cfg, snap, q_rows, fpost):
+    """The Bouzidi cut-link select (ops/bouzidi.apply_bouzidi, fused):
+    returns per-direction replacement values (None where the direction is
+    statically link-free). snap: the post-stream (post-edge-BC) plane
+    values; q_rows/fpost: callables plane-index -> value block of the link
+    table / the post-collision pre-stream state at the same cells."""
+    Q, opp = cfg.Q, cfg.opp
+    out = [None] * Q
+    for j in range(Q):
+        if cfg.bz_active is not None and not cfg.bz_active[j]:
+            continue
+        i = opp[j]
+        qj = q_rows(j)
+        lt = (qj >= 0.0) & (qj < 0.5)
+        ge = qj >= 0.5
+        val_lt = 2.0 * qj * fpost(i) + (1.0 - 2.0 * qj) * snap[i]
+        inv2q = 1.0 / (2.0 * jnp.maximum(qj, 0.5))
+        val_ge = inv2q * fpost(i) + (1.0 - inv2q) * fpost(j)
+        if cfg.bz_planes == 2 * Q:   # moving wall: momentum term
+            tw = q_rows(Q + j)
+            val_lt = val_lt + 6.0 * tw
+            val_ge = val_ge + (6.0 * inv2q) * tw
+        out[j] = jnp.where(lt, val_lt, jnp.where(ge, val_ge, snap[j]))
+    return out
+
+
+def _bc_row_values(cfg: _Cfg, planes, mask_row, fl, fr, bz=None):
     """Value-level BC application for a single intermediate ring row
     (2-step kernel): ghost sanitize + Zou-He columns + obstacle pinning.
     Walls never apply (ring rows are never global wall rows — the shard that
-    owns the wall applies them). planes: list of Q (1, nxl) values."""
+    owns the wall applies them). planes: list of Q (1, nxl) values.
+    bz (cfg.bz blocked kernels): (q_rows, fpost) callables for this ghost
+    row — the Bouzidi rewrite replaces the voxel obstacle treatment so the
+    locally recomputed ghost chain matches what the neighbor computes."""
     Q, nxl = cfg.Q, cfg.nxl
     xl, xr = cfg.xl_col, cfg.xr_col
     eq_in, u_in = cfg.eq_in, cfg.u_in
@@ -836,7 +852,15 @@ def _bc_row_values(cfg: _Cfg, planes, mask_row, fl, fr):
         planes[7] = jnp.where(m, p[5] + ht - (1.0 / 6.0) * u_out, p[7])
     if cfg.has_solid:
         solid = mask_row > 0.5
-        if cfg.bounce_back:
+        if bz is not None:
+            q_rows, fpost = bz
+            vals = _bz_rewrite(cfg, list(planes), q_rows, fpost)
+            for j in range(Q):
+                if vals[j] is not None:
+                    planes[j] = vals[j]
+            for i in range(Q):
+                planes[i] = jnp.where(solid, jnp.float32(cfg.w[i]), planes[i])
+        elif cfg.bounce_back:
             snap = list(planes)
             for i in range(Q):
                 planes[i] = jnp.where(solid, snap[cfg.opp[i]], planes[i])
@@ -944,18 +968,14 @@ def _build_cfg(problem: Problem, local_shape, interpret, substeps=1,
     nyl, nxl = local_shape
     if not interpret and nxl % 128 != 0:
         raise ValueError(f"pallas backend needs local nx % 128 == 0, got {nxl}")
-    if fields["bz"] and substeps > 1:
-        # temporal blocking would need q values for the ghost-chain rows
-        # (q ring rows through the halo machinery); the 1-step kernel is
-        # already within ~1.7x of the N=4 staircase rate — documented
-        # trade-off in BENCH.md
-        raise ValueError("bouzidi fuses into the 1-step kernels only")
     Q = fields["Q"]
     has_solid = fields["has_solid"]
 
     ty_env = os.environ.get("TPULBM_PALLAS_TY")
     # f-sized slab buffers: 4-slot raw ring + 3-slot ring per intermediate
-    # stage + 2-slot output ring; mask ring is N+2 slots for N >= 3
+    # stage + 2-slot output ring; mask ring is N+2 slots for N >= 3.
+    # The Bouzidi q table rides the same slab pipeline as the mask, so its
+    # ring is mask-sized (x bz_planes).
     slabs = 4 + 3 * (substeps - 1) + 2
     mask_slots = 4 if substeps <= 2 else substeps + 2
     if ty_env:
@@ -968,7 +988,8 @@ def _build_cfg(problem: Problem, local_shape, interpret, substeps=1,
         def usage(ty):
             return (slabs * Q * ty
                     + (mask_slots * ty if has_solid else 0)
-                    + (4 * bz_planes * ty if fields["bz"] else 0)) * nxl * 4
+                    + (mask_slots * bz_planes * ty
+                       if fields["bz"] else 0)) * nxl * 4
         valid = [ty for ty in range(1, nyl + 1)
                  if nyl % ty == 0 and usage(ty) <= _VMEM_BUDGET
                  and (interpret or ty % 8 == 0)]
@@ -1004,6 +1025,11 @@ def _wrap_call(cfg: _Cfg, kernel, nyl, depth, interpret, has_solid):
     ]
     if cfg.bz:
         in_specs.append(pl.BlockSpec(memory_space=pl.ANY))  # bouzidi q (HBM)
+        if depth > 1:
+            # q halo rows for the ghost-chain recomputation (the q analog
+            # of the mask rings): (bz_planes, depth, nxl) per side
+            in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))  # qrb
+            in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))  # qrt
     call = pl.pallas_call(
         kernel,
         in_specs=in_specs,
@@ -1019,7 +1045,7 @@ def _wrap_call(cfg: _Cfg, kernel, nyl, depth, interpret, has_solid):
     ones_sflags = np.ones((cfg.n_ty,), np.int32)
 
     def step(f, rb, rt, flags, mask=None, mrb=None, mrt=None, sflags=None,
-             bzq=None):
+             bzq=None, bzrb=None, bzrt=None):
         if has_solid and mask is None:
             raise ValueError("pallas backend needs the solid mask")
         mask = jnp.asarray(zero_mask) if mask is None else mask
@@ -1029,6 +1055,12 @@ def _wrap_call(cfg: _Cfg, kernel, nyl, depth, interpret, has_solid):
         if cfg.bz:
             if bzq is None:
                 raise ValueError("bouzidi pallas kernel needs the q table")
+            if depth > 1:
+                if bzrb is None or bzrt is None:
+                    raise ValueError("blocked bouzidi kernel needs q halo "
+                                     "rings (bzrb/bzrt)")
+                return call(flags, sflags, f, rb, rt, mask, mrb, mrt, bzq,
+                            bzrb, bzrt)
             return call(flags, sflags, f, rb, rt, mask, mrb, mrt, bzq)
         return call(flags, sflags, f, rb, rt, mask, mrb, mrt)
 
@@ -1404,6 +1436,11 @@ def make_local_step_pallas2(problem: Problem,
     """
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
+    if problem.obstacle_bc == "bouzidi" and problem.solid is not None:
+        # this specialized 2-step kernel has no q-table plumbing; blocked
+        # bouzidi goes through make_local_step_pallasN (any N >= 2)
+        raise ValueError("bouzidi 2-step blocking runs via the N-step "
+                         "kernel (make_local_step_pallasN)")
     cfg = _build_cfg(problem, local_shape, interpret, substeps=2,
                      pad_x=pad_x)
     nyl = local_shape[0]
@@ -1656,10 +1693,16 @@ def make_local_step_pallasN(problem: Problem,
         return None
 
     def kernel(flags_ref, sflags_ref, f_ref, rb_ref, rt_ref, mask_ref,
-               mrb_ref, mrt_ref, out_ref, fa, *rest):
+               mrb_ref, mrt_ref, *refs):
+        if cfg.bz:
+            bzq_ref, bzrb_ref, bzrt_ref, out_ref, fa, *rest = refs
+        else:
+            bzq_ref = bzrb_ref = bzrt_ref = None
+            out_ref, fa, *rest = refs
         gs = list(rest[:N - 1])          # stages 1..N-1, 3-slot rings
         ob, msl, t_scr = rest[N - 1:N + 2]
         sem_f, sem_ob, sem_m = rest[N + 2:N + 5]
+        qsl, sem_q = rest[N + 5:N + 7] if cfg.bz else (None, None)
         fb, ft, fl, fr = (flags_ref[k] for k in range(4))
         # shard's global y offset (flags[4], force_fn problems only): every
         # stage evaluates the force at the same fixed global coordinates;
@@ -1692,13 +1735,25 @@ def make_local_step_pallasN(problem: Problem,
             else:
                 fn()
 
+        def q_dma(t):
+            # the Bouzidi link table rides the same slab pipeline (and the
+            # same per-slab skip) as the mask, in an M-slot ring — its slot
+            # must survive until every stage has applied BCs to slab t
+            return pltpu.make_async_copy(
+                bzq_ref.at[:, pl.ds(t * Ty, Ty), :], qsl.at[t % M],
+                sem_q.at[t % M])
+
         def start_in(t):
             f_dma(t).start()
             mask_op(t, lambda: m_dma(t).start())
+            if cfg.bz:
+                mask_op(t, lambda: q_dma(t).start())
 
         def wait_in(t):
             f_dma(t).wait()
             mask_op(t, lambda: m_dma(t).wait())
+            if cfg.bz:
+                mask_op(t, lambda: q_dma(t).wait())
 
         def slab_flag(t):
             return (sflags_ref[t] == 1) if cfg.slab_skip else None
@@ -1757,8 +1812,15 @@ def make_local_step_pallasN(problem: Problem,
             for i in range(Q):
                 tgt[tslot, i] = _stream_rows(cfg, i, srcref[idx % m_src, i],
                                              below[i], above[i])
+            bz = None
+            if cfg.bz:
+                # stage k-1's slab idx (the post-collision pre-stream state
+                # at these cells) is still resident — streaming just read it
+                bz = ((lambda j: qsl[idx % M, j]),
+                      (lambda i: srcref[idx % m_src, i]))
             _apply_bcs(cfg, tgt, tslot, msl if has_solid else None, idx % M,
-                       is_bottom, is_top, fl, fr, solid_flag=slab_flag(idx))
+                       is_bottom, is_top, fl, fr, solid_flag=slab_flag(idx),
+                       bz=bz)
             if collide_after:
                 fw = [tgt[tslot, i] for i in range(Q)]
                 solid_rows = (msl[idx % M] > 0.5) if cfg.bounce_back else None
@@ -1780,8 +1842,15 @@ def make_local_step_pallasN(problem: Problem,
                 else:
                     above = B[k - 1][r + 1]
                 planes = stream_row(below, cur, above)
+                bz_row = None
+                if cfg.bz:
+                    # q halo rows (neighbor geometry) + stage k-1's collided
+                    # ghost row = the post-collision pre-stream state there
+                    bz_row = ((lambda j, r=r: bzrb_ref[j, N + r:N + r + 1, :]),
+                              (lambda i, k=k, r=r: B[k - 1][r][i]))
                 planes = _bc_row_values(
-                    cfg, planes, mrb_rows[r] if has_solid else None, fl, fr)
+                    cfg, planes, mrb_rows[r] if has_solid else None, fl, fr,
+                    bz=bz_row)
                 planes = collide_row_vals(planes, mrb_rows[r], y_at(r))
                 B[k][r] = [jnp.where(fb == 1, eq_row[i], planes[i])
                            for i in range(Q)]
@@ -1824,8 +1893,13 @@ def make_local_step_pallasN(problem: Problem,
                 cur = t_prev(k, r)
                 above = t_prev(k, r + 1)
                 planes = stream_row(below, cur, above)
+                bz_row = None
+                if cfg.bz:
+                    bz_row = ((lambda j, r=r: bzrt_ref[j, r - 1:r, :]),
+                              (lambda i, k=k, r=r: t_prev(k, r)[i]))
                 planes = _bc_row_values(
-                    cfg, planes, mrt_rows[r] if has_solid else None, fl, fr)
+                    cfg, planes, mrt_rows[r] if has_solid else None, fl, fr,
+                    bz=bz_row)
                 planes = collide_row_vals(planes, mrt_rows[r],
                                           y_at(nyl + r - 1))
                 for i in range(Q):
@@ -1903,5 +1977,7 @@ def make_local_step_pallasN(problem: Problem,
            pltpu.SemaphoreType.DMA((4,)),
            pltpu.SemaphoreType.DMA((2,)),
            pltpu.SemaphoreType.DMA((M,))]
+        + ([pltpu.VMEM((M, cfg.bz_planes, Ty, nxl), jnp.float32),  # bouzidi q
+            pltpu.SemaphoreType.DMA((M,))] if cfg.bz else [])
     )
     return _wrap_call(cfg, kernel, nyl, N, interpret, has_solid)

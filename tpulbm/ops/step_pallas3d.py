@@ -805,10 +805,13 @@ def make_local_step_pallas3d_tiled(problem: Problem,
         if problem.solid is not None:
             raise ValueError("periodic 3-D boxes with obstacles run on "
                              "the jax tier")
-        if x_halo:
-            # x-sharded periodic boxes: the extended y ring rows
-            # (ring_rows_ext_3d) have no periodic wrap yet — (my, 1)
-            # meshes only for now
+        if x_halo and n_sub == 1:
+            # x-sharded periodic boxes run BLOCKED (the extended z sweep's
+            # wrapped refetches ride the regular start_in path, x-halo
+            # pieces included); the 1-step zc ring-plane scratch has no
+            # x-piece DMAs, so depth 1 stays off this kernel. The sharded
+            # dispatch tries the blocked splits first, so production
+            # cadences never hit this.
             return None
     nz, nyl, nx = local_shape
     Q = lat.Q
@@ -820,12 +823,12 @@ def make_local_step_pallas3d_tiled(problem: Problem,
     if has_solid and _solid_touches_x_edges(problem):
         return None  # inlet/outlet-piercing solids: jax tier handles them
     bz = has_solid and problem.obstacle_bc == "bouzidi"
-    if bz and n_sub > 1:
-        # the q table rides center rows only — valid at exactly 1 substep
-        # (halo-row/column BCs are dead when nothing is consumed after
-        # them). x_halo composes at n_sub == 1 for the same reason: the
-        # rewrite touches owned columns only (cs:ce below) and the halo
-        # columns' post-BC values feed nothing.
+    if bz and n_sub > 1 and x_halo:
+        # blocked bouzidi (q tiles widened to the full Wy buffer height,
+        # halo rows via ring_rows_3d of the link table) composes with the
+        # full-width (y-only) tiling. In x_halo mode the rewrite would also
+        # need q halo COLUMNS (ring_cols_3d + extended corners); x-sharded
+        # meshes run bouzidi fused at depth 1 instead.
         return None
     bz_planes = 0
     bz_active = None
@@ -846,11 +849,14 @@ def make_local_step_pallas3d_tiled(problem: Problem,
         # f-sized plane rings: rs raw slots + 3-slot stage rings + 2 out
         # (+ 2 wrapped-z collided ring planes for 1-step periodic boxes;
         # blocked periodic uses the extended sweep — no extra buffers;
-        # + the M-slot bouzidi q-slab ring, center rows only)
+        # + the M-slot bouzidi q-slab ring: center rows only at N == 1,
+        # the full buffer height when blocked — halo-row BCs feed the
+        # center during later substeps then)
         S = (rs + 3 * (N - 1) + 2
              + (2 if problem.periodic_z and N == 1 else 0))
+        bz_wy = wy if N > 1 else wy - 2 * H
         return (S * Q * wy * Wx + (M * wy * Wx if has_solid else 0)
-                + (M * bz_planes * (wy - 2 * H) * nx if bz else 0)) * 4
+                + (M * bz_planes * bz_wy * nx if bz else 0)) * 4
 
     # Raw-ring slots: 4 gives 2-plane DMA prefetch depth; 3 trims one
     # f-sized plane buffer (1.5 MB at 256³/Ty=64), starting the next
@@ -965,6 +971,8 @@ def make_local_step_pallas3d_tiled(problem: Problem,
             more = more[3:]
             rl_ref = rr_ref = ml_ref = mr_ref = None
         q_ref = more.pop(0) if cfg.bz else None
+        qrb_ref = more.pop(0) if (cfg.bz and N > 1) else None
+        qrt_ref = more.pop(0) if (cfg.bz and N > 1) else None
         out_ref, fa, *rest = more
         gs = list(rest[:N - 1])                       # stages 1..N-1
         (ob, msl, sem_fc, sem_fb, sem_ft, sem_ob, sem_m, sem_mb,
@@ -975,6 +983,8 @@ def make_local_step_pallas3d_tiled(problem: Problem,
         zc = extra.pop(0) if (cfg.periodic_z and N == 1) else None
         qsl = extra.pop(0) if cfg.bz else None
         sem_q = extra.pop(0) if cfg.bz else None
+        sem_qb = extra.pop(0) if (cfg.bz and N > 1) else None
+        sem_qt = extra.pop(0) if (cfg.bz and N > 1) else None
         fb, ft = flags_ref[0], flags_ref[1]
         fxl, fxr = flags_ref[2], flags_ref[3]
         tyi = pl.program_id(0)
@@ -1067,8 +1077,10 @@ def make_local_step_pallas3d_tiled(problem: Problem,
             nt = jnp.logical_not(at_top)
 
             def cp(k, src, rs, re, cs, ce, rows):
+                # whbm: the blocked periodic extended sweep refetches
+                # wrapped planes (identity whenever ext == 0)
                 return pltpu.make_async_copy(
-                    src.at[(slice(None),) * lead + (z, rows)],
+                    src.at[(slice(None),) * lead + (whbm(z), rows)],
                     tgt.at[(slot,) + (slice(None),) * lead
                            + (slice(rs, re), slice(cs, ce))],
                     sems.at[k, slot])
@@ -1102,11 +1114,35 @@ def make_local_step_pallas3d_tiled(problem: Problem,
                 msl.at[z % M, H:H + Ty, Hx:Hx + nx], sem_m.at[z % M])
 
         def qc_dma(z):
-            # bouzidi q slab: center rows only (halo-row BCs are dead at
-            # n_sub == 1, the only depth bouzidi fuses at)
+            # bouzidi q slab: center rows only at N == 1 (halo-row BCs are
+            # dead then); the full buffer height when blocked — the q tile
+            # mirrors the mask tile, halo rows below/above
+            if N == 1:
+                return pltpu.make_async_copy(
+                    q_ref.at[:, z, pl.ds(ya, Ty), :],
+                    qsl.at[z % M], sem_q.at[z % M])
             return pltpu.make_async_copy(
                 q_ref.at[:, z, pl.ds(ya, Ty), :],
-                qsl.at[z % M], sem_q.at[z % M])
+                qsl.at[z % M, :, H:H + Ty, :], sem_q.at[z % M])
+
+        def qb_ring(z):
+            return pltpu.make_async_copy(
+                qrb_ref.at[:, z], qsl.at[z % M, :, 0:H, :], sem_qb.at[z % M])
+
+        def qb_inner(z):
+            return pltpu.make_async_copy(
+                q_ref.at[:, z, pl.ds(ya_b, H), :],
+                qsl.at[z % M, :, 0:H, :], sem_qb.at[z % M])
+
+        def qt_ring(z):
+            return pltpu.make_async_copy(
+                qrt_ref.at[:, z], qsl.at[z % M, :, H + Ty:Wy, :],
+                sem_qt.at[z % M])
+
+        def qt_inner(z):
+            return pltpu.make_async_copy(
+                q_ref.at[:, z, pl.ds(ya_t, H), :],
+                qsl.at[z % M, :, H + Ty:Wy, :], sem_qt.at[z % M])
 
         def mb_ring(z):
             return pltpu.make_async_copy(
@@ -1153,6 +1189,13 @@ def make_local_step_pallas3d_tiled(problem: Problem,
                     _run_pieces(mx_pieces(z), "start")
                 if cfg.bz:
                     qc_dma(z).start()
+                    if N > 1:
+                        pl.when(at_bot)(lambda: qb_ring(z).start())
+                        pl.when(jnp.logical_not(at_bot))(
+                            lambda: qb_inner(z).start())
+                        pl.when(at_top)(lambda: qt_ring(z).start())
+                        pl.when(jnp.logical_not(at_top))(
+                            lambda: qt_inner(z).start())
 
             mask_op(z, _masks)
 
@@ -1184,6 +1227,12 @@ def make_local_step_pallas3d_tiled(problem: Problem,
                     mt_ring(z).wait()
                 if cfg.bz:
                     qc_dma(z).wait()
+                    if N > 1:
+                        # ring and inner variants move the same byte counts
+                        # in full-width mode (blocked bz excludes x_halo),
+                        # so one unconditional wait per side suffices
+                        qb_ring(z).wait()
+                        qt_ring(z).wait()
 
             mask_op(z, _masks)
 
@@ -1394,10 +1443,13 @@ def make_local_step_pallas3d_tiled(problem: Problem,
                         # one dimension up): per direction j a pointwise
                         # select between the q<1/2 interpolation (post-
                         # collision f̂_i + the post-STREAM plane i) and the
-                        # q≥1/2 one, center rows only (the q slab carries
-                        # no halo rows — dead at n_sub == 1), then rest-eq
-                        # pin on the solid interior
-                        rs, re = H, H + Ty
+                        # q≥1/2 one, then rest-eq pin on the solid
+                        # interior. N == 1: center rows only (halo-row BCs
+                        # are dead). Blocked: the whole buffer height —
+                        # halo-row post-BC values feed the center during
+                        # later substeps, and the q tile carries halo rows
+                        # (qb/qt DMAs) to match.
+                        rs, re = (H, H + Ty) if N == 1 else (0, Wy)
                         cs, ce = Hx, Hx + nx
                         snap = [tgt[tslot, i][rs:re, cs:ce]
                                 for i in range(Q)]
@@ -1616,9 +1668,14 @@ def make_local_step_pallas3d_tiled(problem: Problem,
         # wrapped-z collided ring planes (slabs of planes nz-1 / 0)
         scratch_shapes.append(pltpu.VMEM((2, Q, Wy, Wx), jnp.float32))
     if bz:
-        # bouzidi q-slab ring (center rows only) + its DMA semaphores
-        scratch_shapes += [pltpu.VMEM((M, bz_planes, Ty, nx), jnp.float32),
+        # bouzidi q-slab ring (center rows at N == 1, full buffer height
+        # + halo-row semaphores when blocked) + its DMA semaphores
+        q_wy = Ty if N == 1 else Wy
+        scratch_shapes += [pltpu.VMEM((M, bz_planes, q_wy, nx), jnp.float32),
                            pltpu.SemaphoreType.DMA((M,))]
+        if N > 1:
+            scratch_shapes += [pltpu.SemaphoreType.DMA((M,)),
+                               pltpu.SemaphoreType.DMA((M,))]
 
     in_specs = [
         pl.BlockSpec(memory_space=pltpu.SMEM),  # flags (4,)
@@ -1641,6 +1698,9 @@ def make_local_step_pallas3d_tiled(problem: Problem,
                      pl.BlockSpec(memory_space=pl.ANY)]  # mr
     if bz:
         in_specs.append(pl.BlockSpec(memory_space=pl.ANY))  # bouzidi q
+        if n_sub > 1:
+            in_specs += [pl.BlockSpec(memory_space=pl.ANY),  # q ring below
+                         pl.BlockSpec(memory_space=pl.ANY)]  # q ring above
 
     call = pl.pallas_call(
         kernel,
@@ -1660,7 +1720,8 @@ def make_local_step_pallas3d_tiled(problem: Problem,
     ones_ty = np.ones((n_ty,), np.int32)
 
     def step(f, rb, rt, flags, mask=None, mrb=None, mrt=None, tyflags=None,
-             rl=None, rr=None, ml=None, mr=None, bzq=None):
+             rl=None, rr=None, ml=None, mr=None, bzq=None, bzrb=None,
+             bzrt=None):
         if has_solid and mask is None:
             raise ValueError("pallas3d needs the solid mask")
         mask = jnp.asarray(zero_mask) if mask is None else mask
@@ -1672,6 +1733,11 @@ def make_local_step_pallas3d_tiled(problem: Problem,
             if bzq is None:
                 raise ValueError("bouzidi pallas3d kernel needs the q table")
             bz_args = (bzq,)
+            if N > 1:
+                if bzrb is None or bzrt is None:
+                    raise ValueError("blocked bouzidi pallas3d kernel needs "
+                                     "q halo rings (bzrb/bzrt)")
+                bz_args = (bzq, bzrb, bzrt)
         if not x_halo:
             return call(flags, jnp.asarray(zflags_np), tyflags, f, rb, rt,
                         mask, mrb, mrt, *bz_args)

@@ -69,6 +69,7 @@ def make_chunk_fn(problem: Problem, mesh: Mesh, chunk_len: int,
         raise ValueError(f"unknown backend {backend!r}")
     local_step = None
     bz_q = None
+    pallas_substeps = None   # 2-D generic ladder's blocking depth (introspection)
     if problem.obstacle_bc == "bouzidi" and has_solid:
         from ..ops.bouzidi import link_tables
         bz_q = link_tables(problem)
@@ -316,7 +317,10 @@ def make_chunk_fn(problem: Problem, mesh: Mesh, chunk_len: int,
                     continue
                 stepper = None
                 if not x_sharded:
-                    builder = (make_local_step_pallas2 if n_sub == 2
+                    # bouzidi blocks via the N-step cascade at ANY depth
+                    # (the specialized 2-step kernel has no q plumbing)
+                    builder = (make_local_step_pallas2
+                               if n_sub == 2 and bz_q is None
                                else lambda p, s, pad_x:
                                make_local_step_pallasN(p, s, n_sub,
                                                        pad_x=pad_x))
@@ -441,9 +445,9 @@ def make_chunk_fn(problem: Problem, mesh: Mesh, chunk_len: int,
                                                mesh_shape=mesh_shape,
                                                depth=N3, H=Hx3,
                                                periodic_x=problem.periodic_x)
-                    rb, rt = halo.ring_rows_ext_3d(arr, rl, rr, eq_ring=ring,
-                                                   mesh_shape=mesh_shape,
-                                                   depth=H)
+                    rb, rt = halo.ring_rows_ext_3d(
+                        arr, rl, rr, eq_ring=ring, mesh_shape=mesh_shape,
+                        depth=H, periodic_y=problem.periodic_y)
                     return rl, rr, rb, rt
                 rb, rt = halo.ring_rows_3d(arr, eq_ring=ring,
                                            mesh_shape=mesh_shape, depth=H,
@@ -472,11 +476,21 @@ def make_chunk_fn(problem: Problem, mesh: Mesh, chunk_len: int,
                     tyflags = ((starts - H <= hi)
                                & (starts + ty + H > lo)).astype(jnp.int32)
 
+            bzrb = bzrt = None
+            if bz_local is not None and N3 > 1:
+                # q halo rows for the blocked cascade's halo-row cut-link
+                # rewrite — static geometry, exchanged once per segment
+                # (out-of-domain rows carry q = -1: no cut link)
+                neg = np.full((bz_local.shape[0],), -1.0, np.float32)
+                bzrb, bzrt = halo.ring_rows_3d(
+                    bz_local, eq_ring=neg, mesh_shape=mesh_shape, depth=H,
+                    periodic_y=problem.periodic_y)
+
             def n_steps(f, _):
                 rl, rr, rb, rt = rings_for(f, eq_ring)
                 return stepper(f, rb, rt, flags, mask, mrb, mrt,
                                tyflags, rl, rr, ml, mr,
-                               bzq=bz_local), None
+                               bzq=bz_local, bzrb=bzrb, bzrt=bzrt), None
 
             f_local, _ = lax.scan(n_steps, f_local, None, length=n_iters)
             return f_local
@@ -558,13 +572,23 @@ def make_chunk_fn(problem: Problem, mesh: Mesh, chunk_len: int,
             depth = pallas_substeps
             mask, mrb, mrt = mask_rings(depth)
             sflags = sflags_for(pallas_step2)
+            bzrb = bzrt = None
+            if bz_local is not None:
+                # q halo rows for the blocked kernel's ghost-chain BCs —
+                # static geometry, exchanged once per chunk like the mask
+                # rings; out-of-domain rows carry q = -1 (no cut link)
+                neg_ring = np.full((bz_local.shape[0],), -1.0, np.float32)
+                bzrb, bzrt = halo.ring_rows(bz_local, eq_ring=neg_ring,
+                                            mesh_shape=mesh_shape,
+                                            depth=depth)
 
             def n_steps(f, _):
                 rb, rt = halo.ring_rows(f, eq_ring=eq_ring,
                                         mesh_shape=mesh_shape, depth=depth,
                                         periodic_y=problem.periodic_y)
                 return pallas_step2(f, rb, rt, flags, mask, mrb, mrt,
-                                    sflags), None
+                                    sflags, bzq=bz_local, bzrb=bzrb,
+                                    bzrt=bzrt), None
 
             f_local, _ = lax.scan(n_steps, f_local, None,
                                   length=chunk_len // depth)
@@ -860,6 +884,10 @@ def make_chunk_fn(problem: Problem, mesh: Mesh, chunk_len: int,
                         out_specs=spec_f, check_vma=False)
     q_dev = jax.device_put(bz_q, NamedSharding(mesh, spec_f))
     sharded.bouzidi_q = q_dev
+    sharded.pallas_substeps = pallas_substeps
+    plan_depths = ([st.depth for st, _ in pallas3d_plan]
+                   if pallas3d_plan else None)
+    sharded.pallas3d_depths = plan_depths
     if _raw:
         return sharded
     jitted = jax.jit(sharded, donate_argnums=(0,))
@@ -868,6 +896,8 @@ def make_chunk_fn(problem: Problem, mesh: Mesh, chunk_len: int,
         return jitted(f, solid, q_dev)
 
     chunk.bouzidi_q = q_dev
+    chunk.pallas_substeps = pallas_substeps
+    chunk.pallas3d_depths = plan_depths
     return chunk
 
 
