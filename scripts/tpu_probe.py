@@ -147,6 +147,12 @@ def configs():
         nx=128, ny=32, nz=32, problem="cylinder3d", tau=0.6,
         obstacle_bc="bouzidi", inlet_velocity=0.05, cylinder_radius=0.23,
         precision="f32"), 1, 6, {"TPULBM_SUBSTEPS": "3"}, 3)
+    # mixed-periodicity duct (periodic x, walls y+z): the y-tiled kernel
+    # wraps x via native lane rolls; blocked cascade
+    out["duct-3d"] = (SimulationParams(
+        nx=128, ny=32, nz=32, problem="poiseuille", tau=0.8,
+        body_force=(1e-5, 0.0), inlet_velocity=0.0,
+        precision="f32"), 1, 6, {})
     # x-halo (stitched x-sharded) tiles on one chip: ring_cols degenerates
     # to the physical-edge eq blocks, exercising the exact Mosaic program
     # an x-sharded shard runs — incl. the q slab at owned columns

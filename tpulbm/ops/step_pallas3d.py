@@ -787,11 +787,13 @@ def make_local_step_pallas3d_tiled(problem: Problem,
     if problem.dtype != np.float32:
         raise ValueError("pallas backend is f32; use backend='jax' for 3-D f64")
     periodic3d = problem.periodic_y or problem.periodic_z
-    if problem.periodic_x and not periodic3d:
-        raise ValueError("the 3-D pallas kernels pin the physical x edges "
-                         "every substep (non-periodic duct flow); "
-                         "periodic_x needs backend='jax' (or a fully "
-                         "periodic box)")
+    # periodic_x WITHOUT y/z periodicity (a mixed-periodicity duct, e.g.
+    # the 3-D Poiseuille square duct): supported by THIS kernel — x pulls
+    # are native lane rolls over the full width (they wrap) or wrapped
+    # ring columns in x_halo mode (halo.ring_cols periodic_x), and no
+    # x-edge strip fires because the caller zeroes flags[2]/[3] on
+    # periodic axes. The full-plane kernel keeps its gate; dispatch
+    # routes ducts here.
     if periodic3d:
         # fully periodic boxes only (Taylor-Green / 3-D Kolmogorov): x
         # wraps natively (full-width lane rolls / wrapped ring columns),

@@ -186,9 +186,11 @@ def make_chunk_fn(problem: Problem, mesh: Mesh, chunk_len: int,
                         break
             if (pallas3d_plan is None and mesh_shape == (1, 1)
                     and bz_q is None
+                    and not (problem.periodic_x and not periodic3d)
                     and not os.environ.get("TPULBM_FORCE_TILED")):
                 # full-plane 1-step kernel: no halo-row overhead (does not
-                # thread the bouzidi q table — the tiled kernel does)
+                # thread the bouzidi q table; pins x edges, so
+                # mixed-periodicity ducts route to the tiled kernel)
                 pallas3d_step = make_local_step_pallas3d(problem,
                                                          local_shape)
             if pallas3d_step is None and pallas3d_plan is None:
