@@ -89,6 +89,14 @@ def configs():
         nx=256, ny=64, problem="multiphase", tau=1.0, shan_chen_g=-5.0,
         cylinder_radius=0.15, cylinder_x=0.5, cylinder_y=0.5,
         inlet_velocity=0.0, precision="f32"), 2, 10, {})
+    # x-halo (stitched x-sharded) multiphase on one chip: periodic
+    # ring_cols wrap the shard's own edges, so the depth-2 stitched
+    # Mosaic program must match the full-width jax tier exactly
+    out["multiphase-xhalo"] = (SimulationParams(
+        nx=256, ny=64, problem="multiphase", tau=1.0, shan_chen_g=-5.0,
+        cylinder_radius=0.15, cylinder_x=0.5, cylinder_y=0.5,
+        inlet_velocity=0.0, precision="f32"), 2, 10,
+        {"TPULBM_FORCE_XHALO": "1"})
     # --- periodic boxes (wrapped rings) ---
     out["periodic-2d"] = (PRESETS["taylor-green"].replace(
         precision="f32"), 2, 10, {})
@@ -153,6 +161,12 @@ def configs():
         nx=128, ny=32, nz=32, problem="poiseuille", tau=0.8,
         body_force=(1e-5, 0.0), inlet_velocity=0.0,
         precision="f32"), 1, 6, {})
+    # inlet-piercing solid: the pierced edge keeps its ghost-sanitize
+    # strip live (eq ghost columns) under the fluid-masked inlet
+    out["piercing-solid-3d"] = (SimulationParams(
+        nx=128, ny=32, nz=32, problem="cylinder3d", tau=0.6,
+        obstacle_bc="bounce_back", inlet_velocity=0.05, cylinder_y=0.5,
+        cylinder_radius=0.2, precision="f32"), 1, 6, {})
     # x-halo (stitched x-sharded) tiles on one chip: ring_cols degenerates
     # to the physical-edge eq blocks, exercising the exact Mosaic program
     # an x-sharded shard runs — incl. the q slab at owned columns

@@ -246,26 +246,28 @@ def test_3d_tiled_pallas_2d_mesh_bounce_back():
     np.testing.assert_allclose(got, ref, rtol=5e-6, atol=1e-7)
 
 
-def test_3d_inlet_piercing_solid_falls_back_to_jax():
-    # solid on the inlet column: both 3-D pallas builders refuse (return
-    # None) and the chunk builder must route to the jax tier, matching it
-    # exactly by construction
+@pytest.mark.parametrize("mesh_shape", [(1, 1), (2, 1)],
+                         ids=["single", "y-sharded"])
+def test_3d_inlet_piercing_solid_runs_fused(mesh_shape):
+    # solid on the inlet column (VERDICT r4 #3e): the y-tiled kernel keeps
+    # the x-edge ghost sanitize alive on the pierced edge (the strip-skip
+    # optimization is only valid on solid-free columns) and the
+    # fluid-masked inlet leaves solid cells to sanitize + the obstacle
+    # pass — matching the jax tier's order. No demotion warning allowed;
+    # the full-plane builder still declines (the tiled kernel owns this).
     params = _params(ny=32, precision="f32", obstacle_bc="bounce_back",
                      cylinder_y=0.5, cylinder_radius=0.2)  # touches x=0
     problem = make_problem(params)
     assert problem.solid[..., 0].any()
-    from tpulbm.ops.step_pallas3d import (make_local_step_pallas3d,
-                                          make_local_step_pallas3d_tiled)
+    from tpulbm.ops.step_pallas3d import make_local_step_pallas3d
     assert make_local_step_pallas3d(problem, problem.spatial_shape,
                                     interpret=True) is None
-    assert make_local_step_pallas3d_tiled(problem, problem.spatial_shape,
-                                          interpret=True) is None
     import warnings
+    ref = _run3d(params, (1, 1), "jax")
     with warnings.catch_warnings():
-        warnings.simplefilter("ignore")
-        ref = _run3d(params, (1, 1), "jax")
-        got = _run3d(params, (1, 1), "pallas")  # silently the jax tier
-    np.testing.assert_allclose(got, ref, rtol=0, atol=0)
+        warnings.simplefilter("error", UserWarning)   # no silent tier loss
+        got = _run3d(params, mesh_shape, "pallas")
+    np.testing.assert_allclose(got, ref, rtol=5e-6, atol=1e-7)
 
 
 def test_3d_runner_writes_vtk_frames(tmp_path):

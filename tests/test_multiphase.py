@@ -142,18 +142,25 @@ def test_wall_wettability_controls_contact_angle():
     assert w_dry >= 0 and w_wet < 96
 
 
-@pytest.mark.parametrize("mesh_shape", [(1, 1), (2, 1)], ids=["single", "y"])
+@pytest.mark.parametrize("mesh_shape", [(1, 1), (2, 1), (1, 2), (2, 2)],
+                         ids=["single", "y", "x-sharded", "2d-mesh"])
 def test_multiphase_pallas_matches_jax(mesh_shape):
     # the fused kernel collides the inner depth-2 ring row in-kernel (one
     # exchange/step) vs the jax tier's double-refresh padded body — both
-    # must produce the same trajectory
+    # must produce the same trajectory. x-sharded meshes run FUSED via
+    # depth-2 stitched halo columns (VERDICT r4 #3a): the droplet at the
+    # domain center straddles the x shard boundary at nx=64/mx=2, and no
+    # demotion warning is allowed.
+    import warnings as _w
     params = _params(nx=64, ny=32, cylinder_radius=0.2, precision="f32")
     problem = make_problem(params)
 
     def run(backend, mesh_shape):
         n_dev = mesh_shape[0] * mesh_shape[1]
         mesh = make_mesh(mesh_shape, devices=jax.devices()[:n_dev])
-        chunk = make_chunk_fn(problem, mesh, 5, backend=backend)
+        with _w.catch_warnings():
+            _w.simplefilter("error", UserWarning)   # no silent tier loss
+            chunk = make_chunk_fn(problem, mesh, 5, backend=backend)
         f, solid = shard_state(mesh, problem.initial_state(),
                                np.zeros(problem.spatial_shape, bool))
         for _ in range(2):

@@ -288,6 +288,36 @@ def test_thermal_pallas_matches_oracle(mesh_shape, cs):
                                np.asarray(s_ref), rtol=2e-5, atol=1e-6)
 
 
+def test_thermal_pallas_x_halo_padded_matches_oracle(monkeypatch):
+    # PERIODIC-x (Rayleigh-Bénard) x-sharded mesh with a lane-padded
+    # unaligned shard width: the pad columns are live WRAP shadows of the
+    # east neighbor (halo.ring_cols_padded periodic_x) refreshed per step
+    # — no demotion (VERDICT r4 #3d, periodic case)
+    import warnings as _w
+
+    from tpulbm.parallel.mesh import make_mesh
+    from tpulbm.parallel.sharded_step import make_chunk_fn, shard_state
+
+    monkeypatch.setenv("TPULBM_FORCE_PAD", "8")
+    params = _params(ny=32, nx=32, ra=5000.0).replace(precision="f32")
+    prob = make_problem(params)
+    step = jax.jit(make_step_thermal(prob))
+    s_ref = jnp.asarray(prob.initial_state())
+    for _ in range(12):
+        s_ref = step(s_ref)
+
+    mesh = make_mesh((1, 2), devices=jax.devices()[:2])
+    with _w.catch_warnings():
+        _w.simplefilter("error", UserWarning)   # no silent tier loss
+        chunk = make_chunk_fn(prob, mesh, 6, backend="pallas")
+    s, solid = shard_state(mesh, prob.initial_state(),
+                           np.zeros(prob.spatial_shape, bool))
+    for _ in range(2):
+        s = chunk(s, solid)
+    np.testing.assert_allclose(np.asarray(jax.device_get(s)),
+                               np.asarray(s_ref), rtol=2e-5, atol=1e-6)
+
+
 def test_thermal_pallas_fallbacks_warn():
     from tpulbm.parallel.mesh import make_mesh
     from tpulbm.parallel.sharded_step import make_chunk_fn

@@ -137,12 +137,31 @@ def test_cavity_pallas_matches_oracle(mesh_shape, cs):
                                rtol=2e-5, atol=1e-6)
 
 
-def test_x_halo_kernel_rejects_lane_padding():
-    # the stitched-halo kernel carries no lane padding — the chunk builder
-    # must pass pad_x=0 on x-sharded meshes (unaligned widths demote to the
-    # jax tier on hardware via the nxl % 128 check instead)
-    from tpulbm.ops.step_thermal_pallas import make_local_step_thermal_pallas
-    pr = make_problem(_params(nx=48, ny=32))
-    with pytest.raises(ValueError, match="128-aligned"):
-        make_local_step_thermal_pallas(pr, (32, 48 + 80), pad_x=80,
-                                       x_halo=True)
+@pytest.mark.parametrize("mesh_shape", [(1, 2), (2, 2)],
+                         ids=["x-sharded", "2d-mesh"])
+def test_cavity_x_halo_padded_matches_oracle(mesh_shape, monkeypatch):
+    """x-sharded thermal meshes with NON-128-aligned shard widths run
+    FUSED (VERDICT r4 #3d): the stitched-halo kernel lane-pads, and the
+    chunk body refreshes the pad columns per step as live shadow copies
+    of the east neighbor (halo.ring_cols_padded) — no demotion."""
+    monkeypatch.setenv("TPULBM_FORCE_PAD", "8")
+    params = _params(nx=48, ny=32)
+    pr = make_problem(params)
+    step = jax.jit(make_step_thermal(pr))
+    s_ref = pr.initial_state()
+    for _ in range(12):
+        s_ref = step(s_ref)
+    s_ref = np.asarray(jax.device_get(s_ref))
+
+    n_dev = mesh_shape[0] * mesh_shape[1]
+    mesh = make_mesh(mesh_shape, devices=jax.devices()[:n_dev])
+    import warnings as _w
+    with _w.catch_warnings():
+        _w.simplefilter("error")      # a fallback warning = lost coverage
+        chunk = make_chunk_fn(pr, mesh, 6, backend="pallas")
+    s, solid = shard_state(mesh, pr.initial_state(),
+                           np.zeros(pr.spatial_shape, bool))
+    for _ in range(2):
+        s = chunk(s, solid)
+    np.testing.assert_allclose(np.asarray(jax.device_get(s)), s_ref,
+                               rtol=2e-5, atol=1e-6)

@@ -120,14 +120,28 @@ def _collide_mp_rows(cfg: _CfgM, fw, Fx, Fy):
 
 def make_local_step_multiphase_pallas(problem: Problem,
                                       local_shape: tuple[int, ...],
-                                      interpret: bool | None = None):
-    """1-step fused multiphase kernel: step(f, rb, rt, flags) -> f_new.
+                                      interpret: bool | None = None,
+                                      x_halo: bool = False):
+    """1-step fused multiphase kernel: step(f, rb, rt, flags[, rl, rr])
+    -> f_new.
 
     f: (Q, nyl, nxl); rb/rt: (Q, 2, nxl) DEPTH-2 pre-collision ring rows
     (domain-ordered: rb[:, 1] / rt[:, 0] are the innermost); flags: (4,)
     int32 [is_bottom, is_top, _, _]. Raises ValueError for configurations
     the kernel does not cover (f64, unaligned nx) — the chunk builder
     degrades to the jax tier with a warning.
+
+    x_halo=True makes the kernel x-SHARDABLE (the thermal kernel's
+    stitched-buffer scheme, VERDICT r4 #3a): each slab gains Hx halo
+    columns per side from rl/rr = halo.ring_cols at DEPTH 2 — the ψ
+    stencil consumes one column of validity (the interaction force needs
+    ψ(x±1)) and the pull stream consumes the other, so the innermost
+    halo column's post-collision value (which owned columns stream from)
+    is computed from real neighbor data exactly as the neighbor computes
+    it. The y rings arrive EXTENDED across the halo regions
+    (halo.ring_rows_ext, depth 2 — diagonal corners); x pulls and ψ
+    shifts stay plain lane rolls of the stitched width; only owned
+    center columns are written back.
     """
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
@@ -143,10 +157,14 @@ def make_local_step_multiphase_pallas(problem: Problem,
                          f"got {nxl}")
     g, rho0 = problem.shan_chen
     Q = lat.Q
+    # x-halo width: 128-lane aligned on TPU; tiny (but >= the depth-2
+    # validity the psi stencil + stream consume) in interpret mode
+    Hx = (128 if not interpret else 2) if x_halo else 0
+    Wx = nxl + 2 * Hx
 
     def usage(ty):
         # 4 raw + 2 out f-slabs + 4 ψ slabs (1 plane each)
-        return (4 + 2) * Q * ty * nxl * 4 + 4 * ty * nxl * 4
+        return (4 + 2) * Q * ty * Wx * 4 + 4 * ty * Wx * 4
     valid = [ty for ty in range(1, nyl + 1)
              if nyl % ty == 0 and usage(ty) <= _VMEM_BUDGET
              and (interpret or ty % 8 == 0)]
@@ -160,21 +178,35 @@ def make_local_step_multiphase_pallas(problem: Problem,
         opp=tuple(int(v) for v in lat.opposite),
         inv_tau=1.0 / problem.params.tau, tau=float(problem.params.tau),
         g=float(g), rho0=float(rho0),
-        Ty=Ty, nxl=nxl, n_ty=nyl // Ty)
+        Ty=Ty, nxl=Wx, n_ty=nyl // Ty)
     n_ty = cfg.n_ty
     f_in_bottom = [i for i in range(Q) if lat.c[i, 1] > 0]
     f_in_top = [i for i in range(Q) if lat.c[i, 1] < 0]
 
-    def kernel(flags_ref, f_ref, rb_ref, rt_ref, out_ref, fsl, psl, ob,
-               sem_f, sem_ob):
+    def kernel(flags_ref, f_ref, rb_ref, rt_ref, *more):
+        if x_halo:
+            rl_ref, rr_ref, out_ref, fsl, psl, ob, sem_f, sem_ob, sem_x = more
+        else:
+            out_ref, fsl, psl, ob, sem_f, sem_ob = more
+            rl_ref = rr_ref = sem_x = None
+
         def f_dma(t):
             return pltpu.make_async_copy(
-                f_ref.at[:, pl.ds(t * Ty, Ty), :], fsl.at[t % 4],
-                sem_f.at[t % 4])
+                f_ref.at[:, pl.ds(t * Ty, Ty), :],
+                fsl.at[t % 4, :, :, Hx:Hx + nxl], sem_f.at[t % 4])
+
+        def x_dmas(t):
+            return [pltpu.make_async_copy(
+                        rl_ref.at[:, pl.ds(t * Ty, Ty), :],
+                        fsl.at[t % 4, :, :, 0:Hx], sem_x.at[0, t % 4]),
+                    pltpu.make_async_copy(
+                        rr_ref.at[:, pl.ds(t * Ty, Ty), :],
+                        fsl.at[t % 4, :, :, Hx + nxl:Wx], sem_x.at[1, t % 4])]
 
         def out_dma(t):
             return pltpu.make_async_copy(
-                ob.at[t % 2], out_ref.at[:, pl.ds(t * Ty, Ty), :],
+                ob.at[t % 2, :, :, Hx:Hx + nxl],
+                out_ref.at[:, pl.ds(t * Ty, Ty), :],
                 sem_ob.at[t % 2])
 
         # ---- ring ψ (pre-collision; eq rows at physical edges are the
@@ -207,15 +239,27 @@ def make_local_step_multiphase_pallas(problem: Problem,
             for i in range(Q):
                 fsl[slot, i] = fp[i]
 
+        def f_start(t):
+            f_dma(t).start()
+            if x_halo:
+                for cp in x_dmas(t):
+                    cp.start()
+
+        def f_wait(t):
+            f_dma(t).wait()
+            if x_halo:
+                for cp in x_dmas(t):
+                    cp.wait()
+
         # ---- prologue: DMA slabs 0..2, ψ(0..1), collide(0), collide the
         # innermost ring rows (their force uses the outer ring ψ and the
         # slab edge ψ — reproducing the neighbor's post-collision edge) ----
         for j in range(min(3, n_ty)):
-            f_dma(j).start()
-        f_dma(0).wait()
+            f_start(j)
+        f_wait(0)
         psi_slab(0)
         if n_ty > 1:
-            f_dma(1).wait()
+            f_wait(1)
             psi_slab(1)
 
         Fxb, Fyb = _force_rows(cfg, psb[1:2, :], psb[0:1, :],
@@ -227,7 +271,7 @@ def make_local_step_multiphase_pallas(problem: Problem,
         def loop(t, carry):
             @pl.when(t + 2 < n_ty)
             def _():
-                f_dma(t + 2).wait()
+                f_wait(t + 2)
                 psi_slab(t + 2)
 
             @pl.when(t + 1 < n_ty)
@@ -267,7 +311,7 @@ def make_local_step_multiphase_pallas(problem: Problem,
                     rows = jnp.concatenate([fsl[cur, i, 1:Ty, :], above],
                                            axis=0)
                 if cx:
-                    rows = pltpu.roll(rows, cx % nxl, axis=1)
+                    rows = pltpu.roll(rows, cx % Wx, axis=1)
                 ob[oslot, i] = rows
 
             # exact-mass walls (ops/step_multiphase conventions): incoming
@@ -290,7 +334,7 @@ def make_local_step_multiphase_pallas(problem: Problem,
 
             @pl.when(t + 3 < n_ty)
             def _():
-                f_dma(t + 3).start()
+                f_start(t + 3)
 
             return carry
 
@@ -299,31 +343,44 @@ def make_local_step_multiphase_pallas(problem: Problem,
             out_dma(n_ty - 2).wait()
         out_dma(n_ty - 1).wait()
 
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),  # flags (4,) int32
+        pl.BlockSpec(memory_space=pl.ANY),      # f (HBM)
+        pl.BlockSpec(memory_space=pltpu.VMEM),  # rb (Q, 2, Wx)
+        pl.BlockSpec(memory_space=pltpu.VMEM),  # rt
+    ]
+    scratch = [
+        pltpu.VMEM((4, Q, Ty, Wx), jnp.float32),
+        pltpu.VMEM((4, Ty, Wx), jnp.float32),
+        pltpu.VMEM((2, Q, Ty, Wx), jnp.float32),
+        pltpu.SemaphoreType.DMA((4,)),
+        pltpu.SemaphoreType.DMA((2,)),
+    ]
+    if x_halo:
+        in_specs += [pl.BlockSpec(memory_space=pl.ANY),   # rl (Q, nyl, Hx)
+                     pl.BlockSpec(memory_space=pl.ANY)]   # rr
+        scratch.append(pltpu.SemaphoreType.DMA((2, 4)))   # x-halo pieces
     call = pl.pallas_call(
         kernel,
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # flags (4,) int32
-            pl.BlockSpec(memory_space=pl.ANY),      # f (HBM)
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # rb (Q, 2, nxl)
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # rt
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         out_shape=jax.ShapeDtypeStruct((Q, nyl, nxl), jnp.float32),
-        scratch_shapes=[
-            pltpu.VMEM((4, Q, Ty, nxl), jnp.float32),
-            pltpu.VMEM((4, Ty, nxl), jnp.float32),
-            pltpu.VMEM((2, Q, Ty, nxl), jnp.float32),
-            pltpu.SemaphoreType.DMA((4,)),
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
+        scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=_VMEM_BUDGET + 3 * 1024 * 1024),
         interpret=interpret,
     )
 
-    def step(f, rb, rt, flags):
-        return call(flags, f, rb, rt)
+    def step(f, rb, rt, flags, rl=None, rr=None):
+        if not x_halo:
+            return call(flags, f, rb, rt)
+        if rl is None or rr is None:
+            raise ValueError("x-sharded multiphase kernel needs rl/rr "
+                             "ring columns")
+        return call(flags, f, rb, rt, rl, rr)
 
     step.tile_height = Ty
     step.n_ty = n_ty
+    step.x_halo = x_halo
+    step.halo_width = Hx
     return step

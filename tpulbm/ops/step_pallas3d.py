@@ -822,8 +822,12 @@ def make_local_step_pallas3d_tiled(problem: Problem,
     if not interpret and nx % 128:
         raise ValueError(f"pallas3d needs nx % 128 == 0, got {nx}")
     has_solid = problem.solid is not None
-    if has_solid and _solid_touches_x_edges(problem):
-        return None  # inlet/outlet-piercing solids: jax tier handles them
+    # inlet/outlet-piercing solids (VERDICT r4 #3e): supported here by
+    # keeping the x-edge ghost sanitize alive on the pierced edge (the
+    # skip below is only valid when the fluid-masked inlet/outlet rewrite
+    # covers EVERY cell of the column) — static geometry facts
+    solid_on_xl = bool(has_solid and problem.solid[..., 0].any())
+    solid_on_xr = bool(has_solid and problem.solid[..., -1].any())
     bz = has_solid and problem.obstacle_bc == "bouzidi"
     if bz and n_sub > 1 and x_halo:
         # blocked bouzidi (q tiles widened to the full Wy buffer height,
@@ -921,7 +925,8 @@ def make_local_step_pallas3d_tiled(problem: Problem,
     if has_solid:
         s = problem.solid
         guard3d = bool(s[:, 0, :].any() or s[:, -1, :].any()
-                       or s[0].any() or s[-1].any())
+                       or s[0].any() or s[-1].any()
+                       or solid_on_xl or solid_on_xr)
         zr = np.nonzero(s.any(axis=(1, 2)))[0]
         yr = np.nonzero(s.any(axis=(0, 2)))[0]
         # bouzidi cut links live at FLUID cells one cell outside the solid
@@ -1322,26 +1327,28 @@ def make_local_step_pallas3d_tiled(problem: Problem,
             # boundary (always true for full-width shards); y edges only on
             # the tile holding the physical boundary row. As in the
             # full-plane kernel, an x-edge column is skipped when the
-            # inlet/outlet BC below rewrites it entirely (no solid can sit
-            # on those columns — _solid_touches_x_edges), saving the strip
-            # writes every substep.
+            # inlet/outlet BC below rewrites it ENTIRELY — which needs the
+            # column solid-free: with a piercing solid the fluid-masked
+            # inlet/outlet leaves the solid cells to the sanitize + the
+            # obstacle pass (the jax tier's order), so the strip stays live
+            # on that edge (solid_on_xl / solid_on_xr, static).
+            skip_xl = cfg.inlet_equilibrium and not solid_on_xl
+            skip_xr = cfg.outlet_zero_grad and not solid_on_xr
             for i in range(Q):
                 cx, cy, cz = cfg.c[i]
-                if cx and not (cfg.inlet_equilibrium if cx > 0
-                               else cfg.outlet_zero_grad):
+                if cx and not (skip_xl if cx > 0 else skip_xr):
+                    # the 3-D jax tier's non-periodic x ghost columns hold
+                    # the frozen ghost EQUILIBRIUM everywhere (halo.
+                    # refresh_ring_3d phase X — the 2-D reference's zeroed
+                    # E/W ghosts are a 2-D-only quirk), so a pull through
+                    # them lands eq_in at every row and plane
                     xc = xlc if cx > 0 else xrc
                     fe = fxl if cx > 0 else fxr
-                    if cz > 0:
-                        val = jnp.where(is_z0, cfg.eq_in[i], 0.0)
-                    elif cz < 0:
-                        val = jnp.where(is_zl, cfg.eq_in[i], 0.0)
-                    else:
-                        val = jnp.float32(0.0)
 
                     @pl.when(fe == 1)
-                    def _(i=i, xc=xc, val=val):
-                        tgt[tslot, i, :, xc:xc + 1] = jnp.broadcast_to(
-                            val, (Wy, 1)).astype(jnp.float32)
+                    def _(i=i, xc=xc):
+                        tgt[tslot, i, :, xc:xc + 1] = jnp.full(
+                            (Wy, 1), cfg.eq_in[i], jnp.float32)
                 if cy > 0:
                     @pl.when(gb)
                     def _(i=i):

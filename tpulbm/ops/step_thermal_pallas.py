@@ -166,7 +166,11 @@ def make_local_step_thermal_pallas(problem: Problem,
     (Ty, nxl + 2Hx) buffer (one substep needs one column of validity),
     and only the owned center columns are written back. Physical-x wall
     bounces fire only on shards whose flags mark them at the global x
-    edges. Requires aligned shard widths (nxl % 128, pad_x == 0).
+    edges. Unaligned shard widths lane-pad (pad_x > 0): the chunk body
+    refreshes the pad columns per step as LIVE shadow copies of the east
+    neighbor's first columns (halo.ring_cols_padded — the 2-D generic
+    kernels' scheme), so the in-kernel pad pin stays off and both the
+    walled cavity AND periodic (wrap-shadow) geometries pad.
 
     Raises ValueError for configurations the kernel does not cover
     (f64, unaligned periodic/sharded nx) — the chunk builder degrades
@@ -183,13 +187,10 @@ def make_local_step_thermal_pallas(problem: Problem,
         raise ValueError("thermal pallas kernel covers x-periodic "
                          "(Rayleigh-Bénard) and x-walled (side-heated "
                          "cavity) geometries")
-    if pad_x and not walls_x:
-        raise ValueError("lane padding needs x walls (periodic lane rolls "
-                         "would wrap through the pad)")
-    if x_halo and pad_x:
-        raise ValueError("x-sharded thermal meshes need 128-aligned shard "
-                         "widths (the stitched-halo kernel carries no "
-                         "lane padding)")
+    if pad_x and not walls_x and not x_halo:
+        raise ValueError("lane padding needs x walls (full-width periodic "
+                         "lane rolls would wrap through the pad); x-sharded "
+                         "meshes pad with live shadow columns instead")
     nyl, nxl = local_shape
     if not interpret and nxl % 128 != 0:
         raise ValueError(f"pallas backend needs padded local nx % 128 == 0, "
@@ -356,8 +357,10 @@ def make_local_step_thermal_pallas(problem: Problem,
                         jnp.logical_and(col == (xl if cx > 0 else xr),
                                         fe == 1),
                         fsl[cur, cfg.opp[i]], rows)
-                if cfg.pad_x:
+                if cfg.pad_x and not x_halo:
                     # re-pin the dead pad columns to their fixed point
+                    # (x-halo pads are live shadows the chunk body
+                    # refreshes per step — no in-kernel pin)
                     rows = jnp.where(col > xr, cfg.pad_vals[i], rows)
                 ob[oslot, i] = rows
 

@@ -85,11 +85,20 @@ def make_chunk_fn(problem: Problem, mesh: Mesh, chunk_len: int,
                 from ..ops.step_thermal_pallas import \
                     make_local_step_thermal_pallas
                 th_xh = mesh_shape[1] != 1
-                # x-sharded shards stitch 128-lane halo columns instead of
-                # lane-padding (the two are mutually exclusive in-kernel),
-                # so unaligned walls_x widths demote via the ValueError
-                th_pad = ((-local_shape[-1]) % 128
-                          if problem.walls_x and not th_xh else 0)
+                # unaligned local widths lane-pad: dead fixed-point columns
+                # on full-width walled cavities; LIVE shadow columns of the
+                # east neighbor on x-sharded meshes (halo.ring_cols_padded,
+                # refreshed per step — works for walled AND periodic x).
+                # Interpret mode needs no alignment: the x-halo pad only
+                # engages there under TPULBM_FORCE_PAD (tests), like the
+                # generic 2-D kernels.
+                th_align = (-local_shape[-1]) % 128
+                if th_xh:
+                    th_pad = (th_align if jax.default_backend() != "cpu"
+                              else int(os.environ.get("TPULBM_FORCE_PAD",
+                                                      "0")))
+                else:
+                    th_pad = th_align if problem.walls_x else 0
                 thermal_pallas = make_local_step_thermal_pallas(
                     problem, (local_shape[0], local_shape[1] + th_pad),
                     pad_x=th_pad, x_halo=th_xh)
@@ -113,13 +122,16 @@ def make_chunk_fn(problem: Problem, mesh: Mesh, chunk_len: int,
         # (refresh -> collide interior -> refresh -> stream).
         if backend == "pallas":
             try:
-                if mesh_shape[1] != 1:
-                    raise ValueError(
-                        "multiphase pallas kernel needs an x-unsharded mesh")
                 from ..ops.step_multiphase_pallas import \
                     make_local_step_multiphase_pallas
+                # TPULBM_FORCE_XHALO routes single-shard-x runs through the
+                # stitched x-halo kernel (silicon probes on a 1-chip host:
+                # periodic ring_cols wrap the shard's own edges, so the
+                # result matches the full-width kernel exactly)
+                mp_xh = (mesh_shape[1] != 1
+                         or bool(os.environ.get("TPULBM_FORCE_XHALO")))
                 mp_pallas = make_local_step_multiphase_pallas(
-                    problem, local_shape)
+                    problem, local_shape, x_halo=mp_xh)
             except ValueError as e:
                 import warnings
                 warnings.warn(f"pallas backend unavailable for this "
@@ -804,23 +816,34 @@ def make_chunk_fn(problem: Problem, mesh: Mesh, chunk_len: int,
             fx_l, fx_r]).astype(jnp.int32)
         padx = thermal_pallas.pad_x
         if padx:
-            # x-walled cavity on an unaligned width: append the dead pad
-            # columns at their fixed-point values (the kernel re-pins them
-            # every step; no wrap reads them — walls_x only)
+            # unaligned width: append pad columns at their fixed-point
+            # values. Full-width cavities keep them dead (the kernel
+            # re-pins every step); x-sharded meshes refresh them per step
+            # as live shadows of the east neighbor (ring_cols_padded)
             pad = jnp.broadcast_to(
                 jnp.asarray(thermal_pallas.pad_vals,
                             f_local.dtype)[:, None, None],
                 (f_local.shape[0], nyl, padx))
             f_local = jnp.concatenate([f_local, pad], axis=-1)
+        pad_ring = np.asarray(thermal_pallas.pad_vals, np.float32)
 
         def one_step(f, _):
             if thermal_pallas.x_halo:
                 # x-sharded: stitched-halo exchange (columns first, then
                 # extended rows — corners carry diagonal-neighbor data)
-                rl, rr = halo.ring_cols(f, eq_ring=eq_ring,
-                                        mesh_shape=mesh_shape, depth=1,
-                                        H=thermal_pallas.halo_width,
-                                        periodic_x=problem.periodic_x)
+                if padx:
+                    rl, rr, fill = halo.ring_cols_padded(
+                        f, eq_ring=pad_ring, mesh_shape=mesh_shape,
+                        depth=1, H=thermal_pallas.halo_width,
+                        periodic_x=problem.periodic_x, pad_x=padx)
+                    # live shadow refresh BEFORE the extended rows (their
+                    # row sends span the full padded width)
+                    f = jnp.concatenate([f[..., :-padx], fill], axis=-1)
+                else:
+                    rl, rr = halo.ring_cols(f, eq_ring=eq_ring,
+                                            mesh_shape=mesh_shape, depth=1,
+                                            H=thermal_pallas.halo_width,
+                                            periodic_x=problem.periodic_x)
                 rb, rt = halo.ring_rows_ext(f, rl, rr, eq_ring=eq_ring,
                                             mesh_shape=mesh_shape, depth=1,
                                             periodic_y=problem.periodic_y)
@@ -842,6 +865,18 @@ def make_chunk_fn(problem: Problem, mesh: Mesh, chunk_len: int,
             jnp.array(True), jnp.array(True)]).astype(jnp.int32)
 
         def one_step(f, _):
+            if mp_pallas.x_halo:
+                # x-sharded: stitched-halo exchange at DEPTH 2 (the psi
+                # stencil consumes one column of validity, the stream the
+                # other); extended rows carry diagonal corners
+                rl, rr = halo.ring_cols(f, eq_ring=eq_ring,
+                                        mesh_shape=mesh_shape, depth=2,
+                                        H=mp_pallas.halo_width,
+                                        periodic_x=problem.periodic_x)
+                rb, rt = halo.ring_rows_ext(f, rl, rr, eq_ring=eq_ring,
+                                            mesh_shape=mesh_shape, depth=2,
+                                            periodic_y=problem.periodic_y)
+                return mp_pallas(f, rb, rt, flags, rl, rr), None
             rb, rt = halo.ring_rows(f, eq_ring=eq_ring,
                                     mesh_shape=mesh_shape, depth=2)
             return mp_pallas(f, rb, rt, flags), None
