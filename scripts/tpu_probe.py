@@ -66,6 +66,20 @@ def configs():
     out["bouzidi-moving-blocked"] = (
         SimulationParams(obstacle_bc="bouzidi", cylinder_omega=0.02, **cyl),
         2, 12, {"TPULBM_SUBSTEPS": "4", "TPULBM_PALLAS_TY": "8"}, 4)
+    # blocked halo-overlap split (TPULBM_HALO_OVERLAP composed with the
+    # N-step cascade, VERDICT r4 #5): three ranged calls per N steps —
+    # interior range on raw-local chains, edge ranges on the exchanged
+    # rings, outputs stitched via aliasing. ny=384 so the TPU's Ty%8 rule
+    # still leaves >= 3*(N+1) slabs; the depth assertion guards against a
+    # silent fall-through to the 1-step split or the monolithic kernel.
+    ov_cyl = dict(nx=256, ny=384, tau=0.55, inlet_velocity=0.05,
+                  precision="f32")
+    out["overlap-blocked"] = (SimulationParams(**ov_cyl), 2, 12,
+                              {"TPULBM_HALO_OVERLAP": "1",
+                               "TPULBM_SUBSTEPS": "4"}, 4)
+    out["overlap-blocked-bouzidi"] = (
+        SimulationParams(obstacle_bc="bouzidi", **ov_cyl), 2, 12,
+        {"TPULBM_HALO_OVERLAP": "1", "TPULBM_SUBSTEPS": "4"}, 4)
     # lane-padded unaligned width (nx=250 pads to 256 lanes in-kernel)
     out["lane-padded"] = (SimulationParams(nx=250, ny=64, tau=0.55,
                                            inlet_velocity=0.05,

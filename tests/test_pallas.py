@@ -103,6 +103,54 @@ def test_pallas_halo_overlap_single_device_bounce_back(monkeypatch):
                               precision="f32", obstacle_bc="bounce_back"))
 
 
+def test_pallas_halo_overlap_blocked_matches_jax(monkeypatch):
+    # TPULBM_HALO_OVERLAP composed with N-step temporal blocking (VERDICT
+    # r4 #5): chunk_len=4 selects the ranged 4-step cascade, split into an
+    # interior range (raw-local ghost chains, no ppermute dependency) plus
+    # two edge ranges consuming the exchanged depth-N rings; must match
+    # the jax tier on a sharded mesh, cylinder included
+    monkeypatch.setenv("TPULBM_HALO_OVERLAP", "1")
+    _compare(SimulationParams(nx=128, ny=64, tau=0.6, inlet_velocity=0.05,
+                              precision="f32"), mesh_shape=(2, 1),
+             chunk_len=4)
+
+
+def test_pallas_halo_overlap_blocked_engages(monkeypatch):
+    # the overlap body must actually run the BLOCKED ranged cascade, not
+    # silently fall back to the 1-step split (pallas_substeps introspection
+    # — attached on the bouzidi path, which also proves the q exclusion is
+    # gone at build time)
+    monkeypatch.setenv("TPULBM_HALO_OVERLAP", "1")
+    problem = make_problem(SimulationParams(
+        nx=128, ny=64, tau=0.6, inlet_velocity=0.05, precision="f32",
+        obstacle_bc="bouzidi"))
+    mesh = make_mesh((1, 1), devices=jax.devices()[:1])
+    chunk = make_chunk_fn(problem, mesh, 4, backend="pallas")
+    assert chunk.pallas_substeps == 4
+
+
+def test_pallas_halo_overlap_blocked_bouzidi(monkeypatch):
+    # the blocked overlap split lifts the old bouzidi exclusion: the q
+    # table's ghost chains ride the ranged cascade (raw local slices for
+    # the interior range, exchanged q rings at the edges)
+    monkeypatch.setenv("TPULBM_HALO_OVERLAP", "1")
+    _compare(SimulationParams(nx=128, ny=64, tau=0.6, inlet_velocity=0.05,
+                              precision="f32", obstacle_bc="bouzidi"),
+             mesh_shape=(2, 1), chunk_len=4)
+
+
+def test_pallas_halo_overlap_blocked_kolmogorov(monkeypatch):
+    # ... and the force_fn exclusion: in-kernel force coordinates are
+    # global (flags[4] shard offset + absolute slab indices), so the range
+    # split does not move them; fully periodic — no range owns a wall
+    monkeypatch.setenv("TPULBM_HALO_OVERLAP", "1")
+    _compare(SimulationParams(nx=128, ny=64, tau=0.8, problem="kolmogorov",
+                              kolmogorov_n=1, inlet_velocity=0.01,
+                              periodic_x=True, cylinder_radius=0.0,
+                              precision="f32"), mesh_shape=(2, 1),
+             chunk_len=4)
+
+
 def _compare2(params, mesh_shape=(1, 1), ty=8, monkeypatch=None, **kw):
     """Force several slabs so the fused two-step kernel actually engages
     (it falls back to the 1-step kernel when n_ty < 3)."""

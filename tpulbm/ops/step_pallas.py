@@ -960,10 +960,12 @@ def _physics_cfg_fields(problem: Problem) -> dict:
 
 
 def _build_cfg(problem: Problem, local_shape, interpret, substeps=1,
-               pad_x=0) -> _Cfg:
+               pad_x=0, min_n_ty=1) -> _Cfg:
     """local_shape is the (possibly lane-padded) slab-buffer shape; pad_x of
     its trailing columns are dead padding (the physical right edge sits at
-    column nxl - 1 - pad_x)."""
+    column nxl - 1 - pad_x). min_n_ty > 1 caps the slab height so the block
+    has at least that many slabs (the ranged halo-overlap split needs three
+    disjoint ranges of >= substeps+1 slabs each)."""
     fields = _physics_cfg_fields(problem)
     nyl, nxl = local_shape
     if not interpret and nxl % 128 != 0:
@@ -992,7 +994,8 @@ def _build_cfg(problem: Problem, local_shape, interpret, substeps=1,
                        if fields["bz"] else 0)) * nxl * 4
         valid = [ty for ty in range(1, nyl + 1)
                  if nyl % ty == 0 and usage(ty) <= _VMEM_BUDGET
-                 and (interpret or ty % 8 == 0)]
+                 and (interpret or ty % 8 == 0)
+                 and nyl // ty >= min_n_ty]
         if not valid:
             raise ValueError(
                 f"no y-slab of {nyl} rows fits VMEM (nx={nxl}); on TPU the "
@@ -1011,10 +1014,15 @@ def _build_cfg(problem: Problem, local_shape, interpret, substeps=1,
                 xl_col=0, xr_col=nxl - 1 - pad_x, pad_x=pad_x)
 
 
-def _wrap_call(cfg: _Cfg, kernel, nyl, depth, interpret, has_solid):
+def _wrap_call(cfg: _Cfg, kernel, nyl, depth, interpret, has_solid,
+               ranged=False):
     Q, nxl = cfg.Q, cfg.nxl
     in_specs = [
         pl.BlockSpec(memory_space=pltpu.SMEM),  # flags (4,) int32
+    ]
+    if ranged:
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))  # bounds (2,)
+    in_specs += [
         pl.BlockSpec(memory_space=pltpu.SMEM),  # per-slab solid flags (n_ty,)
         pl.BlockSpec(memory_space=pl.ANY),      # f (HBM)
         pl.BlockSpec(memory_space=pltpu.VMEM),  # rb (Q,depth,nxl)
@@ -1030,11 +1038,16 @@ def _wrap_call(cfg: _Cfg, kernel, nyl, depth, interpret, has_solid):
             # of the mask rings): (bz_planes, depth, nxl) per side
             in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))  # qrb
             in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))  # qrt
+    if ranged:
+        # aliased storage for the output: ranged calls write only their
+        # slab range; the other ranges' rows pass through untouched
+        in_specs.append(pl.BlockSpec(memory_space=pl.ANY))  # out_init
     call = pl.pallas_call(
         kernel,
         in_specs=in_specs,
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         out_shape=jax.ShapeDtypeStruct((Q, nyl, nxl), jnp.float32),
+        input_output_aliases=({len(in_specs) - 1: 0} if ranged else {}),
         scratch_shapes=kernel.scratch_shapes,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=_VMEM_BUDGET + 3 * 1024 * 1024),
@@ -1045,24 +1058,31 @@ def _wrap_call(cfg: _Cfg, kernel, nyl, depth, interpret, has_solid):
     ones_sflags = np.ones((cfg.n_ty,), np.int32)
 
     def step(f, rb, rt, flags, mask=None, mrb=None, mrt=None, sflags=None,
-             bzq=None, bzrb=None, bzrt=None):
+             bzq=None, bzrb=None, bzrt=None, bounds=None, out_init=None):
         if has_solid and mask is None:
             raise ValueError("pallas backend needs the solid mask")
         mask = jnp.asarray(zero_mask) if mask is None else mask
         mrb = jnp.asarray(zero_ring) if mrb is None else mrb
         mrt = jnp.asarray(zero_ring) if mrt is None else mrt
         sflags = jnp.asarray(ones_sflags) if sflags is None else sflags
+        args = [flags]
+        if ranged:
+            if bounds is None or out_init is None:
+                raise ValueError("ranged kernel needs bounds and out_init")
+            args.append(bounds)
+        args += [sflags, f, rb, rt, mask, mrb, mrt]
         if cfg.bz:
             if bzq is None:
                 raise ValueError("bouzidi pallas kernel needs the q table")
+            args.append(bzq)
             if depth > 1:
                 if bzrb is None or bzrt is None:
                     raise ValueError("blocked bouzidi kernel needs q halo "
                                      "rings (bzrb/bzrt)")
-                return call(flags, sflags, f, rb, rt, mask, mrb, mrt, bzq,
-                            bzrb, bzrt)
-            return call(flags, sflags, f, rb, rt, mask, mrb, mrt, bzq)
-        return call(flags, sflags, f, rb, rt, mask, mrb, mrt)
+                args += [bzrb, bzrt]
+        if ranged:
+            args.append(out_init)
+        return call(*args)
 
     step.tile_height = cfg.Ty
     step.n_ty = cfg.n_ty
@@ -1660,7 +1680,8 @@ def make_local_step_pallasN(problem: Problem,
                             local_shape: tuple[int, ...],
                             n_sub: int,
                             interpret: bool | None = None,
-                            pad_x: int = 0):
+                            pad_x: int = 0,
+                            ranged: bool = False):
     """N-substep fused kernel: advances n_sub timesteps per HBM round trip.
 
     Generalizes the 2-step kernel to a cascade of N collide-stream stages
@@ -1673,6 +1694,19 @@ def make_local_step_pallasN(problem: Problem,
     VPU work per timestep is unchanged, so this pays while the slab DMA is
     the bottleneck.
 
+    ranged=True (halo-overlap mode, TPULBM_HALO_OVERLAP): step(f, rb, rt,
+    flags, ..., bounds, out_init) processes only slabs [bounds[0],
+    bounds[1]) — at least N+1 slabs — writing their rows of the full-height
+    output (out_init aliased). The range's bottom/top ghost chains arrive
+    via rb/rt exactly like shard-edge chains; an INTERIOR range's chains
+    are raw local rows of f just outside the range, so the call has no
+    data dependency on the ppermute'd rings and XLA can overlap the halo
+    exchange with it. Splitting at a slab boundary is numerically a
+    virtual shard boundary: the cascade recomputes the chain trapezoid
+    from raw rows exactly as the monolithic kernel does at real shard
+    edges (collision/streaming are deterministic), so the stitched result
+    matches the monolithic kernel.
+
     Returns None when the local block has fewer than n_sub+1 slabs or the
     buffers exceed the VMEM budget.
     """
@@ -1681,7 +1715,8 @@ def make_local_step_pallasN(problem: Problem,
         interpret = jax.default_backend() == "cpu"
     try:
         cfg = _build_cfg(problem, local_shape, interpret, substeps=n_sub,
-                         pad_x=pad_x)
+                         pad_x=pad_x,
+                         min_n_ty=3 * (n_sub + 1) if ranged else 1)
     except ValueError:
         return None
     nyl = local_shape[0]
@@ -1692,18 +1727,33 @@ def make_local_step_pallasN(problem: Problem,
     if n_ty < N + 1:
         return None
 
-    def kernel(flags_ref, sflags_ref, f_ref, rb_ref, rt_ref, mask_ref,
-               mrb_ref, mrt_ref, *refs):
+    def kernel(flags_ref, *refs):
+        if ranged:
+            bounds_ref, *refs = refs
+            t_lo, t_hi = bounds_ref[0], bounds_ref[1]
+        else:
+            t_lo, t_hi = 0, n_ty
+        (sflags_ref, f_ref, rb_ref, rt_ref, mask_ref, mrb_ref,
+         mrt_ref, *refs) = refs
         if cfg.bz:
-            bzq_ref, bzrb_ref, bzrt_ref, out_ref, fa, *rest = refs
+            bzq_ref, bzrb_ref, bzrt_ref, *refs = refs
         else:
             bzq_ref = bzrb_ref = bzrt_ref = None
-            out_ref, fa, *rest = refs
+        if ranged:
+            refs = refs[1:]  # out_init: aliased storage, never read
+        out_ref, fa, *rest = refs
         gs = list(rest[:N - 1])          # stages 1..N-1, 3-slot rings
         ob, msl, t_scr = rest[N - 1:N + 2]
         sem_f, sem_ob, sem_m = rest[N + 2:N + 5]
         qsl, sem_q = rest[N + 5:N + 7] if cfg.bz else (None, None)
         fb, ft, fl, fr = (flags_ref[k] for k in range(4))
+        # physical-edge conditions localized to the slab range: a range's
+        # bottom/top chains sit at the physical y edges only when the range
+        # touches row 0 / row nyl-1 (interior ranges' chains are raw rows)
+        fbe = (fb == 1) if not ranged else jnp.logical_and(t_lo == 0,
+                                                           fb == 1)
+        fte = (ft == 1) if not ranged else jnp.logical_and(t_hi == n_ty,
+                                                           ft == 1)
         # shard's global y offset (flags[4], force_fn problems only): every
         # stage evaluates the force at the same fixed global coordinates;
         # ghost-chain rows use the unwrapped -N..-1 / nyl..nyl+N-1 offsets
@@ -1787,20 +1837,21 @@ def make_local_step_pallasN(problem: Problem,
             return planes
 
         # ---- bottom ghost chains: B[k][r] = stage-k collided ghost row r
-        # (r in -(N-k)..-1), as loop-invariant values ----
+        # (r in -(N-k)..-1, relative to the range bottom), loop-invariant ----
         B = [dict() for _ in range(N)]
         for r in range(-N, 0):
             planes = [rb_ref[i, N + r:N + r + 1, :] for i in range(Q)]
-            B[0][r] = collide_row_vals(planes, mrb_rows[r], y_at(r))
+            B[0][r] = collide_row_vals(planes, mrb_rows[r],
+                                       y_at(t_lo * Ty + r))
 
-        # ---- prologue: raw slabs 0..N-1 in flight and collided; the DMA
-        # for slab N starts only after the stage prologue has consumed
-        # fa[0] (for N == 4 they share a slot) ----
+        # ---- prologue: raw slabs t_lo..t_lo+N-1 in flight and collided;
+        # the DMA for slab t_lo+N starts only after the stage prologue has
+        # consumed its slot (for N == 4 they share one) ----
         for j in range(N):
-            start_in(j)
+            start_in(t_lo + j)
         for j in range(N):
-            wait_in(j)
-            collide_a(j)
+            wait_in(t_lo + j)
+            collide_a(t_lo + j)
 
         def make_stage_slab(k, idx, below, above, is_bottom, is_top,
                             collide_after=True):
@@ -1838,7 +1889,9 @@ def make_local_step_pallasN(problem: Problem,
                 below = B[k - 1][r - 1]
                 cur = B[k - 1][r]
                 if r == -1:
-                    above = [srcref[0, i, 0:1, :] for i in range(Q)]
+                    # the range's first stage-(k-1) slab (slot t_lo % m_src)
+                    above = [srcref[t_lo % m_src, i, 0:1, :]
+                             for i in range(Q)]
                 else:
                     above = B[k - 1][r + 1]
                 planes = stream_row(below, cur, above)
@@ -1851,28 +1904,37 @@ def make_local_step_pallasN(problem: Problem,
                 planes = _bc_row_values(
                     cfg, planes, mrb_rows[r] if has_solid else None, fl, fr,
                     bz=bz_row)
-                planes = collide_row_vals(planes, mrb_rows[r], y_at(r))
-                B[k][r] = [jnp.where(fb == 1, eq_row[i], planes[i])
+                planes = collide_row_vals(planes, mrb_rows[r],
+                                          y_at(t_lo * Ty + r))
+                B[k][r] = [jnp.where(fbe, eq_row[i], planes[i])
                            for i in range(Q)]
             for j in range(N - k):
                 if j == 0:
                     below = B[k - 1][-1]
                 else:
-                    below = [srcref[(j - 1) % m_src, i, Ty - 1:Ty, :]
+                    below = [srcref[(t_lo + j - 1) % m_src, i, Ty - 1:Ty, :]
                              for i in range(Q)]
-                above = [srcref[(j + 1) % m_src, i, 0:1, :] for i in range(Q)]
-                make_stage_slab(k, j, below, above,
-                                (fb == 1) if j == 0 else false_, false_)
+                above = [srcref[(t_lo + j + 1) % m_src, i, 0:1, :]
+                         for i in range(Q)]
+                make_stage_slab(k, t_lo + j, below, above,
+                                fbe if j == 0 else false_, false_)
 
-        # raw slab N may now reuse fa[0]'s slot (prologue reads done)
-        if n_ty > N:
-            start_in(N)
+        # raw slab t_lo+N may now reuse its slot (prologue reads done)
+        if not ranged:
+            if n_ty > N:
+                start_in(N)
+        else:
+            @pl.when(t_lo + N < t_hi)
+            def _():
+                start_in(t_lo + N)
 
-        # T[0] = collided raw top ghost rows (+1..+N), loop-invariant values
+        # T[0] = collided raw top ghost rows (+1..+N above the range),
+        # loop-invariant values
         T0 = {}
         for r in range(1, N + 1):
             planes = [rt_ref[i, r - 1:r, :] for i in range(Q)]
-            T0[r] = collide_row_vals(planes, mrt_rows[r], y_at(nyl + r - 1))
+            T0[r] = collide_row_vals(planes, mrt_rows[r],
+                                     y_at(t_hi * Ty + r - 1))
 
         def t_prev(k, r):
             """Stage k-1's top ghost row +r as per-pop (1, nxl) values."""
@@ -1886,7 +1948,7 @@ def make_local_step_pallasN(problem: Problem,
             srcref, m_src = stage_ref(k - 1)
             for r in range(1, N - k + 1):
                 if r == 1:
-                    below = [srcref[(n_ty - 1) % m_src, i, Ty - 1:Ty, :]
+                    below = [srcref[(t_hi - 1) % m_src, i, Ty - 1:Ty, :]
                              for i in range(Q)]
                 else:
                     below = t_prev(k, r - 1)
@@ -1901,19 +1963,19 @@ def make_local_step_pallasN(problem: Problem,
                     cfg, planes, mrt_rows[r] if has_solid else None, fl, fr,
                     bz=bz_row)
                 planes = collide_row_vals(planes, mrt_rows[r],
-                                          y_at(nyl + r - 1))
+                                          y_at(t_hi * Ty + r - 1))
                 for i in range(Q):
                     t_scr[k - 1, i, r - 1:r, :] = jnp.where(
-                        ft == 1, eq_row[i], planes[i])
+                        fte, eq_row[i], planes[i])
 
         def loop(s, carry):
             # stage 0: collide raw slab s+N; prefetch raw s+N+1
-            @pl.when(s + N < n_ty)
+            @pl.when(s + N < t_hi)
             def _():
                 wait_in(s + N)
                 collide_a(s + N)
 
-            @pl.when(s + N + 1 < n_ty)
+            @pl.when(s + N + 1 < t_hi)
             def _():
                 start_in(s + N + 1)
 
@@ -1921,50 +1983,56 @@ def make_local_step_pallasN(problem: Problem,
             for k in range(1, N):
                 idx = s + (N - k)
 
-                @pl.when(idx < n_ty)
+                @pl.when(idx < t_hi)
                 def _(k=k, idx=idx):
                     srcref, m_src = stage_ref(k - 1)
                     below = [srcref[(idx - 1) % m_src, i, Ty - 1:Ty, :]
                              for i in range(Q)]
-                    is_last = idx == n_ty - 1
+                    is_last = idx == t_hi - 1
                     above = [jnp.where(is_last, t_prev(k, 1)[i],
                                        srcref[(idx + 1) % m_src, i, 0:1, :])
                              for i in range(Q)]
                     make_stage_slab(k, idx, below, above, false_,
-                                    jnp.logical_and(is_last, ft == 1))
+                                    jnp.logical_and(is_last, fte))
 
             # top ghost chain for stage k, computed the same iteration its
-            # source (stage k-1's last slab, idx n_ty-1) was produced above;
+            # source (stage k-1's last slab, idx t_hi-1) was produced above;
             # consumers read it from the NEXT iteration on
             for k in range(1, N):
-                @pl.when(s == n_ty - 2 - N + k)
+                @pl.when(s == t_hi - 2 - N + k)
                 def _(k=k):
                     compute_t_chain(k)
 
             # final stage: out slab s (uncollided — the new carry)
-            @pl.when(s >= 2)
+            @pl.when(s >= t_lo + 2)
             def _():
                 out_dma(s - 2).wait()
 
             srcref, m_src = stage_ref(N - 1)
-            is_last = s == n_ty - 1
-            below = [jnp.where(s == 0, B[N - 1][-1][i],
+            is_last = s == t_hi - 1
+            below = [jnp.where(s == t_lo, B[N - 1][-1][i],
                                srcref[(s - 1) % m_src, i, Ty - 1:Ty, :])
                      for i in range(Q)]
             above = [jnp.where(is_last, t_prev(N, 1)[i],
                                srcref[(s + 1) % m_src, i, 0:1, :])
                      for i in range(Q)]
             make_stage_slab(N, s, below, above,
-                            jnp.logical_and(s == 0, fb == 1),
-                            jnp.logical_and(is_last, ft == 1),
+                            jnp.logical_and(s == t_lo, fbe),
+                            jnp.logical_and(is_last, fte),
                             collide_after=False)
             out_dma(s).start()
             return carry
 
-        lax.fori_loop(0, n_ty, loop, 0, unroll=False)
-        if n_ty >= 2:
-            out_dma(n_ty - 2).wait()
-        out_dma(n_ty - 1).wait()
+        lax.fori_loop(t_lo, t_hi, loop, 0, unroll=False)
+        if not ranged:
+            if n_ty >= 2:
+                out_dma(n_ty - 2).wait()
+            out_dma(n_ty - 1).wait()
+        else:
+            @pl.when(t_hi - 2 >= t_lo)
+            def _():
+                out_dma(t_hi - 2).wait()
+            out_dma(t_hi - 1).wait()
 
     kernel.scratch_shapes = (
         [pltpu.VMEM((4, Q, Ty, nxl), jnp.float32)]             # raw/stage-0
@@ -1980,4 +2048,5 @@ def make_local_step_pallasN(problem: Problem,
         + ([pltpu.VMEM((M, cfg.bz_planes, Ty, nxl), jnp.float32),  # bouzidi q
             pltpu.SemaphoreType.DMA((M,))] if cfg.bz else [])
     )
-    return _wrap_call(cfg, kernel, nyl, N, interpret, has_solid)
+    return _wrap_call(cfg, kernel, nyl, N, interpret, has_solid,
+                      ranged=ranged)

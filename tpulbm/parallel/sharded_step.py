@@ -295,24 +295,44 @@ def make_chunk_fn(problem: Problem, mesh: Mesh, chunk_len: int,
                 # kernel (block below) covers wide rows; keep pallas alive
                 pallas_step = None
     pallas_ranged = None
+    pallas_rangedN = None
+    ranged_substeps = 1
     if generic2d and backend == "pallas":
         # Halo-overlap mode (TPULBM_HALO_OVERLAP, flag-gated): split each
         # step into an interior kernel with NO data dependency on the
-        # ppermute'd rings plus two edge-slab kernels that consume them, so
+        # ppermute'd rings plus two edge-range kernels that consume them, so
         # XLA can overlap the halo exchange with the interior compute
-        # (VERDICT r2 #5 — prep for real multi-chip ICI). Implies 1-step
-        # (no temporal blocking); single-chip it adds two kernel launches
-        # per step, which is why it is not the default.
-        if (os.environ.get("TPULBM_HALO_OVERLAP") and not x_sharded
-                and problem.force_fn is None and bz_q is None):
-            from ..ops.step_pallas import make_local_step_pallas_ranged
-            try:
-                pallas_ranged = make_local_step_pallas_ranged(
-                    problem, pal_shape, pad_x=pad2)
-            except ValueError:
-                pallas_ranged = None
-            if pallas_ranged is not None and pallas_ranged.n_ty < 3:
-                pallas_ranged = None  # no interior slabs to overlap with
+        # (VERDICT r2 #5 — prep for real multi-chip ICI). Single-chip it
+        # adds two kernel launches per step, which is why it is not the
+        # default. Round 5 (VERDICT r4 #5): the split COMPOSES with N-step
+        # temporal blocking via the ranged N-cascade (three slab ranges of
+        # >= N+1 slabs each; interior chains are raw local rows), and
+        # force_fn / bouzidi thread through it like the monolithic blocked
+        # kernel — the 1-step ranged kernel remains the fallback for chunk
+        # lengths that don't block (it still excludes force_fn/bouzidi).
+        if os.environ.get("TPULBM_HALO_OVERLAP") and not x_sharded:
+            if not os.environ.get("TPULBM_NO_FUSED2"):
+                from ..ops.step_pallas import make_local_step_pallasN
+                forced = os.environ.get("TPULBM_SUBSTEPS")
+                for n_sub in ([int(forced)] if forced else [4, 3, 2]):
+                    if n_sub < 2 or chunk_len % n_sub:
+                        continue
+                    st = make_local_step_pallasN(problem, pal_shape, n_sub,
+                                                 pad_x=pad2, ranged=True)
+                    if st is not None and st.n_ty >= 3 * (n_sub + 1):
+                        pallas_rangedN = st
+                        ranged_substeps = n_sub
+                        break
+            if (pallas_rangedN is None and problem.force_fn is None
+                    and bz_q is None):
+                from ..ops.step_pallas import make_local_step_pallas_ranged
+                try:
+                    pallas_ranged = make_local_step_pallas_ranged(
+                        problem, pal_shape, pad_x=pad2)
+                except ValueError:
+                    pallas_ranged = None
+                if pallas_ranged is not None and pallas_ranged.n_ty < 3:
+                    pallas_ranged = None  # no interior slabs to overlap with
     if generic2d and backend == "pallas":
         # temporal blocking: N timesteps per HBM round trip when the chunk
         # length divides by N and the local block has enough slabs. Prefer
@@ -321,8 +341,9 @@ def make_chunk_fn(problem: Problem, mesh: Mesh, chunk_len: int,
         # TPULBM_SUBSTEPS forces a depth, TPULBM_NO_FUSED2 disables blocking.
         pallas_step2 = None
         pallas_tiled = None
-        pallas_substeps = 1
-        if pallas_ranged is None and not os.environ.get("TPULBM_NO_FUSED2"):
+        pallas_substeps = ranged_substeps if pallas_rangedN is not None else 1
+        if (pallas_ranged is None and pallas_rangedN is None
+                and not os.environ.get("TPULBM_NO_FUSED2")):
             forced = os.environ.get("TPULBM_SUBSTEPS")
             candidates = [int(forced)] if forced else [4, 3, 2]
             from ..ops.step_pallas import make_local_step_pallasN
@@ -353,7 +374,8 @@ def make_chunk_fn(problem: Problem, mesh: Mesh, chunk_len: int,
                     pallas_substeps = n_sub
                     break
         if (pallas_step2 is None and pallas_tiled is None
-                and pallas_step is None and pallas_ranged is None):
+                and pallas_step is None and pallas_ranged is None
+                and pallas_rangedN is None):
             # x-sharded mesh with no fitting tiled depth: try depth 1
             pallas_tiled = make_local_step_tiled(problem, pal_shape, 1,
                                                  pad_x=pad2)
@@ -694,6 +716,109 @@ def make_chunk_fn(problem: Problem, mesh: Mesh, chunk_len: int,
                                    length=chunk_len)
         return f_local[..., :nxl] if pad2 else f_local
 
+    def body_pallas_overlapN(f_local, solid_local, bz_local=None):
+        """Interior/edge split COMPOSED with N-step temporal blocking
+        (TPULBM_HALO_OVERLAP, VERDICT r4 #5): three ranged N-cascade calls
+        per N steps — the interior range's depth-N ghost chains are RAW
+        LOCAL rows of f just outside its slab range (the cascade recomputes
+        their trapezoid exactly as the monolithic kernel does at shard
+        edges), so it has no data dependency on the ppermute; the two edge
+        ranges consume the exchanged depth-N rings and write into the
+        interior call's output via aliasing. Output buffers ping-pong
+        through the scan carry. force_fn and bouzidi thread through like
+        the monolithic blocked kernel (q chains: local slices inside,
+        exchanged rings at the edges)."""
+        iy = lax.axis_index("y")
+        nyl, nxl = local_shape[-2], local_shape[-1]
+        y0 = iy * nyl
+        phys_y = not problem.periodic_y
+        flags = jnp.stack([
+            (y0 == 0) & phys_y,
+            (y0 + nyl == problem.params.ny) & phys_y,
+            jnp.array(True), jnp.array(True)]).astype(jnp.int32)
+        if problem.force_fn is not None:
+            flags = jnp.concatenate(
+                [flags, jnp.asarray(y0, jnp.int32).reshape(1)])
+        if pad2:
+            Qn = problem.lattice.Q
+            eqb = jnp.broadcast_to(
+                jnp.asarray(eq_ring, f_local.dtype).reshape(Qn, 1, 1),
+                (Qn, nyl, pad2))
+            f_local = jnp.concatenate([f_local, eqb], axis=-1)
+            if has_solid:
+                solid_local = jnp.concatenate(
+                    [solid_local,
+                     jnp.zeros((nyl, pad2), solid_local.dtype)], axis=-1)
+            if bz_local is not None:
+                bz_local = jnp.concatenate(
+                    [bz_local, jnp.full((bz_local.shape[0], nyl, pad2),
+                                        -1.0, bz_local.dtype)], axis=-1)
+
+        N = ranged_substeps
+        Ty = pallas_rangedN.tile_height
+        n_ty = pallas_rangedN.n_ty
+        e = N + 1                              # edge-range width in slabs
+        lo_r, hi_r = e * Ty, (n_ty - e) * Ty   # interior row range
+        b_int = jnp.asarray(np.array([e, n_ty - e], np.int32))
+        b_bot = jnp.asarray(np.array([0, e], np.int32))
+        b_top = jnp.asarray(np.array([n_ty - e, n_ty], np.int32))
+
+        mask = mrb = mrt = sflags = None
+        if has_solid:
+            mask = solid_local.astype(jnp.float32)
+            mrb3, mrt3 = halo.ring_rows(mask[None],
+                                        eq_ring=np.zeros(1, np.float32),
+                                        mesh_shape=mesh_shape, depth=N)
+            mrb, mrt = mrb3[0], mrt3[0]
+            starts = y0 + jnp.arange(n_ty) * Ty
+            if solid_rows is None:
+                sflags = jnp.zeros((n_ty,), jnp.int32)
+            else:
+                slo, shi = solid_rows
+                sflags = ((starts <= shi)
+                          & (starts + Ty > slo)).astype(jnp.int32)
+        bzrb = bzrt = None
+        if bz_local is not None:
+            neg_ring = np.full((bz_local.shape[0],), -1.0, np.float32)
+            bzrb, bzrt = halo.ring_rows(bz_local, eq_ring=neg_ring,
+                                        mesh_shape=mesh_shape, depth=N)
+
+        def mrows(r0):
+            # local chain rows (static geometry, per chunk)
+            return mask[r0:r0 + N, :] if mask is not None else None
+
+        def qrows(r0):
+            return (bz_local[:, r0:r0 + N, :]
+                    if bz_local is not None else None)
+
+        def n_steps(carry, _):
+            f, scratch = carry
+            rb, rt = halo.ring_rows(f, eq_ring=eq_ring,
+                                    mesh_shape=mesh_shape, depth=N,
+                                    periodic_y=problem.periodic_y)
+            # interior first: raw-local chains → overlaps the ppermute
+            o = pallas_rangedN(
+                f, f[:, lo_r - N:lo_r, :], f[:, hi_r:hi_r + N, :], flags,
+                mask=mask, mrb=mrows(lo_r - N), mrt=mrows(hi_r),
+                sflags=sflags, bzq=bz_local, bzrb=qrows(lo_r - N),
+                bzrt=qrows(hi_r), bounds=b_int, out_init=scratch)
+            o = pallas_rangedN(
+                f, rb, f[:, lo_r:lo_r + N, :], flags,
+                mask=mask, mrb=mrb, mrt=mrows(lo_r), sflags=sflags,
+                bzq=bz_local, bzrb=bzrb, bzrt=qrows(lo_r),
+                bounds=b_bot, out_init=o)
+            o = pallas_rangedN(
+                f, f[:, hi_r - N:hi_r, :], rt, flags,
+                mask=mask, mrb=mrows(hi_r - N), mrt=mrt, sflags=sflags,
+                bzq=bz_local, bzrb=qrows(hi_r - N), bzrt=bzrt,
+                bounds=b_top, out_init=o)
+            return (o, f), None
+
+        scratch0 = jnp.zeros_like(f_local)
+        (f_local, _), _ = lax.scan(n_steps, (f_local, scratch0), None,
+                                   length=chunk_len // N)
+        return f_local[..., :nxl] if pad2 else f_local
+
     def body_pallas_tiled(f_local, solid_local, bz_local=None):
         iy = lax.axis_index("y")
         ix = lax.axis_index("x")
@@ -895,6 +1020,8 @@ def make_chunk_fn(problem: Problem, mesh: Mesh, chunk_len: int,
             if pallas3d_step is None:
                 assert sum(st.depth * k for st, k in pallas3d_plan) \
                     == chunk_len
+        elif pallas_rangedN is not None:
+            body = body_pallas_overlapN
         elif pallas_ranged is not None:
             body = body_pallas_overlap
         elif pallas_tiled is not None:
@@ -906,13 +1033,24 @@ def make_chunk_fn(problem: Problem, mesh: Mesh, chunk_len: int,
 
     spec_f = P(*((None,) + (None,) * (ndim - 2) + ("y", "x")))
     spec_m = P(*((None,) * (ndim - 2) + ("y", "x")))
+    plan_depths_any = ([st.depth for st, _ in pallas3d_plan]
+                       if pallas3d_plan else None)
     # check_vma=False: pallas_call out_shapes don't carry vma annotations
     if bz_q is None:
         sharded = shard_map(body, mesh=mesh, in_specs=(spec_f, spec_m),
                             out_specs=spec_f, check_vma=False)
+        sharded.pallas_substeps = pallas_substeps
+        sharded.pallas3d_depths = plan_depths_any
         if _raw:
             return sharded
-        return jax.jit(sharded, donate_argnums=(0,))
+        jitted = jax.jit(sharded, donate_argnums=(0,))
+
+        def chunk_nb(f, solid):
+            return jitted(f, solid)
+
+        chunk_nb.pallas_substeps = pallas_substeps
+        chunk_nb.pallas3d_depths = plan_depths_any
+        return chunk_nb
     # bouzidi: the q table rides as a third REAL argument sharded like f
     # (passing it by closure would bake a grid-sized constant into the
     # program); raw callers read .bouzidi_q and thread it themselves
@@ -922,8 +1060,7 @@ def make_chunk_fn(problem: Problem, mesh: Mesh, chunk_len: int,
     q_dev = jax.device_put(bz_q, NamedSharding(mesh, spec_f))
     sharded.bouzidi_q = q_dev
     sharded.pallas_substeps = pallas_substeps
-    plan_depths = ([st.depth for st, _ in pallas3d_plan]
-                   if pallas3d_plan else None)
+    plan_depths = plan_depths_any
     sharded.pallas3d_depths = plan_depths
     if _raw:
         return sharded
