@@ -587,8 +587,13 @@ def make_local_step_pallas3d(problem: Problem,
                         val = jnp.float32(0.0)
                     ob[oslot, i, :, xc:xc + 1] = jnp.broadcast_to(
                         val, (ny, 1)).astype(jnp.float32)
-                if cfg.periodic_y:
-                    continue        # sublane roll already wrapped y
+                if cfg.periodic_y or cfg.walls_y:
+                    # periodic: the sublane roll already wrapped y; walls:
+                    # the row sanitize is folded into the whole-Q wall
+                    # store below (the bounce overwrites these rows; with a
+                    # solid guard the solid-cell fallback is exactly this
+                    # sanitized eq value)
+                    continue
                 if cy > 0:
                     ob[oslot, i, 0:1, :] = jnp.full((1, nx), cfg.eq_in[i],
                                                     jnp.float32)
@@ -603,24 +608,32 @@ def make_local_step_pallas3d(problem: Problem,
                     m = m[:, cs:ce]
                 return m < 0.5
 
-            # ---- walls in y (rows) ----
+            # ---- walls in y (rows) — ONE whole-Q (Q, 1, nx) store per
+            # boundary row (the per-population sanitize stores above are
+            # folded in; see the y-tiled kernel's wall_row for the
+            # rationale — op-issue overhead on per-plane-per-step ops) ----
             if cfg.walls_y:
-                for i in range(Q):
-                    cy = cfg.c[i][1]
-                    if cy > 0:
-                        val = ob[oslot, cfg.opp[i], 0:1, :]
-                        if has_solid:
-                            val = jnp.where(fluid_rows(0, 1), val,
-                                            ob[oslot, i, 0:1, :])
-                        ob[oslot, i, 0:1, :] = val
-                for i in range(Q):
-                    cy = cfg.c[i][1]
-                    if cy < 0:
-                        val = ob[oslot, cfg.opp[i], ny - 1:ny, :]
-                        if has_solid:
-                            val = jnp.where(fluid_rows(ny - 1, ny), val,
-                                            ob[oslot, i, ny - 1:ny, :])
-                        ob[oslot, i, ny - 1:ny, :] = val
+                def wall_row_fp(row, downstream):
+                    rows = ob[oslot, :, row:row + 1, :]
+                    guard = (fluid_rows(row, row + 1)[None]
+                             if has_solid else None)
+                    parts = []
+                    for i in range(Q):
+                        if downstream(cfg.c[i][1]):
+                            v = rows[cfg.opp[i]:cfg.opp[i] + 1]
+                            if guard is not None:
+                                v = jnp.where(
+                                    guard, v,
+                                    jnp.full((1, 1, nx), cfg.eq_in[i],
+                                             jnp.float32))
+                        else:
+                            v = rows[i:i + 1]
+                        parts.append(v)
+                    ob[oslot, :, row:row + 1, :] = jnp.concatenate(
+                        parts, axis=0)
+
+                wall_row_fp(0, lambda cy: cy > 0)
+                wall_row_fp(ny - 1, lambda cy: cy < 0)
 
             # ---- walls in z (whole first/last output planes) ----
             if cfg.walls_z:
@@ -1349,12 +1362,12 @@ def make_local_step_pallas3d_tiled(problem: Problem,
                     def _(i=i, xc=xc):
                         tgt[tslot, i, :, xc:xc + 1] = jnp.full(
                             (Wy, 1), cfg.eq_in[i], jnp.float32)
-                if cy > 0:
+                if cy > 0 and not cfg.walls_y:
                     @pl.when(gb)
                     def _(i=i):
                         tgt[tslot, i, yb:yb + 1, :] = jnp.full(
                             (1, Wx), cfg.eq_in[i], jnp.float32)
-                elif cy < 0:
+                elif cy < 0 and not cfg.walls_y:
                     @pl.when(gt)
                     def _(i=i):
                         tgt[tslot, i, yt:yt + 1, :] = jnp.full(
@@ -1366,27 +1379,39 @@ def make_local_step_pallas3d_tiled(problem: Problem,
                     m = m[:, cs:ce]
                 return m < 0.5
 
-            # walls in y (global boundary rows only)
+            # walls in y (global boundary rows only) — ONE whole-Q
+            # (Q, 1, Wx) store per boundary row instead of Q per-population
+            # row stores. These run on every plane at every substep of the
+            # N-cascade on gb/gt tiles, so (like the inlet/outlet strips —
+            # see the round-4 note below) the op-issue overhead is
+            # VPU-critical-path time. The ghost-sanitize row stores that
+            # used to precede the bounce (eq into cy>0 rows at gb / cy<0 at
+            # gt) are FOLDED in: without a mask guard the bounce overwrites
+            # them entirely (they were dead stores); with a guard the
+            # solid-cell fallback is exactly that sanitized eq value.
             if cfg.walls_y:
-                @pl.when(gb)
-                def _():
+                def wall_row(row, downstream):
+                    # downstream(cy) true for populations the wall reflects
+                    rows = tgt[tslot, :, row:row + 1, :]
+                    guard = (fluid_rows(row, row + 1)[None]
+                             if has_solid and cfg.guard_bcs else None)
+                    parts = []
                     for i in range(Q):
-                        if cfg.c[i][1] > 0:
-                            val = tgt[tslot, cfg.opp[i], yb:yb + 1, :]
-                            if has_solid and cfg.guard_bcs:
-                                val = jnp.where(fluid_rows(yb, yb + 1), val,
-                                                tgt[tslot, i, yb:yb + 1, :])
-                            tgt[tslot, i, yb:yb + 1, :] = val
+                        if downstream(cfg.c[i][1]):
+                            v = rows[cfg.opp[i]:cfg.opp[i] + 1]
+                            if guard is not None:
+                                v = jnp.where(
+                                    guard, v,
+                                    jnp.full((1, 1, Wx), cfg.eq_in[i],
+                                             jnp.float32))
+                        else:
+                            v = rows[i:i + 1]
+                        parts.append(v)
+                    tgt[tslot, :, row:row + 1, :] = jnp.concatenate(
+                        parts, axis=0)
 
-                @pl.when(gt)
-                def _():
-                    for i in range(Q):
-                        if cfg.c[i][1] < 0:
-                            val = tgt[tslot, cfg.opp[i], yt:yt + 1, :]
-                            if has_solid and cfg.guard_bcs:
-                                val = jnp.where(fluid_rows(yt, yt + 1), val,
-                                                tgt[tslot, i, yt:yt + 1, :])
-                            tgt[tslot, i, yt:yt + 1, :] = val
+                pl.when(gb)(lambda: wall_row(yb, lambda cy: cy > 0))
+                pl.when(gt)(lambda: wall_row(yt, lambda cy: cy < 0))
 
             # walls in z (whole first/last output planes)
             if cfg.walls_z:
