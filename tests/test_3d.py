@@ -246,7 +246,9 @@ def test_3d_tiled_pallas_2d_mesh_bounce_back():
     np.testing.assert_allclose(got, ref, rtol=5e-6, atol=1e-7)
 
 
-@pytest.mark.parametrize("mesh_shape", [(1, 1), (2, 1)],
+@pytest.mark.parametrize("mesh_shape",
+                         [(1, 1),
+                          pytest.param((2, 1), marks=pytest.mark.slow)],
                          ids=["single", "y-sharded"])
 def test_3d_inlet_piercing_solid_runs_fused(mesh_shape):
     # solid on the inlet column (VERDICT r4 #3e): the y-tiled kernel keeps

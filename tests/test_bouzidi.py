@@ -214,7 +214,9 @@ def _run_bz(pr, mesh_shape, backend, n_chunks=2, chunk_len=5,
     return np.asarray(jax.device_get(s))
 
 
-@pytest.mark.parametrize("mesh_shape", [(1, 1), (2, 1)],
+@pytest.mark.parametrize("mesh_shape",
+                         [pytest.param((1, 1), marks=pytest.mark.slow),
+                          (2, 1)],
                          ids=["single", "y-sharded"])
 def test_bouzidi_pallas_matches_jax(mesh_shape):
     """The fused kernel (q table riding the slab pipeline, step_pallas)
@@ -225,8 +227,15 @@ def test_bouzidi_pallas_matches_jax(mesh_shape):
     np.testing.assert_allclose(got, ref, rtol=5e-6, atol=1e-7)
 
 
-@pytest.mark.parametrize("n_sub", [2, 3, 4])
-@pytest.mark.parametrize("mesh_shape", [(1, 1), (2, 1)],
+# fast lane keeps one representative ([single-2]); the deeper depths and
+# the sharded-blocked variants are slow-lane (the 1-step sharded rep above
+# stays fast) — each costs 15-90 s of interpret-mode compile on 1 core
+@pytest.mark.parametrize("n_sub", [2,
+                                   pytest.param(3, marks=pytest.mark.slow),
+                                   pytest.param(4, marks=pytest.mark.slow)])
+@pytest.mark.parametrize("mesh_shape", [(1, 1),
+                                        pytest.param((2, 1),
+                                                     marks=pytest.mark.slow)],
                          ids=["single", "y-sharded"])
 def test_bouzidi_blocked_pallas_matches_jax(mesh_shape, n_sub, monkeypatch):
     """Bouzidi through the N-step temporally blocked cascade (VERDICT r4
@@ -244,6 +253,7 @@ def test_bouzidi_blocked_pallas_matches_jax(mesh_shape, n_sub, monkeypatch):
     np.testing.assert_allclose(got, ref, rtol=5e-6, atol=1e-7)
 
 
+@pytest.mark.slow  # fast moving-wall rep: the x-tiled test below
 def test_bouzidi_blocked_moving_wall_matches_jax(monkeypatch):
     """Spinning cylinder through the blocked cascade: the 2Q link table
     (momentum scalars under q) rides the M-slot q ring and the ghost-chain
@@ -258,6 +268,7 @@ def test_bouzidi_blocked_moving_wall_matches_jax(monkeypatch):
     np.testing.assert_allclose(got, ref, rtol=5e-6, atol=1e-7)
 
 
+@pytest.mark.slow  # fast moving-wall rep: the x-sharded moving-wall gate
 def test_bouzidi_pallas_matches_jax_moving_wall():
     """Spinning cylinder: the 2Q link table (momentum scalars stacked under
     q) rides the same slab DMA; the in-kernel select adds the 6 w c·u_w
@@ -268,8 +279,14 @@ def test_bouzidi_pallas_matches_jax_moving_wall():
     np.testing.assert_allclose(got, ref, rtol=5e-6, atol=1e-7)
 
 
-@pytest.mark.parametrize("force_pad", [0, 8], ids=["aligned", "lane-padded"])
-@pytest.mark.parametrize("mesh_shape", [(1, 2), (2, 2)],
+# fast rep: [x-sharded-lane-padded] (covers x-shard fusion AND the padded
+# q-table path); the other three combinations run in the slow lane
+@pytest.mark.parametrize("force_pad",
+                         [pytest.param(0, marks=pytest.mark.slow), 8],
+                         ids=["aligned", "lane-padded"])
+@pytest.mark.parametrize("mesh_shape",
+                         [(1, 2),
+                          pytest.param((2, 2), marks=pytest.mark.slow)],
                          ids=["x-sharded", "2d-mesh"])
 def test_bouzidi_pallas_xsharded_matches_jax(mesh_shape, force_pad,
                                              monkeypatch):
@@ -297,6 +314,7 @@ def test_bouzidi_pallas_xsharded_moving_wall_matches_jax():
     np.testing.assert_allclose(got, ref, rtol=5e-6, atol=1e-7)
 
 
+@pytest.mark.slow  # fast 3-D rep: blocked[2] below (same q machinery + halo)
 def test_bouzidi_3d_pallas_matches_jax():
     """The y-tiled 3-D kernel threads the q table (center rows only,
     n_sub == 1) — sphere with fractional radius, single-device and
@@ -326,7 +344,9 @@ def test_bouzidi_3d_pallas_matches_jax():
     np.testing.assert_allclose(got2, ref, rtol=5e-6, atol=1e-7)
 
 
-@pytest.mark.parametrize("n_sub", [2, 3])
+@pytest.mark.parametrize("n_sub", [2,
+                                   pytest.param(3, marks=pytest.mark.slow)])
+@pytest.mark.slow
 def test_bouzidi_3d_blocked_pallas_matches_jax(n_sub, monkeypatch):
     """Bouzidi through the 3-D y-tiled N-step blocked cascade (VERDICT r4
     #1): the q tile is widened to the full buffer height (halo rows via
@@ -360,6 +380,7 @@ def test_bouzidi_3d_blocked_pallas_matches_jax(n_sub, monkeypatch):
     np.testing.assert_allclose(got2, ref, rtol=5e-6, atol=1e-7)
 
 
+@pytest.mark.slow  # fast x-sharded bouzidi rep: the 2-D x-sharded gates above
 def test_bouzidi_3d_xsharded_matches_jax():
     """x-sharded 3-D bouzidi runs FUSED (x_halo tiles at n_sub == 1: the
     rewrite touches owned columns only, so the q slab needs no halo

@@ -100,7 +100,10 @@ def _run_chunks(params, mesh_shape, backend, chunk_len=6, n_chunks=2,
 
 
 @pytest.mark.parametrize("mesh_shape,env", [
-    ((1, 1), None),
+    # the fast single-device rep pins the 1-step kernel (the corner
+    # closures make the cascade's interpret compile ~3x slower on 1 core;
+    # the blocked+tiled cavity gate in the slow lane covers the cascade)
+    ((1, 1), {"TPULBM_SUBSTEPS": "1"}),
     pytest.param((2, 1), None, marks=pytest.mark.slow),
     pytest.param((2, 2), None, marks=pytest.mark.slow),
 ], ids=["single", "y-sharded", "2d-mesh"])

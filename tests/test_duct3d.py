@@ -68,7 +68,13 @@ def _run_duct(pr, mesh_shape, backend, n_chunks=2, chunk_len=6,
     return np.asarray(jax.device_get(s))
 
 
-@pytest.mark.parametrize("mesh_shape", [(1, 1), (2, 1), (1, 2), (2, 2)],
+# fast lane keeps the single-device rep; each sharded duct variant costs
+# 25-45 s of interpret-mode compile on 1 core (slow lane covers them)
+@pytest.mark.parametrize("mesh_shape",
+                         [pytest.param((1, 1), marks=pytest.mark.slow),
+                          pytest.param((2, 1), marks=pytest.mark.slow),
+                          pytest.param((1, 2), marks=pytest.mark.slow),
+                          pytest.param((2, 2), marks=pytest.mark.slow)],
                          ids=["single", "y-sharded", "x-sharded", "2d-mesh"])
 def test_duct3d_pallas_matches_jax(mesh_shape):
     """The y-tiled kernel runs the duct FUSED (blocked cascade; x wraps

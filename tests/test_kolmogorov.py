@@ -110,7 +110,12 @@ def test_sharded_matches_oracle(mesh_shape):
                                rtol=1e-12, atol=1e-15)
 
 
-@pytest.mark.parametrize("mesh_shape", [(1, 1), (2, 1)], ids=["1dev", "y"])
+# fast force-fn reps: blocked_force[N2] (same in-kernel force code in the
+# cascade) and the x-tiled (2,2) N=2 gate; 1-step variants are slow-lane
+@pytest.mark.parametrize("mesh_shape",
+                         [pytest.param((1, 1), marks=pytest.mark.slow),
+                          pytest.param((2, 1), marks=pytest.mark.slow)],
+                         ids=["1dev", "y"])
 def test_pallas_force_matches_jax(mesh_shape):
     """The fused path evaluates the force IN-KERNEL from global
     coordinates rebuilt with broadcasted_iota + the shard y offset
@@ -134,9 +139,12 @@ def test_pallas_force_matches_jax(mesh_shape):
 
 
 @pytest.mark.parametrize("n_sub,mesh_shape",
-                         [(2, (1, 1)), (3, (1, 1)),
+                         [(2, (1, 1)),
+                          pytest.param(3, (1, 1),
+                                       marks=pytest.mark.slow),
                           pytest.param(4, (1, 1), marks=pytest.mark.slow),
-                          (3, (2, 1))],
+                          pytest.param(3, (2, 1),
+                                       marks=pytest.mark.slow)],
                          ids=["N2", "N3", "N4", "N3-sharded"])
 def test_pallas_blocked_force_matches_jax(n_sub, mesh_shape, monkeypatch):
     """Temporal blocking with a spatially varying force: every collide
@@ -174,7 +182,9 @@ def test_pallas_blocked_force_matches_jax(n_sub, mesh_shape, monkeypatch):
 @pytest.mark.parametrize("axis,n_sub,mesh_shape",
                          [pytest.param("y", 1, (1, 2),
                                        marks=pytest.mark.slow),
-                          ("x", 1, (1, 2)), ("x", 2, (2, 2))],
+                          pytest.param("x", 1, (1, 2),
+                                       marks=pytest.mark.slow),
+                          ("x", 2, (2, 2))],
                          ids=["Fy-x2", "Fx-x2", "Fx-2x2-N2"])
 def test_pallas_x_sharded_force_fused(axis, n_sub, mesh_shape, monkeypatch):
     """x-sharded meshes run force_fn problems through the x-tiled kernel:
@@ -211,6 +221,7 @@ def test_pallas_x_sharded_force_fused(axis, n_sub, mesh_shape, monkeypatch):
     np.testing.assert_allclose(b, a, atol=5e-7, rtol=0)
 
 
+@pytest.mark.slow  # fast lane-pad rep: tiled wrap-self periodic gate
 def test_pallas_lane_padded_periodic_force(monkeypatch):
     """Unaligned periodic grids route to the x-tiled kernel with lane
     padding (shadow wrap columns). The pad columns' unwrapped
@@ -319,6 +330,7 @@ def test_3d_pallas_force_matches_jax():
     np.testing.assert_allclose(b, a, atol=3e-6, rtol=0)
 
 
+@pytest.mark.slow  # fast 3-D force rep: test_3d_pallas_force_matches_jax
 def test_3d_sharded_force_tiled_pallas_matches_jax():
     """Sharded 3-D Kolmogorov runs the y-tiled kernel with per-tile force
     coordinates (flags[4]/flags[5] global offsets + tyi*Ty - H) and

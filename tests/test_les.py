@@ -92,7 +92,9 @@ def _run(problem, mesh_shape, backend, n_chunks=2, chunk_len=5):
     return np.asarray(jax.device_get(f))
 
 
-@pytest.mark.parametrize("mesh_shape", [(1, 1), (2, 2)],
+@pytest.mark.parametrize("mesh_shape",
+                         [(1, 1),
+                          pytest.param((2, 2), marks=pytest.mark.slow)],
                          ids=["single", "2d-mesh"])
 def test_les_pallas_matches_jax_2d(mesh_shape):
     params = SimulationParams(nx=256, ny=64, tau=0.55, inlet_velocity=0.05,

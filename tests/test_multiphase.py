@@ -142,7 +142,11 @@ def test_wall_wettability_controls_contact_angle():
     assert w_dry >= 0 and w_wet < 96
 
 
-@pytest.mark.parametrize("mesh_shape", [(1, 1), (2, 1), (1, 2), (2, 2)],
+@pytest.mark.parametrize("mesh_shape",
+                         [(1, 1),
+                          pytest.param((2, 1), marks=pytest.mark.slow),
+                          (1, 2),
+                          pytest.param((2, 2), marks=pytest.mark.slow)],
                          ids=["single", "y", "x-sharded", "2d-mesh"])
 def test_multiphase_pallas_matches_jax(mesh_shape):
     # the fused kernel collides the inner depth-2 ring row in-kernel (one

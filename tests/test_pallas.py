@@ -96,6 +96,7 @@ def test_pallas_halo_overlap_split_matches_jax(monkeypatch):
                               precision="f32"), mesh_shape=(2, 1))
 
 
+@pytest.mark.slow  # fast overlap rep: test_pallas_halo_overlap_split_matches_jax
 def test_pallas_halo_overlap_single_device_bounce_back(monkeypatch):
     monkeypatch.setenv("TPULBM_HALO_OVERLAP", "1")
     monkeypatch.setenv("TPULBM_PALLAS_TY", "8")
@@ -103,6 +104,7 @@ def test_pallas_halo_overlap_single_device_bounce_back(monkeypatch):
                               precision="f32", obstacle_bc="bounce_back"))
 
 
+@pytest.mark.slow  # fast overlap reps: the 1-step split + blocked_engages
 def test_pallas_halo_overlap_blocked_matches_jax(monkeypatch):
     # TPULBM_HALO_OVERLAP composed with N-step temporal blocking (VERDICT
     # r4 #5): chunk_len=4 selects the ranged 4-step cascade, split into an
@@ -129,6 +131,7 @@ def test_pallas_halo_overlap_blocked_engages(monkeypatch):
     assert chunk.pallas_substeps == 4
 
 
+@pytest.mark.slow
 def test_pallas_halo_overlap_blocked_bouzidi(monkeypatch):
     # the blocked overlap split lifts the old bouzidi exclusion: the q
     # table's ghost chains ride the ranged cascade (raw local slices for
@@ -139,6 +142,7 @@ def test_pallas_halo_overlap_blocked_bouzidi(monkeypatch):
              mesh_shape=(2, 1), chunk_len=4)
 
 
+@pytest.mark.slow
 def test_pallas_halo_overlap_blocked_kolmogorov(monkeypatch):
     # ... and the force_fn exclusion: in-kernel force coordinates are
     # global (flags[4] shard offset + absolute slab indices), so the range
@@ -183,6 +187,7 @@ def test_pallas2_cylinder_sharded(monkeypatch):
               monkeypatch=monkeypatch, chunk_len=4, n_chunks=3)
 
 
+@pytest.mark.slow  # fast walls_x rep: test_pallasN_poiseuille_periodic
 def test_pallas2_poiseuille_periodic(monkeypatch):
     _compare2(SimulationParams(nx=128, ny=48, tau=0.8, problem="poiseuille",
                                periodic_x=True, body_force=(1e-5, 0.0),
@@ -267,8 +272,11 @@ def test_pallasN_cylinder(monkeypatch, n_sub, chunk_len):
                                    err_msg=f"N={n_sub} chunk {k}")
 
 
+# fast sharded-blocked reps: the x-tiled (2,2)-mesh N=2 kolmogorov gate +
+# the 1-step sharded gates; full-width y-sharded depths run in the slow lane
 @pytest.mark.parametrize(
-    "n_sub", [3, pytest.param(4, marks=pytest.mark.slow)])
+    "n_sub", [pytest.param(3, marks=pytest.mark.slow),
+              pytest.param(4, marks=pytest.mark.slow)])
 def test_pallasN_sharded_bounce_back(monkeypatch, n_sub):
     monkeypatch.setenv("TPULBM_PALLAS_TY", "8")
     monkeypatch.setenv("TPULBM_SUBSTEPS", str(n_sub))
@@ -307,6 +315,7 @@ def test_pallas_clean_corners_matches_jax():
                               precision="f32", zou_he_corners="clean"))
 
 
+@pytest.mark.slow  # fast corners rep: the single-device gate
 def test_pallas_clean_corners_sharded():
     # corner slabs live on different shards; the closure must fire only on
     # the shard owning each physical wall row

@@ -77,7 +77,9 @@ def _assert_tiled_engages(params, mesh_shape, n_sub, tile_x=None):
     return step
 
 
-@pytest.mark.parametrize("n_sub", [1, 2, pytest.param(3, marks=pytest.mark.slow),
+@pytest.mark.parametrize("n_sub", [1,
+                                   pytest.param(2, marks=pytest.mark.slow),
+                                   pytest.param(3, marks=pytest.mark.slow),
                                    pytest.param(4, marks=pytest.mark.slow)])
 def test_tiled_forced_single_device_depths(n_sub):
     # single shard, forced 4-wide tile grid: the wide-row VMEM configuration
@@ -91,21 +93,25 @@ def test_tiled_forced_single_device_depths(n_sub):
              n_chunks=2)
 
 
+@pytest.mark.slow
 def test_tiled_x_sharded_mesh():
     # pure x decomposition: halo columns ride ppermute over the 'x' axis
     _compare(CYL, (1, 4), {}, chunk_len=6, n_chunks=3)
 
 
+@pytest.mark.slow
 def test_tiled_2d_mesh():
     # fully 2-D decomposition incl. corner data in the extended ring rows
     _compare(CYL, (2, 2), {}, chunk_len=6, n_chunks=3)
 
 
+@pytest.mark.slow
 def test_tiled_2d_mesh_with_inner_tiles():
     # 2-D mesh AND multiple tiles per shard (both halo sources exercised)
     _compare(CYL, (2, 4), {"TPULBM_TILE_X": "16"}, chunk_len=6, n_chunks=2)
 
 
+@pytest.mark.slow
 def test_tiled_cylinder_straddling_x_boundary():
     # obstacle cells appear in the x-halo columns/corners of both x-shards
     params = CYL.replace(cylinder_x=0.5, cylinder_radius=0.15)
@@ -119,6 +125,7 @@ def test_tiled_bounce_back_straddling_2d():
              n_chunks=2)
 
 
+@pytest.mark.slow
 def test_tiled_poiseuille_periodic_x_sharded():
     params = SimulationParams(nx=128, ny=48, tau=0.8, problem="poiseuille",
                               periodic_x=True, body_force=(1e-5, 0.0),
@@ -126,6 +133,7 @@ def test_tiled_poiseuille_periodic_x_sharded():
     _compare(params, (1, 2), {}, chunk_len=6, n_chunks=2)
 
 
+@pytest.mark.slow
 def test_tiled_trt_collision_2d():
     params = CYL.replace(collision="trt", tau=0.55)
     _compare(params, (2, 2), {}, chunk_len=6, n_chunks=2)
@@ -142,6 +150,7 @@ def test_tiled_matches_full_width_kernel():
                                    err_msg=f"chunk {k}")
 
 
+@pytest.mark.slow  # fast guard rep: test_3d_inlet_piercing_solid_runs_fused[single]
 def test_tiled_guard_bcs_solid_touching_inlet():
     # 2-D solid overlapping the inlet column and bottom wall: the BC strips
     # must be mask-guarded (guard_bcs) in the tiled kernel too
@@ -155,6 +164,7 @@ def test_tiled_guard_bcs_solid_touching_inlet():
     _compare(params, (2, 2), {}, chunk_len=6, n_chunks=2)
 
 
+@pytest.mark.slow
 def test_tiled_guard_bcs_solid_touching_outlet():
     params = CYL.replace(nx=128, ny=64, cylinder_x=1.0, cylinder_y=0.5,
                          cylinder_radius=0.15)
@@ -165,6 +175,7 @@ def test_tiled_guard_bcs_solid_touching_outlet():
              n_chunks=2)
 
 
+@pytest.mark.slow
 def test_tiled_lane_padded_x_sharded():
     # unaligned local width on an x-sharded mesh: the tiled kernel runs on
     # lane-PADDED blocks whose pad columns are live shadow copies of the
@@ -176,6 +187,7 @@ def test_tiled_lane_padded_x_sharded():
              chunk_len=6, n_chunks=3)
 
 
+@pytest.mark.slow
 def test_tiled_lane_padded_2d_mesh_straddle_bounce_back():
     # padded shadow columns carrying obstacle cells: a bounce-back cylinder
     # straddling the x shard boundary must read the same mask through the
@@ -186,7 +198,9 @@ def test_tiled_lane_padded_2d_mesh_straddle_bounce_back():
              chunk_len=6, n_chunks=2)
 
 
-@pytest.mark.parametrize("mesh_shape", [(1, 1), (1, 2)],
+@pytest.mark.parametrize("mesh_shape",
+                         [(1, 1),
+                          pytest.param((1, 2), marks=pytest.mark.slow)],
                          ids=["wrap-self", "wrap-ppermute"])
 def test_tiled_lane_padded_periodic(mesh_shape):
     # periodic channel + padding: the physically-east shard's pad columns
@@ -201,6 +215,7 @@ def test_tiled_lane_padded_periodic(mesh_shape):
              chunk_len=6, n_chunks=2)
 
 
+@pytest.mark.slow
 def test_tiled_lane_padded_single_shard():
     # mx == 1 + forced pad: the pad columns are dead (eq-pinned in-kernel),
     # same as the full-width kernels' pad semantics
@@ -209,6 +224,7 @@ def test_tiled_lane_padded_single_shard():
              chunk_len=6, n_chunks=2)
 
 
+@pytest.mark.slow
 def test_tiled_clean_corners_2d_mesh():
     # the in-kernel Zou & He corner closure on the x-tiled kernel over a
     # (2,2) mesh: each corner lives on a different shard AND a different

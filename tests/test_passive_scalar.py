@@ -128,7 +128,10 @@ def test_sharded_matches_oracle(mesh_shape):
                                rtol=1e-12, atol=1e-14)
 
 
-@pytest.mark.parametrize("mesh_shape", [(1, 1), (2, 1), (2, 2)],
+@pytest.mark.parametrize("mesh_shape",
+                         [(1, 1),
+                          pytest.param((2, 1), marks=pytest.mark.slow),
+                          pytest.param((2, 2), marks=pytest.mark.slow)],
                          ids=["single", "y-sharded", "xy-sharded"])
 def test_pallas_matches_jax(mesh_shape):
     """Periodic scalar transport runs the FUSED thermal kernel (VERDICT r3

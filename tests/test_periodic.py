@@ -118,10 +118,21 @@ def test_periodic_sharded_matches_oracle(mesh_shape):
                                rtol=1e-13, atol=1e-15)
 
 
+# fast lane keeps single + blocked (the production path); the mesh-shape
+# variants are covered fast at the jax tier (test_periodic_sharded_matches
+# _oracle) and in the slow lane on pallas
 @pytest.mark.parametrize("mesh_shape,ty,tiled",
-                         [((1, 1), None, False), ((4, 1), None, False),
-                          ((1, 1), "8", False), ((1, 2), None, False),
-                          ((2, 2), None, False), ((1, 1), None, True)],
+                         [((1, 1), "1sub", False),
+                          pytest.param((4, 1), None, False,
+                                       marks=pytest.mark.slow),
+                          pytest.param((1, 1), "8", False,
+                                       marks=pytest.mark.slow),
+                          pytest.param((1, 2), None, False,
+                                       marks=pytest.mark.slow),
+                          pytest.param((2, 2), None, False,
+                                       marks=pytest.mark.slow),
+                          pytest.param((1, 1), None, True,
+                                       marks=pytest.mark.slow)],
                          ids=["single", "y-sharded", "blocked",
                               "x-sharded", "2d-mesh", "forced-tiled"])
 def test_periodic_pallas_matches_oracle(mesh_shape, ty, tiled, monkeypatch):
@@ -131,7 +142,11 @@ def test_periodic_pallas_matches_oracle(mesh_shape, ty, tiled, monkeypatch):
     # wrap-correct too. x-sharded / forced-tiled cases route to the
     # x-tiled kernel, whose extended rings wrap diagonally (two-phase
     # composition: x columns first, then wrapped rows carry the corners).
-    if ty is not None:
+    if ty == "1sub":
+        # fast rep pins the 1-step wrapped-ring kernel; the blocked wrap
+        # is its own (slow-lane) case below
+        monkeypatch.setenv("TPULBM_SUBSTEPS", "1")
+    elif ty is not None:
         monkeypatch.setenv("TPULBM_PALLAS_TY", ty)
     if tiled:
         monkeypatch.setenv("TPULBM_FORCE_TILED", "1")
@@ -154,6 +169,7 @@ def test_periodic_pallas_matches_oracle(mesh_shape, ty, tiled, monkeypatch):
     assert d < 1e-5, d
 
 
+@pytest.mark.slow  # fast lane-pad reps: tiled wrap-self + 2-D lane-pad gates
 def test_periodic_pallas_padded_x_sharded():
     # unaligned width on an x-sharded periodic box: shadow-column lane
     # padding + wrapped y rings compose
@@ -275,6 +291,7 @@ def test_periodic3d_sharded_matches_oracle(mesh_shape):
                                rtol=1e-13, atol=1e-15)
 
 
+@pytest.mark.slow  # fast 3-D periodic rep: blocked extended sweep [n2]
 def test_periodic3d_pallas_full_plane_matches_oracle():
     # the full-plane kernel with wrapped z ring planes (interpret mode)
     pr = make_problem(_params3d(precision="f32"))
@@ -319,6 +336,7 @@ def _run_periodic3d_pallas(pr, mesh_shape, n_chunks=2, chunk_len=5,
                 os.environ[k] = old[k]
 
 
+@pytest.mark.slow
 def test_periodic3d_tiled_pallas_matches_oracle():
     # the y-tiled 1-step kernel wraps fully periodic boxes: y via the
     # periodic ring rows, x via native lane rolls, z via in-kernel
@@ -339,7 +357,10 @@ def test_periodic3d_tiled_pallas_matches_oracle():
     assert d2 / np.abs(s_ref).max() < 3e-5, d2
 
 
-@pytest.mark.parametrize("subs,mesh_shape", [("2", (1, 1)), ("3", (2, 1))],
+@pytest.mark.parametrize("subs,mesh_shape",
+                         [("2", (1, 1)),
+                          pytest.param("3", (2, 1),
+                                       marks=pytest.mark.slow)],
                          ids=["n2", "n3-sharded"])
 def test_periodic3d_blocked_extended_sweep(subs, mesh_shape):
     # temporally blocked periodic boxes run the EXTENDED sweep (iterate
@@ -361,7 +382,9 @@ def test_periodic3d_blocked_extended_sweep(subs, mesh_shape):
     assert d / np.abs(s_ref).max() < 3e-5, d
 
 
-@pytest.mark.parametrize("mesh_shape", [(1, 2), (2, 2)],
+@pytest.mark.parametrize("mesh_shape",
+                         [pytest.param((1, 2), marks=pytest.mark.slow),
+                          pytest.param((2, 2), marks=pytest.mark.slow)],
                          ids=["x-sharded", "2d-mesh"])
 def test_periodic3d_x_sharded_pallas_matches_oracle(mesh_shape):
     # x-sharded periodic boxes run FUSED through the blocked extended

@@ -119,7 +119,7 @@ def test_regularized_stabilizes_double_shear_layer():
                           pytest.param((2, 2), 2, marks=pytest.mark.slow),
                           pytest.param((1, 1), 3, marks=pytest.mark.slow)],
                          ids=["2d-single", "2d-xsharded", "3d"])
-def test_regularized_pallas_matches_oracle(mesh_shape, dims):
+def test_regularized_pallas_matches_oracle(mesh_shape, dims, monkeypatch):
     if dims == 2:
         params = SimulationParams(nx=128, ny=32, precision="f32",
                                   collision="regularized")
@@ -128,6 +128,11 @@ def test_regularized_pallas_matches_oracle(mesh_shape, dims):
                                   problem="cylinder3d", precision="f32",
                                   collision="regularized",
                                   inlet_velocity=0.05, tau=0.6)
+    if dims == 2 and mesh_shape == (1, 1):
+        # fast rep pins the 1-step kernel (see test_kbc's note: the
+        # N-cascade multiplies the Hermite-projection collide's
+        # interpret-mode compile; cascade coverage lives in the slow lane)
+        monkeypatch.setenv("TPULBM_SUBSTEPS", "1")
     pr = make_problem(params)
     step = jax.jit(make_step_rolled(pr))
     s_ref = jnp.asarray(pr.initial_state())

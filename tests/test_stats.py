@@ -100,6 +100,7 @@ def test_runner_stats_artifact(tmp_path):
     assert abs(float(z["mean_rho"].mean()) - 1.0) < 0.05
 
 
+@pytest.mark.slow  # fast stats reps: the single-device artifact tests
 def test_runner_stats_super_path_sharded_matches_single(tmp_path):
     """A run long enough for the super-chunk fast path, on a (2,2) mesh,
     produces the same statistics as the single-device scalar-path run."""
@@ -178,6 +179,7 @@ def test_stats_survive_resume_single_npz(tmp_path):
                                    atol=1e-10, err_msg=key)
 
 
+@pytest.mark.slow  # fast resume rep: the single-npz variant
 def test_stats_survive_resume_sharded(tmp_path):
     """Same contract on a (2,2) mesh with the per-shard checkpoint
     format: sharded accumulators restore via the manifest's stats maps,

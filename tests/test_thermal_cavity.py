@@ -108,8 +108,14 @@ def test_heated_cavity_sharded_matches_oracle(mesh_shape):
     np.testing.assert_allclose(got, s_ref, rtol=1e-12, atol=1e-14)
 
 
-@pytest.mark.parametrize("mesh_shape,cs", [((1, 1), 0.0), ((2, 1), 0.0),
-                                           ((1, 2), 0.0), ((2, 1), 0.17)],
+@pytest.mark.parametrize("mesh_shape,cs",
+                         [((1, 1), 0.0),
+                          pytest.param((2, 1), 0.0,
+                                       marks=pytest.mark.slow),
+                          pytest.param((1, 2), 0.0,
+                                       marks=pytest.mark.slow),
+                          pytest.param((2, 1), 0.17,
+                                       marks=pytest.mark.slow)],
                          ids=["single", "y-sharded", "x-sharded", "les"])
 def test_cavity_pallas_matches_oracle(mesh_shape, cs):
     # fused thermal pallas kernel on the x-WALLED cavity (buoyancy axis x,
@@ -137,7 +143,9 @@ def test_cavity_pallas_matches_oracle(mesh_shape, cs):
                                rtol=2e-5, atol=1e-6)
 
 
-@pytest.mark.parametrize("mesh_shape", [(1, 2), (2, 2)],
+@pytest.mark.parametrize("mesh_shape",
+                         [(1, 2),
+                          pytest.param((2, 2), marks=pytest.mark.slow)],
                          ids=["x-sharded", "2d-mesh"])
 def test_cavity_x_halo_padded_matches_oracle(mesh_shape, monkeypatch):
     """x-sharded thermal meshes with NON-128-aligned shard widths run

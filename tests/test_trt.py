@@ -85,6 +85,7 @@ def test_trt_pallas_matches_jax():
     np.testing.assert_allclose(got, ref, rtol=5e-6, atol=1e-7)
 
 
+@pytest.mark.slow  # fast TRT-in-kernel rep: test_trt_pallas_matches_jax (1-step)
 def test_trt_pallas2_matches_jax(monkeypatch):
     monkeypatch.setenv("TPULBM_PALLAS_TY", "8")
     params = SimulationParams(nx=128, ny=64, tau=0.55, inlet_velocity=0.05,
