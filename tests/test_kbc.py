@@ -142,7 +142,7 @@ def test_kbc_pallas_matches_oracle(mesh_shape, blocked, monkeypatch):
     if blocked:
         monkeypatch.setenv("TPULBM_SUBSTEPS", "3")
         monkeypatch.setenv("TPULBM_PALLAS_TY", "4")
-    else:
+    elif mesh_shape == (1, 1):
         # fast rep pins the 1-step kernel: the N-cascade instantiates the
         # entropic collide N times and triples the interpret-mode compile
         # on 1 core; the cascade (and kbc-in-cascade) is gated in the slow
